@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 scripts/local_verify.py <sfdir> <outdir> [query ...]
+
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran. For each
+query: load the Spark parquet result, run the oracle SQL in DuckDB against
+views over the same testdata parquet, sort columns by name, and compare
+values exactly, in row order. Strictest interpretation of the driver's
+compare — if this passes, the driver's hash match passes.
+"""
+import duckdb
+import glob
+import json
+import math
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        sdf = con.sql(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{f}'" for f in files) + "])").df()
+        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        if ocols != scols:
+            print(f"FAIL {name}: schema mismatch spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(odf) != len(sdf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        odf, sdf = odf[ocols], sdf[ocols]
+        bad = None
+        for c in ocols:
+            ov, sv = odf[c].tolist(), sdf[c].tolist()
+            for i, (a, b) in enumerate(zip(ov, sv)):
+                eq = (a == b)
+                if not eq and isinstance(a, float) and isinstance(b, float):
+                    eq = (math.isnan(a) and math.isnan(b))
+                if not eq:
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col={c} row={i} spark={b!r} oracle={a!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

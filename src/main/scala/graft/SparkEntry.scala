@@ -1,13 +1,41 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.cdc._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each key maps to. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: per-subscriber fan-out of the decoded change feed on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Forwarder.fanoutForward(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "change_decode" -> (ChangeFeed.changeDecode _),
+    "change_type_filter" -> (ChangeFeed.changeTypeFilter _),
+    "filter_eq" -> (SpecificFilter.filterEq _),
+    "filter_in" -> (SpecificFilter.filterIn _),
+    "subscription_route" -> (Subscription.subscriptionRoute _),
+    "table_route_validate" -> (Subscription.tableRouteValidate _),
+    "hyper_remap" -> (HyperRemap.hyperRemap _),
+    "fanout_forward" -> (Forwarder.fanoutForward _),
+    "auth_restrict" -> (Subscription.authRestrict _),
+    "resume_offsets" -> (Forwarder.resumeOffsets _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "change_decode" -> ChangeFeed.changeDecodeSql,
+    "change_type_filter" -> ChangeFeed.changeTypeFilterSql,
+    "filter_eq" -> SpecificFilter.filterEqSql,
+    "filter_in" -> SpecificFilter.filterInSql,
+    "subscription_route" -> Subscription.subscriptionRouteSql,
+    "table_route_validate" -> Subscription.tableRouteValidateSql,
+    "hyper_remap" -> HyperRemap.hyperRemapSql,
+    "fanout_forward" -> Forwarder.fanoutForwardSql,
+    "auth_restrict" -> Subscription.authRestrictSql,
+    "resume_offsets" -> Forwarder.resumeOffsetsSql,
+  )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table readers + session tuning shared by every operator.
+  *
+  * The driver hands each query an arbitrary `SparkSession` (Verify, Bench,
+  * smoke), so the session confs the engine relies on are (re)applied here at
+  * read time:
+  *
+  *  - `nanosAsLong`: the events table carries parquet TIMESTAMP(NANOS)
+  *    which Spark 4 otherwise refuses (`PARQUET_TYPE_ILLEGAL`); read as raw
+  *    long nanoseconds and derive microseconds with integer division so the
+  *    DuckDB oracle's `epoch_us(ts)` agrees bit-for-bit.
+  *  - ANSI off: out-of-domain casts degrade to NULL, matching the
+  *    reference's tolerant decode path (reference src/forwarder/mod.rs:82-126
+  *    skips malformed fields instead of aborting the stream).
+  *  - AQE on: runtime coalescing + skew-join splitting is the 100 TB skew
+  *    story for the shuffle-heavy operators (LSH buckets, sessionize).
+  */
+object Tables {
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  private def rd(spark: SparkSession, dir: String, name: String): DataFrame =
+    tune(spark).read.parquet(s"$dir/$name.parquet")
+
+  /** events: event_id, ts (long, ns since epoch), user_id, event_type,
+    * value, props (JSON string). */
+  def events(s: SparkSession, dir: String): DataFrame = rd(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = rd(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = rd(s, dir, "embeddings")
+  def lineitem(s: SparkSession, dir: String): DataFrame = rd(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = rd(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = rd(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = rd(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = rd(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = rd(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = rd(s, dir, "region")
+}

@@ -1,0 +1,148 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** wal2json change-feed synthesis + decode.
+  *
+  * The reference consumes a PostgreSQL logical-replication stream whose
+  * payloads are wal2json documents `{"change":[{"kind","table",
+  * "columnnames","columnvalues"},...]}` and explodes each document into
+  * per-table change records (reference src/forwarder/mod.rs:82-126). Here
+  * the same payloads are synthesized deterministically from the events
+  * table (SURVEY.md §3) and then decoded with `from_json` + `explode` —
+  * the decode side is the exact machinery an external wal2json feed would
+  * hit, and it is a single narrow projection: no shuffle, fully
+  * whole-stage-codegen, parquet scan reads only the five event columns.
+  *
+  * Deletes carry only the primary key column (wal2json emits `oldkeys` for
+  * deletes, not the full row) — this is what gives the specific filters
+  * their "missing column never matches" semantics downstream.
+  */
+object ChangeFeed {
+
+  /** wal2json document schema (reference src/forwarder/mod.rs:11-13, 82-96). */
+  val ChangeSchema: StructType = StructType(Seq(
+    StructField("change", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("table", StringType),
+      StructField("columnnames", ArrayType(StringType)),
+      StructField("columnvalues", ArrayType(StringType))))))))
+
+  /** event_type → wal2json kind (SURVEY.md §3 mapping). */
+  private val kindCol: Column =
+    when(col("event_type").isin("signup", "purchase"), "insert")
+      .when(col("event_type").isin("click", "view"), "update")
+      .otherwise("delete")
+
+  /** event_id → table, cycling through Timescale chunk + base names so the
+    * hypertable remap (reference src/forwarder/mod.rs:15-41) is exercised. */
+  private val tblCol: Column = expr(
+    """CASE event_id % 5
+      |  WHEN 0 THEN '_hyper_1_3_chunk'
+      |  WHEN 1 THEN '_hyper_2_7_chunk'
+      |  WHEN 2 THEN 'cpustats'
+      |  WHEN 3 THEN 'memstats'
+      |  ELSE 'swapstats' END""".stripMargin)
+
+  /** Raw replication messages: (lsn, payload) with payload a wal2json JSON
+    * string. event_id stands in for the WAL LSN (monotone, unique). */
+  def messages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val isDel = kindCol === "delete"
+    val k = regexp_extract(col("props"), "[0-9]+", 0)
+    val valueCents = expr("cast(round(value * 100) as bigint)")
+    val names = when(isDel, array(lit("event_id")))
+      .otherwise(array(lit("event_id"), lit("user_id"), lit("event_type"),
+        lit("value_cents"), lit("k")))
+    val vals = when(isDel, array(col("event_id").cast("string")))
+      .otherwise(array(col("event_id").cast("string"),
+        col("user_id").cast("string"), col("event_type"),
+        valueCents.cast("string"), k))
+    ev.select(
+      col("event_id").as("lsn"),
+      to_json(struct(array(struct(
+        kindCol.as("kind"), tblCol.as("table"),
+        names.as("columnnames"), vals.as("columnvalues"))).as("change")))
+        .as("payload"))
+  }
+
+  /** Decoded change records: one row per element of each document's
+    * `change` array (reference src/forwarder/mod.rs:97-126). */
+  def decoded(spark: SparkSession, dir: String): DataFrame =
+    messages(spark, dir)
+      .select(col("lsn"), from_json(col("payload"), ChangeSchema).as("doc"))
+      .select(col("lsn"), explode(col("doc.change")).as("c"))
+      .select(col("lsn"), col("c.kind").as("kind"), col("c.table").as("tbl"),
+        col("c.columnnames").as("columnnames"),
+        col("c.columnvalues").as("columnvalues"))
+
+  /** Decoded records + the name→value map the specific filters probe
+    * (reference src/utils/specific_filter.rs:21-50 walks columnnames to
+    * find the index; here it is one Catalyst `map_from_arrays`). */
+  def decodedWithMap(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir)
+      .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
+
+  /** insert=1, update=2, delete=4 — reference src/api/ws_utils.rs:10-12. */
+  val kindFlag: Column =
+    expr("CASE kind WHEN 'insert' THEN 1 WHEN 'update' THEN 2 ELSE 4 END")
+
+  // ---- queries ------------------------------------------------------------
+
+  def changeDecode(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir).select(
+      col("lsn"), col("kind"), col("tbl"),
+      array_join(col("columnnames"), "|").as("cols"),
+      array_join(col("columnvalues"), "|").as("vals"))
+      .orderBy("lsn")
+
+  /** Flag filter with mask INSERT|DELETE=5 — the bit test the forwarder
+    * applies per session (reference src/api/ws_utils.rs:38-57,
+    * src/forwarder/mod.rs:106-126). */
+  def changeTypeFilter(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir)
+      .where(kindFlag.bitwiseAND(lit(5)) =!= 0)
+      .groupBy("kind", "tbl").agg(count(lit(1)).as("n"))
+      .orderBy("kind", "tbl")
+
+  // ---- oracle -------------------------------------------------------------
+
+  /** Relational mirror of the feed synthesis, shared by every CDC oracle. */
+  val FeedCte: String =
+    """feed AS (
+      |  SELECT event_id AS lsn,
+      |         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+      |              WHEN event_type IN ('click','view') THEN 'update'
+      |              ELSE 'delete' END AS kind,
+      |         CASE event_id % 5
+      |              WHEN 0 THEN '_hyper_1_3_chunk'
+      |              WHEN 1 THEN '_hyper_2_7_chunk'
+      |              WHEN 2 THEN 'cpustats'
+      |              WHEN 3 THEN 'memstats'
+      |              ELSE 'swapstats' END AS tbl,
+      |         user_id,
+      |         event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |         regexp_extract(props, '[0-9]+', 0) AS k
+      |  FROM events)""".stripMargin
+
+  val changeDecodeSql: String =
+    s"""WITH $FeedCte
+       |SELECT lsn, kind, tbl,
+       |  CASE WHEN kind = 'delete' THEN 'event_id'
+       |       ELSE 'event_id|user_id|event_type|value_cents|k' END AS cols,
+       |  CASE WHEN kind = 'delete' THEN CAST(lsn AS VARCHAR)
+       |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
+       |                      event_type, CAST(value_cents AS VARCHAR), k) END AS vals
+       |FROM feed ORDER BY lsn""".stripMargin
+
+  val changeTypeFilterSql: String =
+    s"""WITH $FeedCte
+       |SELECT kind, tbl, count(*) AS n
+       |FROM feed
+       |WHERE ((CASE kind WHEN 'insert' THEN 1 WHEN 'update' THEN 2 ELSE 4 END) & 5) <> 0
+       |GROUP BY kind, tbl ORDER BY kind, tbl""".stripMargin
+}

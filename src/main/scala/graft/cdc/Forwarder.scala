@@ -1,0 +1,96 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-subscriber fan-out: route every change to each subscription whose
+  * (table, change-kind) matches, then apply that subscription's specific
+  * filter (reference src/forwarder/mod.rs:43-143).
+  *
+  * The reference keeps an in-memory map (table, kind) → sessions and walks
+  * it per message; here routing is a broadcast hash join of the change feed
+  * against the (tiny) subscription table, with the flag bit-test and the
+  * specific filter as join/filter expressions. The fact side is never
+  * shuffled — the plan must show BroadcastHashJoin and no cartesian.
+  */
+object Forwarder {
+
+  /** Routed + filtered deliveries: (sub_id, lsn, base, kind, uid_val). */
+  def fanout(spark: SparkSession, dir: String): DataFrame = {
+    val changes = HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+      .withColumn("kflag", ChangeFeed.kindFlag)
+    val subs = Subscription.validated(spark).where(col("routable"))
+      .select("sub_id", "flag", "tbl", "fcol", "fop", "fval")
+      .withColumnRenamed("tbl", "sub_tbl")
+    val specOk =
+      when(col("fcol") === "", lit(true))
+        .when(col("fop") === "eq",
+          SpecificFilter.eqFilter(col("cmap"), col("fcol"), col("fval")))
+        .when(col("fop") === "in",
+          SpecificFilter.inFilter(col("cmap"), col("fcol"), col("fval")))
+        .otherwise(lit(false))
+    changes
+      .join(broadcast(subs),
+        col("sub_tbl") === col("base") &&
+          col("flag").bitwiseAND(col("kflag")) =!= 0)
+      .where(specOk)
+      .select(col("sub_id"), col("lsn"), col("base"), col("kind"),
+        try_element_at(col("cmap"), lit("user_id")).as("uid_val"))
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  def fanoutForward(spark: SparkSession, dir: String): DataFrame =
+    fanout(spark, dir)
+      .select("sub_id", "lsn", "base", "kind")
+      .orderBy("sub_id", "lsn")
+
+  /** Received-LSN checkpoint summary per base table — the batch analogue of
+    * the reference's standby-status-update feedback loop, which reports the
+    * max LSN seen every 10 s (reference src/cdc/replication.rs:255-282).
+    * The streaming counterpart (checkpointed offsets) lives in
+    * graft.streaming.ChangeFeedStream. */
+  def resumeOffsets(spark: SparkSession, dir: String): DataFrame =
+    HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
+      .groupBy("base")
+      .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
+      .orderBy("base")
+
+  // ---- oracle -------------------------------------------------------------
+
+  /** feed → routed → parsed subs → fanout, with uid_val exposed for auth.
+    * The per-column value CASE mirrors the name→value map lookup: deletes
+    * only expose event_id (missing column ⇒ NULL ⇒ no match). */
+  val FanoutCtes: String =
+    s"""${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte},
+       |${Subscription.ParsedCte},
+       |joined AS (
+       |  SELECT s.sub_id, r.lsn, r.base, r.kind, s.fcol, s.fop, s.fval,
+       |         CASE WHEN r.kind <> 'delete' THEN CAST(r.user_id AS VARCHAR) END AS uid_val,
+       |         CASE s.fcol
+       |              WHEN 'event_id' THEN CAST(r.lsn AS VARCHAR)
+       |              WHEN 'user_id' THEN CASE WHEN r.kind <> 'delete' THEN CAST(r.user_id AS VARCHAR) END
+       |              WHEN 'event_type' THEN CASE WHEN r.kind <> 'delete' THEN r.event_type END
+       |              WHEN 'value_cents' THEN CASE WHEN r.kind <> 'delete' THEN CAST(r.value_cents AS VARCHAR) END
+       |              WHEN 'k' THEN CASE WHEN r.kind <> 'delete' THEN r.k END
+       |         END AS cv
+       |  FROM routed r
+       |  JOIN validated s ON s.routable AND s.tbl = r.base AND (s.flag & r.kflag) <> 0),
+       |fanout AS (
+       |  SELECT sub_id, lsn, base, kind, uid_val FROM joined
+       |  WHERE fcol = ''
+       |     OR (fop = 'eq' AND cv = fval)
+       |     OR (fop = 'in' AND list_contains(string_split(fval, ','), cv)))""".stripMargin
+
+  val fanoutForwardSql: String =
+    s"""WITH $FanoutCtes
+       |SELECT sub_id, lsn, base, kind
+       |FROM fanout ORDER BY sub_id, lsn""".stripMargin
+
+  val resumeOffsetsSql: String =
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte}
+       |SELECT base, max(lsn) AS max_lsn, count(*) AS n_changes
+       |FROM routed GROUP BY base ORDER BY base""".stripMargin
+}

@@ -1,0 +1,172 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subscription DSL parse / validation / auth restriction.
+  *
+  * DSL: `change_type:table[:col.op.val]` with change_type ∈
+  * {insert, update, delete, *} and op ∈ {eq, in} (reference
+  * src/api/query.rs:9-85). Tables are validated against the detected
+  * catalog (reference src/cdc/mod.rs:29-47). Subscriptions are a small
+  * driver-side config — the analogue of the reference's in-memory session
+  * map — so every join against them is a broadcast; the change feed never
+  * shuffles for routing.
+  */
+object Subscription {
+
+  /** Seed subscriptions, including the reference's error cases: unknown
+    * table (s4), bad flag (s5), filter on a column deletes do carry (s6),
+    * filter on a column that never exists (s7), and a direct chunk-table
+    * subscription that the remap makes unroutable (s8). */
+  val SubsSeed: Seq[(String, String)] = Seq(
+    "s1" -> "*:cpustats",
+    "s2" -> "insert:memstats:k.eq.42",
+    "s3" -> "update:swapstats:user_id.in.1,2,3",
+    "s4" -> "insert:unknown_tbl",
+    "s5" -> "bogus:cpustats",
+    "s6" -> "delete:cpustats:event_id.eq.17",
+    "s7" -> "insert:cpustats:missing_col.eq.5",
+    "s8" -> "*:_hyper_1_3_chunk")
+
+  /** Detected table list (reference src/cdc/mod.rs:29-47): chunk names are
+    * present in the live catalog alongside base hypertables. */
+  val Catalog: Seq[String] =
+    Seq("_hyper_1_3_chunk", "_hyper_2_7_chunk", "cpustats", "memstats", "swapstats")
+
+  /** sub_id → admin: admins bypass row-level auth
+    * (reference src/api/auth.rs:126-143). */
+  val Admins: Seq[String] = Seq("s1")
+
+  /** Row ownership: (sub_id, owned user_id) — the analogue of the
+    * reference's host_uuid ownership check (src/api/auth.rs:144-180). */
+  val Owners: Seq[(String, Long)] =
+    Seq("s2" -> 3L, "s2" -> 7L, "s3" -> 1L, "s3" -> 2L, "s6" -> 4L, "s8" -> 1L)
+
+  def subs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    SubsSeed.toDF("sub_id", "q")
+  }
+
+  /** Parse the DSL. Split-based, like the reference's `split(':')` /
+    * `split('.')` walk (src/api/query.rs:22-62); `split_part` returns ''
+    * out of range, so missing parts degrade exactly like the reference's
+    * `None` branches. */
+  def parsed(spark: SparkSession): DataFrame =
+    subs(spark).select(
+      col("sub_id"), col("q"),
+      expr("split_part(q, ':', 1)").as("flag_str"),
+      expr("split_part(q, ':', 2)").as("tbl"),
+      expr("split_part(split_part(q, ':', 3), '.', 1)").as("fcol"),
+      expr("split_part(split_part(q, ':', 3), '.', 2)").as("fop"),
+      expr("split_part(split_part(q, ':', 3), '.', 3)").as("fval"))
+      .withColumn("flag", expr(
+        """CASE flag_str WHEN '*' THEN 7 WHEN 'insert' THEN 1
+          |  WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END""".stripMargin))
+      .withColumn("valid", expr(
+        """flag > 0 AND tbl <> '' AND
+          |  (fcol = '' OR (fop IN ('eq','in') AND fval <> ''))""".stripMargin))
+
+  /** Parsed subs × catalog validation; routable = parse-valid AND known. */
+  def validated(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cat = Catalog.toDF("cat_tbl")
+    parsed(spark)
+      .join(broadcast(cat), col("tbl") === col("cat_tbl"), "left")
+      .withColumn("table_known", col("cat_tbl").isNotNull)
+      .withColumn("routable", col("valid") && col("table_known"))
+      .drop("cat_tbl")
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  def subscriptionRoute(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark)
+      .select("sub_id", "q", "flag", "tbl", "fcol", "fop", "fval", "valid")
+      .orderBy("sub_id")
+
+  def tableRouteValidate(spark: SparkSession, dir: String): DataFrame =
+    validated(spark)
+      .select("sub_id", "tbl", "table_known", "routable")
+      .orderBy("sub_id")
+
+  /** Auth restriction over the fan-out result: admins receive everything;
+    * non-admins only rows whose user_id value is in their owned set.
+    * Deletes carry no user_id column, so non-admins never see them —
+    * the missing-column rule again (reference src/api/auth.rs:126-180). */
+  def authRestrict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fan = Forwarder.fanout(spark, dir) // sub_id, lsn, base, kind, uid_val
+    val owners = Owners.toDF("o_sub_id", "o_user_id")
+      .select(col("o_sub_id"), col("o_user_id").cast("string").as("o_uid"))
+    val admins = Admins.toDF("a_sub_id")
+    fan
+      .join(broadcast(admins), col("sub_id") === col("a_sub_id"), "left")
+      .join(broadcast(owners),
+        col("sub_id") === col("o_sub_id") && col("uid_val") === col("o_uid"), "left")
+      .where(col("a_sub_id").isNotNull || col("o_sub_id").isNotNull)
+      .select("sub_id", "lsn", "base", "kind")
+      .orderBy("sub_id", "lsn")
+  }
+
+  // ---- oracle -------------------------------------------------------------
+
+  val SubsCte: String = {
+    val rows = SubsSeed.map { case (id, q) => s"('$id','$q')" }.mkString(", ")
+    s"subs(sub_id, q) AS (VALUES $rows)"
+  }
+
+  val ParsedCte: String =
+    s"""$SubsCte,
+       |parsed AS (
+       |  SELECT sub_id, q,
+       |         split_part(q, ':', 1) AS flag_str,
+       |         split_part(q, ':', 2) AS tbl,
+       |         split_part(split_part(q, ':', 3), '.', 1) AS fcol,
+       |         split_part(split_part(q, ':', 3), '.', 2) AS fop,
+       |         split_part(split_part(q, ':', 3), '.', 3) AS fval,
+       |         CASE split_part(q, ':', 1) WHEN '*' THEN 7 WHEN 'insert' THEN 1
+       |              WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END AS flag
+       |  FROM subs),
+       |parsed2 AS (
+       |  SELECT *, flag > 0 AND tbl <> '' AND
+       |         (fcol = '' OR (fop IN ('eq','in') AND fval <> '')) AS valid
+       |  FROM parsed),
+       |cat(cat_tbl) AS (VALUES ${Catalog.map(t => s"('$t')").mkString(", ")}),
+       |validated AS (
+       |  SELECT p.*, c.cat_tbl IS NOT NULL AS table_known,
+       |         p.valid AND c.cat_tbl IS NOT NULL AS routable
+       |  FROM parsed2 p LEFT JOIN cat c ON p.tbl = c.cat_tbl)""".stripMargin
+
+  val subscriptionRouteSql: String =
+    s"""WITH $ParsedCte
+       |SELECT sub_id, q, flag, tbl, fcol, fop, fval, valid
+       |FROM parsed2 ORDER BY sub_id""".stripMargin
+
+  val tableRouteValidateSql: String =
+    s"""WITH $ParsedCte
+       |SELECT sub_id, tbl, table_known, routable
+       |FROM validated ORDER BY sub_id""".stripMargin
+
+  val OwnersCte: String = {
+    val rows = Owners.map { case (id, u) => s"('$id',$u)" }.mkString(", ")
+    s"owners(o_sub_id, o_user_id) AS (VALUES $rows)"
+  }
+
+  val AdminsCte: String =
+    s"admins(a_sub_id) AS (VALUES ${Admins.map(a => s"('$a')").mkString(", ")})"
+
+  /** def, not val: Forwarder.FanoutCtes itself refers back into this
+    * object, so a val would capture a half-initialized (null) CTE. */
+  def authRestrictSql: String =
+    s"""WITH ${Forwarder.FanoutCtes},
+       |$OwnersCte,
+       |$AdminsCte
+       |SELECT f.sub_id, f.lsn, f.base, f.kind
+       |FROM fanout f
+       |LEFT JOIN admins a ON f.sub_id = a.a_sub_id
+       |LEFT JOIN owners o ON f.sub_id = o.o_sub_id
+       |  AND f.uid_val = CAST(o.o_user_id AS VARCHAR)
+       |WHERE a.a_sub_id IS NOT NULL OR o.o_sub_id IS NOT NULL
+       |ORDER BY f.sub_id, f.lsn""".stripMargin
+}
