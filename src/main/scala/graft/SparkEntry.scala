@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
+import graft.relational.Queries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each key maps to. */
@@ -22,6 +23,11 @@ object SparkEntry {
     "fanout_forward" -> (Forwarder.fanoutForward _),
     "auth_restrict" -> (Subscription.authRestrict _),
     "resume_offsets" -> (Forwarder.resumeOffsets _),
+    "q1_agg" -> (Queries.q1Agg _),
+    "q3_join" -> (Queries.q3Join _),
+    "q5_broadcast" -> (Queries.q5Broadcast _),
+    "window_topn" -> (Queries.windowTopn _),
+    "events_sessionize" -> (Queries.eventsSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +43,10 @@ object SparkEntry {
     "fanout_forward" -> Forwarder.fanoutForwardSql,
     "auth_restrict" -> Subscription.authRestrictSql,
     "resume_offsets" -> Forwarder.resumeOffsetsSql,
+    "q1_agg" -> Queries.q1AggSql,
+    "q3_join" -> Queries.q3JoinSql,
+    "q5_broadcast" -> Queries.q5BroadcastSql,
+    "window_topn" -> Queries.windowTopnSql,
+    "events_sessionize" -> Queries.eventsSessionizeSql,
   )
 }

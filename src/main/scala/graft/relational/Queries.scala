@@ -1,0 +1,210 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core: the aggregate / join / window shapes the reference's
+  * downstream consumers run over change-fed tables, expressed as TPC-H-like
+  * plans over the driver testdata (SURVEY.md §2 rows 13-17).
+  *
+  * Determinism contract (SURVEY.md §4): every money/quantity double is
+  * quantized to int64 (cents, or 1e-4/1e-6 dollar ticks after integer
+  * percent multiplies) BEFORE aggregation, so sums are order-independent
+  * integer arithmetic and hash-match DuckDB bit-for-bit. Dates cross the
+  * oracle boundary as yyyy-MM-dd strings.
+  *
+  * Scale notes (100 TB): q1 is a pure map-side-combine groupBy on two
+  * 1-char keys; q3/q5 shuffle only on join keys with region/nation
+  * broadcast; window_topn / sessionize partition by customer/user — keys
+  * with million-scale cardinality, so no single-partition windows.
+  */
+object Queries {
+
+  private def cents(c: Column): Column =
+    round(c * 100).cast("long")
+
+  // ---- q1_agg: filtered aggregate (TPC-H Q1 shape) ------------------------
+
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("ext_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_p"),
+        round(col("l_tax") * 100).cast("long").as("tax_p"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty_c").as("sum_qty_cents"),
+        sum("ext_c").as("sum_base_cents"),
+        sum(col("ext_c") * (lit(100L) - col("disc_p"))).as("sum_disc_e4"),
+        sum(col("ext_c") * (lit(100L) - col("disc_p")) * (lit(100L) + col("tax_p")))
+          .as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q3_join: multi-join + group-by (TPC-H Q3 shape) --------------------
+
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum("rev_e4").as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       o_orderpriority,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---- q5_broadcast: 5-way star join through region (TPC-H Q5 shape) ------
+
+  def q5Broadcast(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA"))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .as("rev_e4"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_e4").as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
+  val q5BroadcastSql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_e4 DESC, n_name""".stripMargin
+
+  // ---- window_topn: top 3 orders per customer -----------------------------
+
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("price_cents").desc, col("o_orderkey"))))
+      .where(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "price_cents")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val windowTopnSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, price_cents FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---- events_sessionize: gap-based sessions per user ---------------------
+
+  /** 30-minute inactivity gap closes a session — the batch analogue of the
+    * reference's per-client session lifetime. events.ts is read as raw
+    * nanoseconds (Tables.scala nanosAsLong) and floored to microseconds with
+    * integer `div` (DuckDB's parquet reader holds TIMESTAMP at µs, so µs is
+    * the common precision), making the gap compare pure int64 on both
+    * sides. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_us"), max("ts").as("end_us"),
+        min("event_id").as("first_event_id"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts) AS start_us, max(ts) AS end_us,
+      |       min(event_id) AS first_event_id
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}
