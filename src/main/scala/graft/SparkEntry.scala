@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
 import graft.relational.Queries
+import graft.ops.{Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each key maps to. */
@@ -28,6 +29,12 @@ object SparkEntry {
     "q5_broadcast" -> (Queries.q5Broadcast _),
     "window_topn" -> (Queries.windowTopn _),
     "events_sessionize" -> (Queries.eventsSessionize _),
+    "text_stats" -> (TextStats.textStats _),
+    "lang_id" -> (TextStats.langId _),
+    "doc_fingerprint" -> (TextStats.docFingerprint _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +55,11 @@ object SparkEntry {
     "q5_broadcast" -> Queries.q5BroadcastSql,
     "window_topn" -> Queries.windowTopnSql,
     "events_sessionize" -> Queries.eventsSessionizeSql,
+    "text_stats" -> TextStats.textStatsSql,
+    "lang_id" -> TextStats.langIdSql,
+    "doc_fingerprint" -> TextStats.docFingerprintSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
   )
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Document deduplication: exact, MinHash+LSH near-dup with n-gram Jaccard
+  * verification, and SimHash fingerprints (SURVEY.md §2 rows 18-21).
+  *
+  * Scale shape (100 TB): exact dedup is one hash-shuffle groupBy; MinHash
+  * candidates come ONLY from equi-joins on (band_id, band_key) buckets —
+  * there is no crossJoin anywhere, and the pair side carries doc ids, not
+  * documents (shingle sets are re-joined by id afterwards). Bucket skew is
+  * bounded by the 2-row banding; AQE skew-join covers the rest.
+  *
+  * All hashes are hand-rolled int64 arithmetic (rolling char hash mod
+  * 2^31-1, affine minhash perms) so the DuckDB oracle reproduces every bit.
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31 - 1
+  val NumPerms = 16
+  val NumBands = 8 // 2 rows per band
+
+  /** Affine permutation constants, derived deterministically. */
+  val PermA: Seq[Long] =
+    (0 until NumPerms).map(j => ((1103515245L * (j + 1) + 12345L) % P).max(1L))
+  val PermB: Seq[Long] =
+    (0 until NumPerms).map(j => (1103515245L * (j + 17) + 54321L) % P)
+
+  private def charHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (h, c) => (h * TextStats.FpPrime + ascii(c)) % P)
+
+  private val norm: Column = lower(trim(col("text")))
+
+  // ---- dedup_exact --------------------------------------------------------
+
+  /** Exact dedup on normalized text: one row per distinct document with the
+    * keeper (min doc_id) and copy count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_doc_id", "n_copies")
+      .orderBy("keeper_doc_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY lower(trim(text))
+      |ORDER BY keeper_doc_id""".stripMargin
+
+  // ---- dedup_minhash (+ n-gram Jaccard verify) ----------------------------
+
+  /** doc_id + distinct bigram-shingle hash set. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(norm, " ")
+    val shingles = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    Tables.documents(spark, dir)
+      .where(size(split(norm, " ")) >= 2)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles, s => charHash(s))).as("sh"))
+  }
+
+  /** doc_id + 16 minhash columns m0..m15. */
+  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
+    val mh = (0 until NumPerms).map { j =>
+      array_min(transform(col("sh"), x => (lit(PermA(j)) * x + lit(PermB(j))) % P))
+        .as(s"m$j")
+    }
+    shingleSets(spark, dir).select(col("doc_id") +: col("sh") +: mh: _*)
+  }
+
+  /** (doc_id, band_id, band_key): 8 bands of 2 minhash rows packed into one
+    * int64 key (< P^2 < 2^63). */
+  private def bands(spark: SparkSession, dir: String): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("band_key"))
+    }
+    minhashes(spark, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bnd"))
+      .select(col("doc_id"), col("bnd.band_id").as("band_id"),
+        col("bnd.band_key").as("band_key"))
+  }
+
+  /** LSH candidate pairs (same key in ≥1 band) + exact shingle-set Jaccard
+    * in 1e-4 fixed point. Pairs are formed per bucket, never all-pairs. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(spark, dir)
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(spark, dir)
+    pairs
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(10000.0) * size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle CTE: doc_id + distinct shingle hashes, mirrored hash math. */
+  private val ShSqlCte: String =
+    s"""shs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(string_split(lower(trim(text)), ' '))),
+       |        i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+       |             string_split(lower(trim(text)), ' ')[i+1]),
+       |      s -> list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (h, c) -> (h * ${TextStats.FpPrime} + c) % $P))) AS sh
+       |  FROM documents
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 2)""".stripMargin
+
+  private val MinhashSqlCte: String = {
+    val cols = (0 until NumPerms).map { j =>
+      s"list_min(list_transform(sh, x -> (${PermA(j)} * x + ${PermB(j)}) % $P)) AS m$j"
+    }.mkString(",\n    ")
+    s"""mh AS (
+       |  SELECT doc_id, sh,
+       |    $cols
+       |  FROM shs)""".stripMargin
+  }
+
+  private val BandsSqlCte: String = {
+    val selects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band_id, m${2 * b} * $P + m${2 * b + 1} AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"bands AS (\n  $selects)"
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH $ShSqlCte,
+       |$MinhashSqlCte,
+       |$BandsSqlCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh))
+       |       / len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS jaccard_e4
+       |FROM pairs p
+       |JOIN shs sa ON p.doc_a = sa.doc_id
+       |JOIN shs sb ON p.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- dedup_simhash ------------------------------------------------------
+
+  /** 32-bit SimHash over the token-hash multiset: bit i set when strictly
+    * more token hashes have bit i set than clear. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = transform(split(norm, " "), t => charHash(t))
+    val withTh = Tables.documents(spark, dir).select(col("doc_id"), th.as("th"))
+    val bits = (0 until 32).map { i =>
+      when(lit(2) * size(filter(col("th"),
+        x => shiftright(x, i).bitwiseAND(lit(1L)) === 1L)) > size(col("th")),
+        lit(1L << i)).otherwise(0L)
+    }
+    withTh
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 16))
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashSql: String = {
+    val bitTerms = (0 until 32).map { i =>
+      s"CASE WHEN 2 * len(list_filter(th, x -> ((x >> $i) & 1) = 1)) > len(th) THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(lower(trim(text)), ' '),
+       |      s -> list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (h, c) -> (h * ${TextStats.FpPrime} + c) % $P)) AS th
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $bitTerms AS simhash
+       |  FROM t)
+       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       |       CAST(simhash AS BIGINT) >> 16 AS bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over the documents table: token/quality statistics,
+  * language-ID heuristic, and rolling-hash document fingerprints
+  * (SURVEY.md §2 rows 25-27).
+  *
+  * Everything is a codegen'd `functions._` composition — token lists via
+  * `split`, counts via higher-order `filter`/`aggregate` — so the whole
+  * stats pass is one narrow projection over the scan: no shuffle, no UDFs,
+  * embarrassingly parallel at 100 TB. Ratios are emitted as floor'd 1e-4
+  * fixed-point ints (single IEEE division then floor), so results are
+  * bit-exact against the DuckDB oracle.
+  */
+object TextStats {
+
+  private val Stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "dans"))
+
+  private val toks: Column = split(col("text"), " ")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** floor(1e4 * num / den) as int64; 0 when den is 0. */
+  private def ratioE4(num: Column, den: Column): Column =
+    when(den === 0, 0L)
+      .otherwise(floor(lit(10000.0) * num / den).cast("long"))
+
+  // ---- text_stats ---------------------------------------------------------
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val nPunct = length(col("text")) - length(translate(col("text"), ".,!?;:", ""))
+    val nDigit = length(col("text")) - length(translate(col("text"), "0123456789", ""))
+    val nStop = hits(Stopwords("en"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_txt"),
+        nTok.cast("long").as("n_tokens"),
+        nStop.cast("long").as("n_stop"),
+        nPunct.cast("long").as("n_punct"),
+        nDigit.cast("long").as("n_digit"),
+        ratioE4(length(col("text")) - (nTok - 1), nTok).as("avg_tok_len_e4"),
+        ratioE4(nStop, nTok).as("stop_ratio_e4"))
+      .withColumn("quality_e4",
+        col("stop_ratio_e4")
+          + when(col("n_tokens").between(20, 60), 1000L).otherwise(0L)
+          - when(col("n_punct") * 10 > col("n_tokens"), 500L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String = {
+    val stops = Stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         length(text) AS n_chars_txt,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS n_stop,
+       |         length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+       |         length(text) - length(translate(text, '0123456789', '')) AS n_digit
+       |  FROM documents)
+       |SELECT doc_id, n_chars_txt,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  CAST(n_punct AS BIGINT) AS n_punct,
+       |  CAST(n_digit AS BIGINT) AS n_digit,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(floor(10000.0 * (n_chars_txt - (n_tokens - 1)) / n_tokens) AS BIGINT)
+       |  END AS avg_tok_len_e4,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT)
+       |  END AS stop_ratio_e4,
+       |  (CASE WHEN n_tokens = 0 THEN 0
+       |        ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END
+       |   + CASE WHEN n_tokens BETWEEN 20 AND 60 THEN 1000 ELSE 0 END
+       |   - CASE WHEN n_punct * 10 > n_tokens THEN 500 ELSE 0 END) AS quality_e4
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- lang_id ------------------------------------------------------------
+
+  /** Stopword-hit argmax across language profiles; ties resolve in fixed
+    * en > de > es > fr order, zero hits → 'und' (undetermined). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hitCols = Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      hits(ws).cast("long").as(s"hits_$l")
+    }
+    val best = greatest(col("hits_en"), col("hits_de"), col("hits_es"), col("hits_fr"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("label_lang") +: hitCols: _*)
+      .withColumn("pred_lang",
+        when(best === 0, "und")
+          .when(col("hits_en") === best, "en")
+          .when(col("hits_de") === best, "de")
+          .when(col("hits_es") === best, "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def stops(l: String) = Stopwords(l).map(s => s"'$s'").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS label_lang,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("en")}))) AS BIGINT) AS hits_en,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("de")}))) AS BIGINT) AS hits_de,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("es")}))) AS BIGINT) AS hits_es,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("fr")}))) AS BIGINT) AS hits_fr
+       |  FROM documents)
+       |SELECT doc_id, label_lang, hits_de, hits_en, hits_es, hits_fr,
+       |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+       |       WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+       |       WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+       |       WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- doc_fingerprint ----------------------------------------------------
+
+  /** Rolling polynomial hash over the character stream:
+    * h := (h * 1000003 + ascii(c)) mod (2^31 - 1). Pure int64 arithmetic
+    * (max intermediate ~2^51), reproduced verbatim by the oracle. */
+  val FpPrime = 1000003L
+  val FpMod = 2147483647L
+
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * FpPrime + ascii(c)) % FpMod)
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("fp_bucket", col("fp") % 1024)
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * $FpPrime + c) % $FpMod) AS fp,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * $FpPrime + c) % $FpMod) % 1024 AS fp_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
