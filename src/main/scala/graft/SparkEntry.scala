@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
 import graft.relational.Queries
-import graft.ops.{Dedup, TextStats}
+import graft.ops.{Dedup, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each key maps to. */
@@ -35,6 +35,9 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ann_topk" -> (Similarity.annTopk _),
+    "ann_lsh" -> (Similarity.annLsh _),
+    "embed_cosine_dup" -> (Similarity.embedCosineDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +64,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "ann_topk" -> Similarity.annTopkSql,
+    "ann_lsh" -> Similarity.annLshSql,
+    "embed_cosine_dup" -> Similarity.embedCosineDupSql,
   )
 }

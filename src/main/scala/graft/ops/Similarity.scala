@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table: brute-force cosine top-k,
+  * random-hyperplane LSH top-k, and bucketed near-duplicate pairs
+  * (SURVEY.md §2 rows 22-24).
+  *
+  * Determinism: components are quantized to 1e-4 ticks (floor(x*1e4+0.5),
+  * identical IEEE double math in Spark and DuckDB), so dot products and
+  * squared norms are exact int64 sums; cosine is then ONE deterministic
+  * double expression dot/(sqrt(na)*sqrt(nb)) — bit-identical on both
+  * engines — and is emitted floor'd to 1e-6 fixed point.
+  *
+  * Scale shape (100 TB): the brute-force path exists only for a bounded,
+  * broadcast query set (k×N scan, no shuffle of the candidate side); the
+  * scale path buckets vectors by a 4-bit hyperplane signature and joins
+  * pairs only within buckets — never an all-pairs cross join.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 4 // 16 buckets
+
+  /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63. */
+  def wVec(j: Int): Seq[Long] =
+    (1 to Dim).map(i => if ((i.toLong * (2 * j + 3) * 1103515245L) % 97 < 48) 1L else -1L)
+
+  /** Quantize float components to int64 1e-4 ticks. */
+  private val quant: Column =
+    transform(col("embedding"), x => floor(x * lit(10000.0) + lit(0.5)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** vec_id, qv (quantized), n2 (squared norm), bucket (hyperplane sig). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant.as("qv"))
+      .withColumn("n2", dot(col("qv"), col("qv")))
+    val bucket = (0 until NumPlanes).map { j =>
+      val w = array(wVec(j).map(lit): _*)
+      when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    base.withColumn("bucket", bucket)
+  }
+
+  private def cosine(dotC: Column, na2: Column, nb2: Column): Column =
+    dotC.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  private def cosE6(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+
+  import org.apache.spark.sql.expressions.Window
+
+  // ---- ann_topk: brute-force cosine top-k for a bounded query set ---------
+
+  val NumQueries = 5
+  val TopK = 5
+
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("qn2"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("cid"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  // ---- ann_lsh: within-bucket top-k for every vector ----------------------
+
+  val LshK = 3
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.select(col("vec_id").as("aid"), col("qv").as("qa"),
+      col("n2").as("na2"), col("bucket"))
+    val b = v.select(col("vec_id").as("bid"), col("qv").as("qb"),
+      col("n2").as("nb2"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("aid") =!= col("bid"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))))
+      .where(col("rnk") <= LshK)
+      .select(col("aid"), col("rnk"), col("bid"), col("bucket"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("aid", "rnk")
+  }
+
+  // ---- embed_cosine_dup: bucketed near-dup pairs --------------------------
+
+  val DupThresholdE6 = 300000L // cos >= 0.30
+
+  def embedCosineDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.select(col("vec_id").as("aid"), col("qv").as("qa"),
+      col("n2").as("na2"), col("bucket"))
+    val b = v.select(col("vec_id").as("bid"), col("qv").as("qb"),
+      col("n2").as("nb2"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("aid") < col("bid"))
+      .withColumn("cos_e6",
+        cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
+      .where(col("cos_e6") >= DupThresholdE6)
+      .select("aid", "bid", "bucket", "cos_e6")
+      .orderBy("aid", "bid")
+  }
+
+  // ---- oracle -------------------------------------------------------------
+
+  /** Shared CTE: quantized vectors + norms + hyperplane bucket. */
+  private val VecCte: String = {
+    val bucketTerms = (0 until NumPlanes).map { j =>
+      val w = wVec(j).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(range(1, ${Dim + 1}),
+         |       i -> qv[i] * ($w)[i]), (x, y) -> x + y) > 0
+         |     THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""qvecs AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, qv,
+       |    list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2,
+       |    $bucketTerms AS bucket
+       |  FROM qvecs)""".stripMargin
+  }
+
+  private val DotSql =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)"
+
+  val annTopkSql: String =
+    s"""WITH $VecCte,
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, cid, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  val annLshSql: String =
+    s"""WITH $VecCte,
+       |scored AS (
+       |  SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
+       |         CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT aid, bid, bucket, cos,
+       |         row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rnk
+       |  FROM scored)
+       |SELECT aid, rnk, bid, bucket, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rnk <= $LshK
+       |ORDER BY aid, rnk""".stripMargin
+
+  val embedCosineDupSql: String =
+    s"""WITH $VecCte
+       |SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
+       |       CAST(floor(CAST($DotSql AS DOUBLE)
+       |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |         * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(floor(CAST($DotSql AS DOUBLE)
+       |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |         * 1000000.0) AS BIGINT) >= $DupThresholdE6
+       |ORDER BY aid, bid""".stripMargin
+}
