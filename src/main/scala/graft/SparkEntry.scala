@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
 import graft.relational.Queries
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.ChangeFeedStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each key maps to. */
@@ -38,6 +39,8 @@ object SparkEntry {
     "ann_topk" -> (Similarity.annTopk _),
     "ann_lsh" -> (Similarity.annLsh _),
     "embed_cosine_dup" -> (Similarity.embedCosineDup _),
+    "mm_features" -> (Multimodal.mmFeatures _),
+    "stream_window_counts" -> (ChangeFeedStream.streamWindowCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +70,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "embed_cosine_dup" -> Similarity.embedCosineDupSql,
+    "mm_features" -> Multimodal.mmFeaturesSql,
+    "stream_window_counts" -> ChangeFeedStream.streamWindowCountsSql,
   )
 }

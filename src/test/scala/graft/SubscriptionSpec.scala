@@ -1,0 +1,52 @@
+package graft
+
+import graft.cdc.Subscription
+import org.apache.spark.sql.Row
+
+/** Parser + validation semantics of the subscription DSL
+  * (reference src/api/query.rs:9-85, src/cdc/mod.rs:29-47). */
+class SubscriptionSpec extends SparkSpec {
+
+  private def parsedMap: Map[String, Row] =
+    Subscription.parsed(spark).collect().map(r => r.getString(0) -> r).toMap
+
+  private def validatedMap: Map[String, (Boolean, Boolean)] =
+    Subscription.validated(spark).collect()
+      .map(r => r.getString(0) ->
+        (r.getBoolean(r.fieldIndex("table_known")), r.getBoolean(r.fieldIndex("routable"))))
+      .toMap
+
+  test("wildcard flag parses to all-bits mask") {
+    val r = parsedMap("s1")
+    assert(r.getAs[Long]("flag") === 7L)
+    assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("filter clause splits into col/op/val") {
+    val r = parsedMap("s2")
+    assert(r.getAs[String]("fcol") === "k")
+    assert(r.getAs[String]("fop") === "eq")
+    assert(r.getAs[String]("fval") === "42")
+    assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("unknown change flag invalidates the subscription") {
+    assert(!parsedMap("s5").getAs[Boolean]("valid"))
+  }
+
+  test("unknown table is parse-valid but not routable") {
+    val (known, routable) = validatedMap("s4")
+    assert(!known && !routable)
+    assert(parsedMap("s4").getAs[Boolean]("valid"))
+  }
+
+  test("bad flag on a known table is not routable") {
+    val (known, routable) = validatedMap("s5")
+    assert(known && !routable)
+  }
+
+  test("chunk-table subscription is routable (catalog lists chunks)") {
+    val (known, routable) = validatedMap("s8")
+    assert(known && routable)
+  }
+}
