@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.immutable.ListMap
+
+/** Driver-run benchmark: times every registered query at
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Failures are surfaced
+  * per-query in an "errors" map (a crashing query must not masquerade as a
+  * fast one). A single cheap warmup action runs first so the JVM/codegen
+  * startup cost is not billed to the first query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    try Tables.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    var errors = ListMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors += name -> e.getMessage.take(200).replaceAll("[\"\\n\\r\\t]", " ")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,7 +29,7 @@ object Dedup {
     (0 until NumPerms).map(j => (1103515245L * (j + 17) + 54321L) % P)
 
   private def charHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (h, c) => (h * TextStats.FpPrime + ascii(c)) % P)
+    graft.functions.HashExprs.byteRollHash(s, TextStats.FpPrime, P)
 
   private val norm: Column = lower(trim(col("text")))
 
@@ -52,7 +52,13 @@ object Dedup {
 
   // ---- dedup_minhash (+ n-gram Jaccard verify) ----------------------------
 
-  /** doc_id + distinct bigram-shingle hash set. */
+  /** doc_id + distinct bigram-shingle hash set. Persisted (memory+disk):
+    * the LSH DAG references it three times — band generation and both
+    * sides of the pair→set join — and shingle hashing is the dominant
+    * cost, so recomputing it per branch triples the work. At scale this
+    * is the standard materialize-signatures step of distributed LSH; the
+    * frame is ids + int64 arrays (far smaller than the text) and spills
+    * to disk if needed. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(norm, " ")
     val shingles = transform(sequence(lit(1), size(toks) - 1),
@@ -61,6 +67,7 @@ object Dedup {
       .where(size(split(norm, " ")) >= 2)
       .select(col("doc_id"),
         array_distinct(transform(shingles, s => charHash(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** doc_id + 16 minhash columns m0..m15. */
@@ -88,6 +95,7 @@ object Dedup {
   /** LSH candidate pairs (same key in ≥1 band) + exact shingle-set Jaccard
     * in 1e-4 fixed point. Pairs are formed per bucket, never all-pairs. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
     val b = bands(spark, dir)
     val pairs = b.as("a")
       .join(b.as("b"),
@@ -96,7 +104,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(spark, dir)
     pairs
       .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
       .drop("doc_id")

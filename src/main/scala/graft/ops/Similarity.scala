@@ -33,9 +33,12 @@ object Similarity {
     transform(col("embedding"), x => floor(x * lit(10000.0) + lit(0.5)))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.HashExprs.longDot(a, b)
 
-  /** vec_id, qv (quantized), n2 (squared norm), bucket (hyperplane sig). */
+  /** vec_id, qv (quantized), n2 (squared norm), bucket (hyperplane sig).
+    * Persisted (memory+disk): every similarity query self-joins this frame,
+    * and quantization + 4 signature dot products per row are the dominant
+    * per-vector cost — the materialize-signatures step of distributed ANN. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quant.as("qv"))
@@ -45,6 +48,7 @@ object Similarity {
       when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     base.withColumn("bucket", bucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def cosine(dotC: Column, na2: Column, nb2: Column): Column =

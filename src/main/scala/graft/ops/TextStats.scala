@@ -131,8 +131,7 @@ object TextStats {
   val FpMod = 2147483647L
 
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (h, c) => (h * FpPrime + ascii(c)) % FpMod)
+    graft.functions.HashExprs.byteRollHash(text, FpPrime, FpMod)
 
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
