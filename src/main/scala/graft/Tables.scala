@@ -29,11 +29,23 @@ object Tables {
   private def rd(spark: SparkSession, dir: String, name: String): DataFrame =
     tune(spark).read.parquet(s"$dir/$name.parquet")
 
+  /** Source-parallelism guard for tables that feed heavy per-row compute
+    * (decode, shingle hashing, vector math): the local testdata is one
+    * single-row-group parquet file per table, so the scan yields ONE
+    * partition and everything upstream of the first shuffle runs on one
+    * core. When (and only when) the scan has fewer partitions than cores,
+    * rebalance first — on a production 100 TB table the scan has thousands
+    * of row groups and this is a no-op, so no shuffle is added at scale. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** events: event_id, ts (long, ns since epoch), user_id, event_type,
     * value, props (JSON string). */
-  def events(s: SparkSession, dir: String): DataFrame = rd(s, dir, "events")
-  def documents(s: SparkSession, dir: String): DataFrame = rd(s, dir, "documents")
-  def embeddings(s: SparkSession, dir: String): DataFrame = rd(s, dir, "embeddings")
+  def events(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "events"))
+  def documents(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "embeddings"))
   def lineitem(s: SparkSession, dir: String): DataFrame = rd(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = rd(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = rd(s, dir, "customer")

@@ -92,6 +92,116 @@ case class ByteRollHashExpr(child: Expression, prime: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** All minhash permutations in one pass: for each affine perm j,
+  * min over the input array of (a(j)*x + b(j)) % mod. Returns
+  * array<long> of length a.length. Replaces NumPerms separate
+  * interpreted transform+array_min passes (and their per-perm array
+  * allocations) with a single codegen'd loop. */
+case class MinHashExpr(child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(a.length == b.length)
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_affine"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < a.length) {
+        val h = (a(j) * x + b(j)) % mod
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = a.length
+      val pa = ctx.addReferenceObj("permA", a.toArray, "long[]")
+      val pb = ctx.addReferenceObj("permB", b.toArray, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = ($pa[$j] * $x + $pb[$j]) % ${mod}L;
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused bigram-shingle hashing: from a token array, the distinct rolling
+  * byte hashes of every adjacent pair "tokᵢ tokᵢ₊₁", in first-seen order.
+  * Equivalent to transform(sequence)+concat+roll-hash+array_distinct but
+  * as one eval loop with no intermediate string/array allocation.
+  * CodegenFallback: the expression is invoked once per ROW (5e3..1e9 rows),
+  * so the per-call fallback overhead is noise next to the per-byte work. */
+case class ShingleHashSetExpr(child: Expression, prime: Long, mod: Long)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  private def rollBytes(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) { h = (h * prime + (bytes(i) & 0xff)) % mod; i += 1 }
+    h
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+    val toks = Array.tabulate(n)(i => arr.getUTF8String(i).getBytes)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n - 1) {
+      var h = rollBytes(0L, toks(i))
+      h = (h * prime + 32L) % mod // the ' ' joiner byte
+      h = rollBytes(h, toks(i + 1))
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   def longDot(a: Column, b: Column): Column =
     GraftShim.column(
@@ -100,4 +210,10 @@ object HashExprs {
   def byteRollHash(s: Column, prime: Long, mod: Long): Column =
     GraftShim.column(
       ByteRollHashExpr(GraftShim.expression(s), prime, mod))
+
+  def minHash(sh: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
+    GraftShim.column(MinHashExpr(GraftShim.expression(sh), a, b, mod))
+
+  def shingleHashSet(toks: Column, prime: Long, mod: Long): Column =
+    GraftShim.column(ShingleHashSetExpr(GraftShim.expression(toks), prime, mod))
 }

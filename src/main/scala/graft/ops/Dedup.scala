@@ -59,32 +59,28 @@ object Dedup {
     * is the standard materialize-signatures step of distributed LSH; the
     * frame is ids + int64 arrays (far smaller than the text) and spills
     * to disk if needed. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(norm, " ")
-    val shingles = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .where(size(split(norm, " ")) >= 2)
+      .select(col("doc_id"), split(norm, " ").as("toks"))
+      .where(size(col("toks")) >= 2)
       .select(col("doc_id"),
-        array_distinct(transform(shingles, s => charHash(s))).as("sh"))
+        graft.functions.HashExprs.shingleHashSet(col("toks"), TextStats.FpPrime, P)
+          .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
-  /** doc_id + 16 minhash columns m0..m15. */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
-    val mh = (0 until NumPerms).map { j =>
-      array_min(transform(col("sh"), x => (lit(PermA(j)) * x + lit(PermB(j))) % P))
-        .as(s"m$j")
-    }
-    shingleSets(spark, dir).select(col("doc_id") +: col("sh") +: mh: _*)
-  }
+  /** doc_id + 16-element minhash signature array (one codegen'd pass over
+    * the shingle set instead of 16 interpreted transform+min passes). */
+  private def minhashes(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir).select(col("doc_id"),
+      graft.functions.HashExprs.minHash(col("sh"), PermA, PermB, P).as("mh"))
 
   /** (doc_id, band_id, band_key): 8 bands of 2 minhash rows packed into one
     * int64 key (< P^2 < 2^63). */
   private def bands(spark: SparkSession, dir: String): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
-        (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("band_key"))
+        (element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2))
+          .as("band_key"))
     }
     minhashes(spark, dir)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bnd"))
@@ -162,6 +158,10 @@ object Dedup {
        |JOIN shs sa ON p.doc_a = sa.doc_id
        |JOIN shs sb ON p.doc_b = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Dev probes for stage timing (see graft.Probe). */
+  def shingleSetsProbe(spark: SparkSession, dir: String): DataFrame = shingleSets(spark, dir)
+  def bandsProbe(spark: SparkSession, dir: String): DataFrame = bands(spark, dir)
 
   // ---- dedup_simhash ------------------------------------------------------
 
