@@ -22,13 +22,14 @@ object Forwarder {
     val subs = Subscription.validated(spark).where(col("routable"))
       .select("sub_id", "flag", "tbl", "fcol", "fop", "fval")
       .withColumnRenamed("tbl", "sub_tbl")
+    // Dispatch on the parsed op: '' means no (or malformed) filter, which
+    // the reference treats as "deliver everything" (specific = None).
     val specOk =
-      when(col("fcol") === "", lit(true))
-        .when(col("fop") === "eq",
-          SpecificFilter.eqFilter(col("cmap"), col("fcol"), col("fval")))
+      when(col("fop") === "eq",
+        SpecificFilter.eqFilter(col("cmap"), col("fcol"), col("fval")))
         .when(col("fop") === "in",
           SpecificFilter.inFilter(col("cmap"), col("fcol"), col("fval")))
-        .otherwise(lit(false))
+        .otherwise(lit(true))
     changes
       .join(broadcast(subs),
         col("sub_tbl") === col("base") &&
@@ -79,7 +80,7 @@ object Forwarder {
        |  JOIN validated s ON s.routable AND s.tbl = r.base AND (s.flag & r.kflag) <> 0),
        |fanout AS (
        |  SELECT sub_id, lsn, base, kind, uid_val FROM joined
-       |  WHERE fcol = ''
+       |  WHERE fop NOT IN ('eq', 'in')
        |     OR (fop = 'eq' AND cv = fval)
        |     OR (fop = 'in' AND list_contains(string_split(fval, ','), cv)))""".stripMargin
 

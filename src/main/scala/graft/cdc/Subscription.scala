@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Subscription {
 
-  /** Seed subscriptions, including the reference's error cases: unknown
+  /** Seed subscriptions, including the reference's edge cases: unknown
     * table (s4), bad flag (s5), filter on a column deletes do carry (s6),
-    * filter on a column that never exists (s7), and a direct chunk-table
-    * subscription that the remap makes unroutable (s8). */
+    * filter on a column that never exists (s7), a direct chunk-table
+    * subscription (s8), comma-combined change types (s9, reference
+    * query.rs:16-18 ORs each token's flag), a malformed filter op (s10 —
+    * reference query.rs:55-73 yields specific=None, the subscription
+    * stays live UNFILTERED), and a filter value containing dots (s11 —
+    * splitn(3,'.') keeps the remainder intact). */
   val SubsSeed: Seq[(String, String)] = Seq(
     "s1" -> "*:cpustats",
     "s2" -> "insert:memstats:k.eq.42",
@@ -27,7 +31,10 @@ object Subscription {
     "s5" -> "bogus:cpustats",
     "s6" -> "delete:cpustats:event_id.eq.17",
     "s7" -> "insert:cpustats:missing_col.eq.5",
-    "s8" -> "*:_hyper_1_3_chunk")
+    "s8" -> "*:_hyper_1_3_chunk",
+    "s9" -> "insert,delete,bogus:cpustats",
+    "s10" -> "update:memstats:k.gt.5",
+    "s11" -> "insert:swapstats:k.in.1.5,2.5")
 
   /** Detected table list (reference src/cdc/mod.rs:29-47): chunk names are
     * present in the live catalog alongside base hypertables. */
@@ -48,24 +55,32 @@ object Subscription {
     SubsSeed.toDF("sub_id", "q")
   }
 
-  /** Parse the DSL. Split-based, like the reference's `split(':')` /
-    * `split('.')` walk (src/api/query.rs:22-62); `split_part` returns ''
-    * out of range, so missing parts degrade exactly like the reference's
-    * `None` branches. */
+  /** Regex splitting the optional filter clause `col.op.rest`: the op must
+    * be eq/in and the value keeps any further dots (the reference's
+    * `splitn(3, '.')`, query.rs:54-73). No match ⇒ all groups '' ⇒ no
+    * filter — the subscription stays live unfiltered, exactly like the
+    * reference's `specific = None` fallthrough. */
+  val FilterRe = "^([^.]*)\\.(eq|in)\\.(.*)$"
+
+  /** Parse the DSL. The change-type part is a comma list whose per-token
+    * flags OR together, unknown tokens contributing nothing (reference
+    * query.rs:16-18, ws_utils.rs:38-57); a subscription is parse-valid iff
+    * the combined flag is non-zero (query.rs:27-31). Bit values are
+    * insert=1, update=2, delete=4 (the reference's 1<<1,1<<2,1<<3 shifted
+    * down — only equality/OR tests ever touch them). */
   def parsed(spark: SparkSession): DataFrame =
     subs(spark).select(
       col("sub_id"), col("q"),
       expr("split_part(q, ':', 1)").as("flag_str"),
       expr("split_part(q, ':', 2)").as("tbl"),
-      expr("split_part(split_part(q, ':', 3), '.', 1)").as("fcol"),
-      expr("split_part(split_part(q, ':', 3), '.', 2)").as("fop"),
-      expr("split_part(split_part(q, ':', 3), '.', 3)").as("fval"))
+      regexp_extract(expr("split_part(q, ':', 3)"), FilterRe, 1).as("fcol"),
+      regexp_extract(expr("split_part(q, ':', 3)"), FilterRe, 2).as("fop"),
+      regexp_extract(expr("split_part(q, ':', 3)"), FilterRe, 3).as("fval"))
       .withColumn("flag", expr(
-        """CASE flag_str WHEN '*' THEN 7 WHEN 'insert' THEN 1
-          |  WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END""".stripMargin))
-      .withColumn("valid", expr(
-        """flag > 0 AND tbl <> '' AND
-          |  (fcol = '' OR (fop IN ('eq','in') AND fval <> ''))""".stripMargin))
+        """aggregate(split(flag_str, ','), 0, (f, t) -> f |
+          |  CASE t WHEN '*' THEN 7 WHEN 'insert' THEN 1
+          |    WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END)""".stripMargin))
+      .withColumn("valid", expr("flag > 0"))
 
   /** Parsed subs × catalog validation; routable = parse-valid AND known. */
   def validated(spark: SparkSession): DataFrame = {
@@ -122,15 +137,16 @@ object Subscription {
        |  SELECT sub_id, q,
        |         split_part(q, ':', 1) AS flag_str,
        |         split_part(q, ':', 2) AS tbl,
-       |         split_part(split_part(q, ':', 3), '.', 1) AS fcol,
-       |         split_part(split_part(q, ':', 3), '.', 2) AS fop,
-       |         split_part(split_part(q, ':', 3), '.', 3) AS fval,
-       |         CASE split_part(q, ':', 1) WHEN '*' THEN 7 WHEN 'insert' THEN 1
-       |              WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END AS flag
+       |         regexp_extract(split_part(q, ':', 3), '$FilterRe', 1) AS fcol,
+       |         regexp_extract(split_part(q, ':', 3), '$FilterRe', 2) AS fop,
+       |         regexp_extract(split_part(q, ':', 3), '$FilterRe', 3) AS fval,
+       |         list_reduce(list_prepend(0, list_transform(string_split(split_part(q, ':', 1), ','),
+       |           t -> CASE t WHEN '*' THEN 7 WHEN 'insert' THEN 1
+       |                WHEN 'update' THEN 2 WHEN 'delete' THEN 4 ELSE 0 END)),
+       |           (f, x) -> f | x) AS flag
        |  FROM subs),
        |parsed2 AS (
-       |  SELECT *, flag > 0 AND tbl <> '' AND
-       |         (fcol = '' OR (fop IN ('eq','in') AND fval <> '')) AS valid
+       |  SELECT *, flag > 0 AS valid
        |  FROM parsed),
        |cat(cat_tbl) AS (VALUES ${Catalog.map(t => s"('$t')").mkString(", ")}),
        |validated AS (

@@ -16,10 +16,31 @@ class SubscriptionSpec extends SparkSpec {
         (r.getBoolean(r.fieldIndex("table_known")), r.getBoolean(r.fieldIndex("routable"))))
       .toMap
 
+  private def flagOf(r: Row): Int = r.getAs[Number]("flag").intValue
+
   test("wildcard flag parses to all-bits mask") {
     val r = parsedMap("s1")
-    assert(r.getAs[Long]("flag") === 7L)
+    assert(flagOf(r) === 7)
     assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("comma-combined change types OR their flags, unknown tokens ignored") {
+    val r = parsedMap("s9") // insert,delete,bogus
+    assert(flagOf(r) === 5)
+    assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("malformed filter op leaves the subscription live and unfiltered") {
+    val r = parsedMap("s10") // k.gt.5 — gt is not a known op
+    assert(r.getAs[String]("fop") === "")
+    assert(r.getAs[String]("fcol") === "")
+    assert(r.getAs[Boolean]("valid"))
+  }
+
+  test("filter value keeps dots past the op separator") {
+    val r = parsedMap("s11") // k.in.1.5,2.5
+    assert(r.getAs[String]("fop") === "in")
+    assert(r.getAs[String]("fval") === "1.5,2.5")
   }
 
   test("filter clause splits into col/op/val") {
