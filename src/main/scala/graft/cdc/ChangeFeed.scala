@@ -48,9 +48,17 @@ object ChangeFeed {
       |  ELSE 'swapstats' END""".stripMargin)
 
   /** Raw replication messages: (lsn, payload) with payload a wal2json JSON
-    * string. event_id stands in for the WAL LSN (monotone, unique). */
-  def messages(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    * string. event_id stands in for the WAL LSN (monotone, unique).
+    * Takes ANY events frame — batch or streaming — so the whole decode /
+    * route / fan-out chain applies unchanged to a Structured Streaming
+    * source (see ForwarderStreamSpec).
+    *
+    * Note on value typing: real wal2json emits typed JSON values and the
+    * reference's specific filter matches only string-typed ones
+    * (src/utils/specific_filter.rs:37-46 `as_str`); this feed serializes
+    * every value as a string, so the string-match path is the active one
+    * on both sides. */
+  def messagesFrom(ev: DataFrame): DataFrame = {
     val isDel = kindCol === "delete"
     val k = regexp_extract(col("props"), "[0-9]+", 0)
     val valueCents = expr("cast(round(value * 100) as bigint)")
@@ -69,22 +77,31 @@ object ChangeFeed {
         .as("payload"))
   }
 
+  def messages(spark: SparkSession, dir: String): DataFrame =
+    messagesFrom(Tables.events(spark, dir))
+
   /** Decoded change records: one row per element of each document's
     * `change` array (reference src/forwarder/mod.rs:97-126). */
-  def decoded(spark: SparkSession, dir: String): DataFrame =
-    messages(spark, dir)
+  def decodedFrom(ev: DataFrame): DataFrame =
+    messagesFrom(ev)
       .select(col("lsn"), from_json(col("payload"), ChangeSchema).as("doc"))
       .select(col("lsn"), explode(col("doc.change")).as("c"))
       .select(col("lsn"), col("c.kind").as("kind"), col("c.table").as("tbl"),
         col("c.columnnames").as("columnnames"),
         col("c.columnvalues").as("columnvalues"))
 
+  def decoded(spark: SparkSession, dir: String): DataFrame =
+    decodedFrom(Tables.events(spark, dir))
+
   /** Decoded records + the name→value map the specific filters probe
     * (reference src/utils/specific_filter.rs:21-50 walks columnnames to
     * find the index; here it is one Catalyst `map_from_arrays`). */
-  def decodedWithMap(spark: SparkSession, dir: String): DataFrame =
-    decoded(spark, dir)
+  def decodedWithMapFrom(ev: DataFrame): DataFrame =
+    decodedFrom(ev)
       .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
+
+  def decodedWithMap(spark: SparkSession, dir: String): DataFrame =
+    decodedWithMapFrom(Tables.events(spark, dir))
 
   /** insert=1, update=2, delete=4 — reference src/api/ws_utils.rs:10-12. */
   val kindFlag: Column =

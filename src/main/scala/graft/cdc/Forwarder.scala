@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Forwarder {
 
-  /** Routed + filtered deliveries: (sub_id, lsn, base, kind, uid_val). */
-  def fanout(spark: SparkSession, dir: String): DataFrame = {
-    val changes = HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+  /** Routed + filtered deliveries: (sub_id, lsn, base, kind, uid_val).
+    * Pure frame transform — the same chain runs over the batch events
+    * table and a Structured Streaming source (ForwarderStreamSpec). */
+  def fanoutFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
+    val changes = HyperRemap.remap(spark, ChangeFeed.decodedWithMapFrom(ev))
       .withColumn("kflag", ChangeFeed.kindFlag)
     val subs = Subscription.validated(spark).where(col("routable"))
       .select("sub_id", "flag", "tbl", "fcol", "fop", "fval")
@@ -38,6 +40,9 @@ object Forwarder {
       .select(col("sub_id"), col("lsn"), col("base"), col("kind"),
         try_element_at(col("cmap"), lit("user_id")).as("uid_val"))
   }
+
+  def fanout(spark: SparkSession, dir: String): DataFrame =
+    fanoutFrom(spark, graft.Tables.events(spark, dir))
 
   // ---- queries ------------------------------------------------------------
 
