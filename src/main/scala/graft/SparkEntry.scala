@@ -38,6 +38,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ann_topk" -> (Similarity.annTopk _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "embed_cosine_dup" -> (Similarity.embedCosineDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "stream_window_counts" -> (ChangeFeedStream.streamWindowCounts _),
@@ -69,6 +70,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
+    "ann_ivf" -> Similarity.annIvfSql,
     "embed_cosine_dup" -> Similarity.embedCosineDupSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "stream_window_counts" -> ChangeFeedStream.streamWindowCountsSql,

@@ -115,6 +115,49 @@ object Similarity {
       .orderBy("aid", "bid")
   }
 
+  // ---- ann_ivf: inverted-file index with nprobe cell search ---------------
+
+  /** IVF parameters: 8 seed centroids (the first 8 vectors — a
+    * deterministic stand-in for trained k-means centroids), queries probe
+    * their 2 nearest cells. The scale story: cells partition the
+    * candidate set, a query scans only nprobe cells instead of the full
+    * index, and the seed table is a broadcast — the fact side shuffles
+    * once on cell id. */
+  val NumCells = 8
+  val NProbe = 2
+
+  private def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val seeds = v.where(col("vec_id") < NumCells)
+      .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
+    v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val assign = cellAssignments(spark, dir)
+    val cells = assign.where(col("rnk") === 1)
+      .select(col("avid").as("cid"), col("seed_id").as("cell"))
+      .join(v, col("cid") === col("vec_id"))
+      .select(col("cid"), col("cell"), col("qv").as("cv"), col("n2").as("cn2"))
+    val probes = assign.where(col("avid") < NumQueries && col("rnk") <= NProbe)
+      .select(col("avid").as("qid"), col("seed_id").as("pcell"))
+    val q = vectors(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qvid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    probes.join(q, col("qid") === col("qvid"))
+      .join(cells, col("pcell") === col("cell") && col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(dot(col("qqv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("cid"), col("cell"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   /** Shared CTE: quantized vectors + norms + hyperplane bucket. */
@@ -169,6 +212,39 @@ object Similarity {
        |SELECT aid, rnk, bid, bucket, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rnk <= $LshK
        |ORDER BY aid, rnk""".stripMargin
+
+  val annIvfSql: String =
+    s"""WITH $VecCte,
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, qv AS sv, n2 AS sn2 FROM vecs WHERE vec_id < $NumCells),
+       |assign AS (
+       |  SELECT a.vec_id AS avid, s.seed_id,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * s.sv[i]), (x, y) -> x + y) AS DOUBLE)
+       |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(s.sn2 AS DOUBLE))) DESC,
+       |           s.seed_id) AS rnk
+       |  FROM vecs a CROSS JOIN seeds s),
+       |cells AS (
+       |  SELECT v.vec_id AS cid, a.seed_id AS cell, v.qv AS cv, v.n2 AS cn2
+       |  FROM assign a JOIN vecs v ON a.avid = v.vec_id
+       |  WHERE a.rnk = 1),
+       |probes AS (
+       |  SELECT avid AS qid, seed_id AS pcell FROM assign
+       |  WHERE avid < $NumQueries AND rnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.qid, c.cid, c.cell,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> q.qv[i] * c.cv[i]), (x, y) -> x + y) AS DOUBLE)
+       |           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos
+       |  FROM probes p
+       |  JOIN vecs q ON p.qid = q.vec_id
+       |  JOIN cells c ON p.pcell = c.cell AND c.cid <> p.qid),
+       |ranked AS (
+       |  SELECT qid, cid, cell, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, cid, cell, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
 
   val embedCosineDupSql: String =
     s"""WITH $VecCte

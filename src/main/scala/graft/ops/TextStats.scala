@@ -35,6 +35,10 @@ object TextStats {
 
   // ---- text_stats ---------------------------------------------------------
 
+  /** BPE-ish subword segmentation: alpha runs, digit runs, and single
+    * other non-space chars — the usual pre-tokenizer regex shape. */
+  val SubtokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(toks)
     val nPunct = length(col("text")) - length(translate(col("text"), ".,!?;:", ""))
@@ -44,6 +48,8 @@ object TextStats {
       .select(col("doc_id"),
         length(col("text")).as("n_chars_txt"),
         nTok.cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(SubtokRe), lit(0)))
+          .cast("long").as("n_subtokens"),
         nStop.cast("long").as("n_stop"),
         nPunct.cast("long").as("n_punct"),
         nDigit.cast("long").as("n_digit"),
@@ -62,12 +68,14 @@ object TextStats {
        |  SELECT doc_id, text,
        |         length(text) AS n_chars_txt,
        |         len(string_split(text, ' ')) AS n_tokens,
+       |         len(regexp_extract_all(lower(text), '$SubtokRe')) AS n_subtokens,
        |         len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS n_stop,
        |         length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
        |         length(text) - length(translate(text, '0123456789', '')) AS n_digit
        |  FROM documents)
        |SELECT doc_id, n_chars_txt,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_subtokens AS BIGINT) AS n_subtokens,
        |  CAST(n_stop AS BIGINT) AS n_stop,
        |  CAST(n_punct AS BIGINT) AS n_punct,
        |  CAST(n_digit AS BIGINT) AS n_digit,
