@@ -34,7 +34,9 @@ object Subscription {
     "s8" -> "*:_hyper_1_3_chunk",
     "s9" -> "insert,delete,bogus:cpustats",
     "s10" -> "update:memstats:k.gt.5",
-    "s11" -> "insert:swapstats:k.in.1.5,2.5")
+    "s11" -> "insert:swapstats:k.in.1.5,2.5",
+    "s12" -> "insert:cpustats:user_id.eq.7",
+    "s13" -> "insert:cpustats:user_id.eq.9")
 
   /** Detected table list (reference src/cdc/mod.rs:29-47): chunk names are
     * present in the live catalog alongside base hypertables. */
@@ -45,10 +47,15 @@ object Subscription {
     * (reference src/api/auth.rs:126-143). */
   val Admins: Seq[String] = Seq("s1")
 
-  /** Row ownership: (sub_id, owned user_id) — the analogue of the
-    * reference's host_uuid ownership check (src/api/auth.rs:144-180). */
+  /** Ownership: (sub_id, owned user_id value) — the analogue of the
+    * reference's ApiKey owner↔host check (src/api/auth.rs:144-171).
+    * s12 owns uid 7; s13 owns nothing. */
   val Owners: Seq[(String, Long)] =
-    Seq("s2" -> 3L, "s2" -> 7L, "s3" -> 1L, "s3" -> 2L, "s6" -> 4L, "s8" -> 1L)
+    Seq("s2" -> 3L, "s2" -> 7L, "s3" -> 1L, "s3" -> 2L, "s12" -> 7L)
+
+  /** Columns a non-admin may restrict on (src/api/auth.rs:136,176-182
+    * host_uuid/uuid/customer_id/key — user_id is this feed's analogue). */
+  val OwnershipCols: Seq[String] = Seq("user_id")
 
   def subs(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -105,21 +112,34 @@ object Subscription {
       .select("sub_id", "tbl", "table_known", "routable")
       .orderBy("sub_id")
 
-  /** Auth restriction over the fan-out result: admins receive everything;
-    * non-admins only rows whose user_id value is in their owned set.
-    * Deletes carry no user_id column, so non-admins never see them —
-    * the missing-column rule again (reference src/api/auth.rs:126-180). */
-  def authRestrict(spark: SparkSession, dir: String): DataFrame = {
+  /** Subscriptions that pass the connect-time auth gate (reference
+    * src/api/ws_handler.rs:47-57 + src/api/auth.rs:126-224): admins
+    * bypass; a non-admin is accepted only when their subscription carries
+    * an `eq` filter (an `in` filter is an Array value → InvalidRequest,
+    * auth.rs:129-134) on an ownership column, whose value they own. */
+  def authAllowed(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val fan = Forwarder.fanout(spark, dir) // sub_id, lsn, base, kind, uid_val
     val owners = Owners.toDF("o_sub_id", "o_user_id")
       .select(col("o_sub_id"), col("o_user_id").cast("string").as("o_uid"))
     val admins = Admins.toDF("a_sub_id")
-    fan
+    validated(spark).where(col("routable"))
       .join(broadcast(admins), col("sub_id") === col("a_sub_id"), "left")
       .join(broadcast(owners),
-        col("sub_id") === col("o_sub_id") && col("uid_val") === col("o_uid"), "left")
-      .where(col("a_sub_id").isNotNull || col("o_sub_id").isNotNull)
+        col("sub_id") === col("o_sub_id") && col("fval") === col("o_uid"), "left")
+      .where(col("a_sub_id").isNotNull ||
+        (col("fop") === "eq" &&
+          col("fcol").isin(OwnershipCols.map(_.asInstanceOf[Any]): _*) &&
+          col("o_sub_id").isNotNull))
+      .select("sub_id")
+  }
+
+  /** Fan-out restricted to auth-accepted subscriptions. Row-level
+    * restriction then follows from the subscription's own eq filter —
+    * exactly the reference's model, where the gate runs once per connect
+    * and the specific filter does the per-message work. */
+  def authRestrict(spark: SparkSession, dir: String): DataFrame = {
+    val fan = Forwarder.fanout(spark, dir) // sub_id, lsn, base, kind, uid_val
+    fan.join(broadcast(authAllowed(spark)), Seq("sub_id"))
       .select("sub_id", "lsn", "base", "kind")
       .orderBy("sub_id", "lsn")
   }
@@ -174,15 +194,21 @@ object Subscription {
 
   /** def, not val: Forwarder.FanoutCtes itself refers back into this
     * object, so a val would capture a half-initialized (null) CTE. */
-  def authRestrictSql: String =
+  def authRestrictSql: String = {
+    val ownCols = OwnershipCols.map(c => s"'$c'").mkString(", ")
     s"""WITH ${Forwarder.FanoutCtes},
        |$OwnersCte,
-       |$AdminsCte
+       |$AdminsCte,
+       |allowed AS (
+       |  SELECT v.sub_id
+       |  FROM validated v
+       |  LEFT JOIN admins a ON v.sub_id = a.a_sub_id
+       |  LEFT JOIN owners o ON v.sub_id = o.o_sub_id
+       |    AND v.fval = CAST(o.o_user_id AS VARCHAR)
+       |  WHERE v.routable AND (a.a_sub_id IS NOT NULL
+       |     OR (v.fop = 'eq' AND v.fcol IN ($ownCols) AND o.o_sub_id IS NOT NULL)))
        |SELECT f.sub_id, f.lsn, f.base, f.kind
-       |FROM fanout f
-       |LEFT JOIN admins a ON f.sub_id = a.a_sub_id
-       |LEFT JOIN owners o ON f.sub_id = o.o_sub_id
-       |  AND f.uid_val = CAST(o.o_user_id AS VARCHAR)
-       |WHERE a.a_sub_id IS NOT NULL OR o.o_sub_id IS NOT NULL
+       |FROM fanout f JOIN allowed w ON f.sub_id = w.sub_id
        |ORDER BY f.sub_id, f.lsn""".stripMargin
+  }
 }
