@@ -90,8 +90,15 @@ object ChangeFeed {
         col("c.columnnames").as("columnnames"),
         col("c.columnvalues").as("columnvalues"))
 
+  /** Batch decode is persisted (memory+disk): the reference decodes each
+    * message ONCE and fans it to every consumer (src/forwarder/mod.rs:82-96
+    * runs ahead of the per-session loop); here the decoded feed is likewise
+    * materialized once per session and shared by all CDC queries instead of
+    * re-running the JSON decode per query. The streaming path
+    * (decodedFrom over a stream) is unaffected. */
   def decoded(spark: SparkSession, dir: String): DataFrame =
     decodedFrom(Tables.events(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Decoded records + the name→value map the specific filters probe
     * (reference src/utils/specific_filter.rs:21-50 walks columnnames to
