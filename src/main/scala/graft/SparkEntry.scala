@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
 import graft.relational.Queries
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextStats}
 import graft.streaming.ChangeFeedStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -42,6 +42,9 @@ object SparkEntry {
     "embed_cosine_dup" -> (Similarity.embedCosineDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "stream_window_counts" -> (ChangeFeedStream.streamWindowCounts _),
+    "quality_filter" -> (Pipeline.qualityFilter _),
+    "sample_stratified" -> (Pipeline.sampleStratified _),
+    "pack_sequences" -> (Pipeline.packSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +77,8 @@ object SparkEntry {
     "embed_cosine_dup" -> Similarity.embedCosineDupSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "stream_window_counts" -> ChangeFeedStream.streamWindowCountsSql,
+    "quality_filter" -> Pipeline.qualityFilterSql,
+    "sample_stratified" -> Pipeline.sampleStratifiedSql,
+    "pack_sequences" -> Pipeline.packSequencesSql,
   )
 }

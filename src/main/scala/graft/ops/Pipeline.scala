@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline utilities over the documents table: threshold
+  * quality filtering, deterministic stratified sampling, and greedy
+  * sequence packing (SURVEY.md §2 rows 30-32).
+  *
+  * All three are single-pass plans: the filter is a narrow projection,
+  * sampling is a stateless hash test (no shuffle at all), and packing is
+  * one window partitioned by the stratum key — each scales linearly and
+  * partitions cleanly at 100 TB.
+  */
+object Pipeline {
+
+  // ---- quality_filter -----------------------------------------------------
+
+  /** Keep documents inside the quality envelope: token count in range and
+    * enough stopword signal. Thresholds chosen to split the corpus, not
+    * pass it through. */
+  val MinTokens = 30
+  val MaxTokens = 90
+  val MinStopE4 = 500L
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"),
+        when(nTok === 0, 0L)
+          .otherwise(floor(lit(10000.0) * nStop / nTok).cast("long"))
+          .as("stop_ratio_e4"))
+      .where(col("n_tokens").between(MinTokens, MaxTokens) &&
+        col("stop_ratio_e4") >= MinStopE4)
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '),
+       |             t -> t IN ('the','a','of','and','is'))) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |       CASE WHEN n_tokens = 0 THEN 0
+       |            ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END AS stop_ratio_e4
+       |FROM t
+       |WHERE n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |  AND (CASE WHEN n_tokens = 0 THEN 0
+       |            ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END) >= $MinStopE4
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- sample_stratified --------------------------------------------------
+
+  /** Deterministic per-stratum sampling: a multiplicative hash of doc_id
+    * lands in [0,100); a document is kept when its bucket is under the
+    * stratum's rate (en 50%, everything else 20%). Stateless — no
+    * shuffle, reproducible across runs and engines. */
+  val HashMult = 2654435761L
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") * HashMult % 100).as("bucket"))
+      .withColumn("rate", when(col("lang") === "en", 50L).otherwise(20L))
+      .where(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, (doc_id * $HashMult) % 100 AS bucket
+       |FROM documents
+       |WHERE (doc_id * $HashMult) % 100 <
+       |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- pack_sequences -----------------------------------------------------
+
+  /** Greedy sequence packing: within each language stratum, documents in
+    * doc_id order accumulate token counts; a document starts in the bin
+    * its running prefix falls into (bins of ContextTokens). One window
+    * per stratum — the packing a context-window batcher does before
+    * tokenized training shards are written. */
+  val ContextTokens = 512L
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / ContextTokens)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, cum_tokens,
+       |       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / $ContextTokens) AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+}
