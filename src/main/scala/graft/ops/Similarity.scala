@@ -135,6 +135,10 @@ object Similarity {
       .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
+      .select("avid", "seed_id", "rnk")
+      // referenced by both the cells and the probes branch — materialize
+      // the k×NumCells assignment once (one small row per vector×seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {

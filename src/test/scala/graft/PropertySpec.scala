@@ -1,0 +1,81 @@
+package graft
+
+import graft.cdc.SpecificFilter
+import graft.functions.HashExprs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based pins (native ScalaCheck): Spark-side operator semantics
+  * must agree with straight-line Scala model implementations on arbitrary
+  * inputs. */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-props")
+    .getOrCreate()
+
+  private val P = 2147483647L
+
+  private val token: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("eqFilter agrees with map-lookup model") = {
+    val rowGen: Gen[(Map[String, String], String, String)] = for {
+      keys <- Gen.listOf(token)
+      vals <- Gen.listOfN(keys.length, token)
+      probe <- Gen.oneOf(Gen.oneOf("zzz" :: keys), token)
+      target <- token
+    } yield (keys.zip(vals).toMap, probe, target)
+
+    Prop.forAll(Gen.listOfN(10, rowGen)) { cases =>
+      val s = spark
+      import s.implicits._
+      val df = cases.zipWithIndex
+        .map { case ((m, p, t), i) => (i, m, p, t) }
+        .toDF("id", "cmap", "probe", "target")
+      val got = df.where(SpecificFilter.eqFilter(col("cmap"), col("probe"), col("target")))
+        .select("id").collect().map(_.getInt(0)).toSet
+      val want = cases.zipWithIndex.collect {
+        case ((m, p, t), i) if m.get(p).contains(t) => i
+      }.toSet
+      got == want
+    }
+  }
+
+  property("byteRollHash agrees with char fold on ASCII") = {
+    val ascii: Gen[String] =
+      Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    Prop.forAll(Gen.nonEmptyListOf(ascii)) { texts =>
+      val s = spark
+      import s.implicits._
+      val got = texts.toDF("t")
+        .select(HashExprs.byteRollHash(col("t"), 1000003L, P))
+        .collect().map(_.getLong(0)).toSeq
+      val want = texts.map(_.foldLeft(0L)((h, c) => (h * 1000003L + c.toLong) % P))
+      got == want
+    }
+  }
+
+  property("minhash is order-invariant and monotone under union") = {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
+    Prop.forAll(setGen, setGen, Gen.long) { (a, b, seed) =>
+      val s = spark
+      import s.implicits._
+      val shuffled = new scala.util.Random(seed).shuffle(a)
+      val df = Seq(
+        ("orig", a.toArray),
+        ("shuffled", shuffled.toArray),
+        ("union", (a ++ b).toArray)
+      ).toDF("k", "sh")
+        .select(col("k"),
+          HashExprs.minHash(col("sh"), graft.ops.Dedup.PermA, graft.ops.Dedup.PermB, P).as("m"))
+      val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      m("shuffled") == m("orig") &&
+        m("union").zip(m("orig")).forall { case (u, o) => u <= o }
+    }
+  }
+}
