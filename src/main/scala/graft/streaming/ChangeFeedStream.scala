@@ -63,6 +63,52 @@ object ChangeFeedStream {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .count()
 
+  // ---- stateful sessionization -------------------------------------------
+
+  case class SessEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessState(start_us: Long, end_us: Long, n_events: Long,
+    first_event_id: Long, session_seq: Long)
+  case class SessClosed(user_id: Long, session_seq: Long, n_events: Long,
+    start_us: Long, end_us: Long, first_event_id: Long)
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Streaming gap-sessionizer: custom per-user state via
+    * flatMapGroupsWithState — the Spark-native form of the reference's
+    * per-client session lifetime. Each batch folds that user's new events
+    * in time order into the open session, emitting a session whenever a
+    * gap closes it; the still-open session rides in the group state (and
+    * the checkpoint) across batches and restarts. */
+  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[SessClosed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "ts div 1000 as ts_us", "event_id")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[SessClosed]
+          sorted.foreach { e =>
+            if (cur == null) {
+              cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, 1L)
+            } else if (e.ts_us - cur.end_us > SessionGapUs) {
+              closed += SessClosed(uid, cur.session_seq, cur.n_events,
+                cur.start_us, cur.end_us, cur.first_event_id)
+              cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, cur.session_seq + 1)
+            } else {
+              cur = cur.copy(end_us = e.ts_us, n_events = cur.n_events + 1,
+                first_event_id = math.min(cur.first_event_id, e.event_id))
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+
   /** Checkpointed writer: complete-mode in-memory sink, AvailableNow (drain
     * everything present, then stop) — window/count state and file offsets
     * both live in the checkpoint, so a restart resumes instead of
