@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "decontaminate" -> (Dedup.decontaminate _),
     "ann_topk" -> (Similarity.annTopk _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "decontaminate" -> Dedup.decontaminateSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

@@ -163,6 +163,56 @@ object Dedup {
   def shingleSetsProbe(spark: SparkSession, dir: String): DataFrame = shingleSets(spark, dir)
   def bandsProbe(spark: SparkSession, dir: String): DataFrame = bands(spark, dir)
 
+  // ---- decontaminate ------------------------------------------------------
+
+  /** Eval-set decontamination: training documents sharing ≥ MinShared
+    * bigram shingles with any document of the held-out set (source
+    * 'src0' stands in for the benchmark corpus). The join key is the
+    * shingle hash — the canonical decontamination shuffle — after
+    * dropping shingles common to more than MaxShingleDf training docs
+    * (hot n-grams carry no contamination signal and would dominate the
+    * shuffle at 100 TB). */
+  val EvalSource = "src0"
+  val MinShared = 5L
+  val MaxShingleDf = 100L
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+    val exploded = sets.select(col("doc_id"), col("source"),
+      explode(col("sh")).as("h"))
+    val hot = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf).select("h")
+    val cool = exploded.join(hot, Seq("h"), "left_anti")
+    val eval_ = cool.where(col("source") === EvalSource)
+      .select(col("h"), col("doc_id").as("eval_doc"))
+    val train = cool.where(col("source") =!= EvalSource)
+      .select(col("h"), col("doc_id").as("train_doc"))
+    train.join(eval_, Seq("h"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $ShSqlCte,
+       |exploded AS (
+       |  SELECT s.doc_id, d.source, unnest(s.sh) AS h
+       |  FROM shs s JOIN documents d ON s.doc_id = d.doc_id),
+       |hot AS (
+       |  SELECT h FROM exploded GROUP BY h HAVING count(*) > $MaxShingleDf),
+       |cool AS (
+       |  SELECT e.* FROM exploded e LEFT JOIN hot ON e.h = hot.h
+       |  WHERE hot.h IS NULL)
+       |SELECT t.doc_id AS train_doc, v.doc_id AS eval_doc,
+       |       count(*) AS n_shared
+       |FROM cool t JOIN cool v ON t.h = v.h
+       |WHERE t.source <> '$EvalSource' AND v.source = '$EvalSource'
+       |GROUP BY train_doc, eval_doc
+       |HAVING count(*) >= $MinShared
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
   // ---- dedup_simhash ------------------------------------------------------
 
   /** 32-bit SimHash over the token-hash multiset: bit i set when strictly
