@@ -60,6 +60,29 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("fused shingle hashing equals the compositional form") = {
+    val doc: Gen[String] = Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).flatMap(m =>
+        Gen.listOfN(m, Gen.alphaLowerChar).map(_.mkString))).map(_.mkString(" ")))
+    Prop.forAll(Gen.nonEmptyListOf(doc)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.toDF("text")
+        .select(split(col("text"), " ").as("toks"))
+      val fused = df
+        .select(HashExprs.shingleHashSet(col("toks"), 1000003L, P))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val compositional = df.select(
+        array_distinct(transform(
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))),
+          sh => HashExprs.byteRollHash(sh, 1000003L, P))))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      fused == compositional
+    }
+  }
+
   property("minhash is order-invariant and monotone under union") = {
     val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
     Prop.forAll(setGen, setGen, Gen.long) { (a, b, seed) =>
