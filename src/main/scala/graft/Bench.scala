@@ -27,12 +27,13 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
-        errors += name -> e.getMessage.take(200).replaceAll("[\"\\n\\r\\t]", " ")
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}".take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${JsonUtil.q(k)}:${JsonUtil.q(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -36,7 +36,10 @@ object Subscription {
     "s10" -> "update:memstats:k.gt.5",
     "s11" -> "insert:swapstats:k.in.1.5,2.5",
     "s12" -> "insert:cpustats:user_id.eq.7",
-    "s13" -> "insert:cpustats:user_id.eq.9")
+    "s13" -> "insert:cpustats:user_id.eq.9",
+    // s14 pins colon truncation: the reference's plain split(':') hands the
+    // third next() only the third segment, so the value is "a", ":b" dropped
+    "s14" -> "insert:cpustats:k.eq.a:b")
 
   /** Detected table list (reference src/cdc/mod.rs:29-47): chunk names are
     * present in the live catalog alongside base hypertables. */

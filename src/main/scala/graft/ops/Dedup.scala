@@ -18,7 +18,9 @@ import graft.Tables
   */
 object Dedup {
 
-  val P: Long = 2147483647L // 2^31 - 1
+  /** One modulus shared with the fingerprint/checksum hash math — see
+    * TextStats.FpMod; a lone edit here would desynchronize the engines. */
+  val P: Long = TextStats.FpMod
   val NumPerms = 16
   val NumBands = 8 // 2 rows per band
 

@@ -25,7 +25,7 @@ object Multimodal {
   case class MmOut(doc_id: Long, media_type: String, n_bytes: Long,
     checksum: Long, feat: Long)
 
-  val P: Long = 2147483647L
+  val P: Long = TextStats.FpMod
 
   /** Deterministic fake decode: rolling polynomial hash of the payload
     * bytes (stands in for a real pixel/sample decode; same recurrence as

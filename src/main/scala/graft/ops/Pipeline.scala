@@ -26,25 +26,23 @@ object Pipeline {
   val MinStopE4 = 500L
 
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
+    val nTok = size(split(col("text"), " "))
+    val nStop = TextStats.hits(TextStats.Stopwords("en"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"),
-        when(nTok === 0, 0L)
-          .otherwise(floor(lit(10000.0) * nStop / nTok).cast("long"))
-          .as("stop_ratio_e4"))
+        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
       .where(col("n_tokens").between(MinTokens, MaxTokens) &&
         col("stop_ratio_e4") >= MinStopE4)
       .orderBy("doc_id")
   }
 
-  val qualityFilterSql: String =
+  val qualityFilterSql: String = {
+    val stops = TextStats.Stopwords("en").map(s => s"'$s'").mkString(",")
     s"""WITH t AS (
        |  SELECT doc_id, lang,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |         len(list_filter(string_split(text, ' '),
-       |             t -> t IN ('the','a','of','and','is'))) AS n_stop
+       |             t -> t IN ($stops))) AS n_stop
        |  FROM documents)
        |SELECT doc_id, lang, n_tokens,
        |       CASE WHEN n_tokens = 0 THEN 0
@@ -54,28 +52,33 @@ object Pipeline {
        |  AND (CASE WHEN n_tokens = 0 THEN 0
        |            ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END) >= $MinStopE4
        |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- sample_stratified --------------------------------------------------
 
   /** Deterministic per-stratum sampling: a multiplicative hash of doc_id
     * lands in [0,100); a document is kept when its bucket is under the
     * stratum's rate (en 50%, everything else 20%). Stateless — no
-    * shuffle, reproducible across runs and engines. */
+    * shuffle, reproducible across runs and engines. doc_id is reduced mod
+    * a prime BEFORE the multiply so the product stays far below 2^63 for
+    * any conceivable id (a raw multiply would wrap negative in Spark and
+    * error in DuckDB once doc_id passes ~3.5e9). */
   val HashMult = 2654435761L
+  val HashModPrime = 1000003L
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        (col("doc_id") * HashMult % 100).as("bucket"))
+        (col("doc_id") % HashModPrime * HashMult % 100).as("bucket"))
       .withColumn("rate", when(col("lang") === "en", 50L).otherwise(20L))
       .where(col("bucket") < col("rate"))
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
   val sampleStratifiedSql: String =
-    s"""SELECT doc_id, lang, (doc_id * $HashMult) % 100 AS bucket
+    s"""SELECT doc_id, lang, (doc_id % $HashModPrime * $HashMult) % 100 AS bucket
        |FROM documents
-       |WHERE (doc_id * $HashMult) % 100 <
+       |WHERE (doc_id % $HashModPrime * $HashMult) % 100 <
        |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END
        |ORDER BY doc_id""".stripMargin
 

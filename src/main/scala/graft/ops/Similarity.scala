@@ -43,6 +43,10 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quant.as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
+      // a vector whose components all quantize to zero has no direction:
+      // keep it out rather than let cos = 0/0 produce NaN (which Spark
+      // would floor to 0 while DuckDB errors on the BIGINT cast)
+      .where(col("n2") > 0)
     val bucket = (0 until NumPlanes).map { j =>
       val w = array(wVec(j).map(lit): _*)
       when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
@@ -177,11 +181,13 @@ object Similarity {
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |vecs AS (
+       |vecs0 AS (
        |  SELECT vec_id, qv,
        |    list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2,
        |    $bucketTerms AS bucket
-       |  FROM qvecs)""".stripMargin
+       |  FROM qvecs),
+       |vecs AS (
+       |  SELECT * FROM vecs0 WHERE n2 > 0)""".stripMargin
   }
 
   private val DotSql =

@@ -17,7 +17,7 @@ import graft.Tables
   */
 object TextStats {
 
-  private val Stopwords = Map(
+  val Stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "la", "los", "que", "por"),
@@ -25,11 +25,11 @@ object TextStats {
 
   private val toks: Column = split(col("text"), " ")
 
-  private def hits(words: Seq[String]): Column =
+  def hits(words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
   /** floor(1e4 * num / den) as int64; 0 when den is 0. */
-  private def ratioE4(num: Column, den: Column): Column =
+  def ratioE4(num: Column, den: Column): Column =
     when(den === 0, 0L)
       .otherwise(floor(lit(10000.0) * num / den).cast("long"))
 

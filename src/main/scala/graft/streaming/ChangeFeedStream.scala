@@ -100,7 +100,12 @@ object ChangeFeedStream {
                 cur.start_us, cur.end_us, cur.first_event_id)
               cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, cur.session_seq + 1)
             } else {
-              cur = cur.copy(end_us = e.ts_us, n_events = cur.n_events + 1,
+              // a late event from a previous batch may carry an earlier
+              // timestamp — widen the session, never shrink it
+              cur = cur.copy(
+                start_us = math.min(cur.start_us, e.ts_us),
+                end_us = math.max(cur.end_us, e.ts_us),
+                n_events = cur.n_events + 1,
                 first_event_id = math.min(cur.first_event_id, e.event_id))
             }
           }

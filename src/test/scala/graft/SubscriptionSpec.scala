@@ -37,6 +37,12 @@ class SubscriptionSpec extends SparkSpec {
     assert(r.getAs[Boolean]("valid"))
   }
 
+  test("filter value truncates at a further colon (reference split(':'))") {
+    val r = parsedMap("s14") // k.eq.a:b — split(':') yields segment "k.eq.a"
+    assert(r.getAs[String]("fop") === "eq")
+    assert(r.getAs[String]("fval") === "a")
+  }
+
   test("filter value keeps dots past the op separator") {
     val r = parsedMap("s11") // k.in.1.5,2.5
     assert(r.getAs[String]("fop") === "in")
