@@ -63,6 +63,22 @@ object ChangeFeedStream {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .count()
 
+  // ---- exactly-once delivery ----------------------------------------------
+
+  /** At-least-once → exactly-once: a redelivered replication message (same
+    * LSN re-sent after a reconnect, which the reference tolerates because
+    * its LSN feedback is only periodic, src/cdc/replication.rs:255-282) is
+    * dropped by keyed dedup within the event-time watermark. State is
+    * bounded: an LSN older than the watermark can no longer reappear and
+    * its dedup entry is evicted. */
+  def dedupedChanges(events: DataFrame): DataFrame =
+    graft.cdc.ChangeFeed.decodedFrom(events)
+      // one-day base offset: lsn 0 must sit above the initial watermark
+      // (epoch 0) or it would be discarded as late before dedup sees it
+      .withColumn("event_time", timestamp_micros(col("lsn") * 1000L + 86400000000L))
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("lsn")
+
   // ---- stateful sessionization -------------------------------------------
 
   case class SessEvent(user_id: Long, ts_us: Long, event_id: Long)
