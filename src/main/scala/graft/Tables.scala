@@ -36,16 +36,28 @@ object Tables {
     * core. When (and only when) the scan has fewer partitions than cores,
     * rebalance first — on a production 100 TB table the scan has thousands
     * of row groups and this is a no-op, so no shuffle is added at scale. */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** The scan-width probe (`df.rdd`) plans the query twice, so its verdict
+    * is memoized per (session, path) — every registered query re-reads its
+    * tables through here, and 30+ queries × a replan each would cost more
+    * than the rebalance saves. */
+  private val spreadDecisions =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val narrow = spreadDecisions.getOrElseUpdate((spark, key),
+      df.rdd.getNumPartitions < cores)
+    if (narrow) df.repartition(cores) else df
   }
 
   /** events: event_id, ts (long, ns since epoch), user_id, event_type,
     * value, props (JSON string). */
-  def events(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "events"))
-  def documents(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "documents"))
-  def embeddings(s: SparkSession, dir: String): DataFrame = spread(s, rd(s, dir, "embeddings"))
+  def events(s: SparkSession, dir: String): DataFrame =
+    spread(s, rd(s, dir, "events"), s"$dir/events")
+  def documents(s: SparkSession, dir: String): DataFrame =
+    spread(s, rd(s, dir, "documents"), s"$dir/documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    spread(s, rd(s, dir, "embeddings"), s"$dir/embeddings")
   def lineitem(s: SparkSession, dir: String): DataFrame = rd(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = rd(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = rd(s, dir, "customer")
