@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.ops.{Dedup, TextStats}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the native expressions, so a pure-SQL user can call
+  * them (`SELECT long_dot(a, b) ...`). Two entry points:
+  *
+  *  - builder-time: `.config("spark.sql.extensions",
+  *    "graft.functions.GraftExtensions")` — the standard library packaging
+  *    via SparkSessionExtensions;
+  *  - runtime: `GraftExtensions.register(spark)` for an already-running
+  *    session (what Verify/Bench-style hosts use).
+  *
+  * The hash functions bind the project-wide prime/modulus so SQL results
+  * are identical to the Scala API and the DuckDB oracle mirrors.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.signatures.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val signatures: Seq[(FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(a, b) - int64 dot product of two long arrays"),
+      (args: Seq[Expression]) => LongDotExpr(args(0), args(1))),
+    (FunctionIdentifier("byte_roll_hash"),
+      info("byte_roll_hash", "byte_roll_hash(s) - rolling polynomial hash of s's bytes"),
+      (args: Seq[Expression]) =>
+        ByteRollHashExpr(args(0), TextStats.FpPrime, TextStats.FpMod)),
+    (FunctionIdentifier("minhash_affine"),
+      info("minhash_affine", "minhash_affine(sh) - 16-permutation minhash signature"),
+      (args: Seq[Expression]) =>
+        MinHashExpr(args(0), Dedup.PermA, Dedup.PermB, Dedup.P)),
+    (FunctionIdentifier("shingle_hash_set"),
+      info("shingle_hash_set", "shingle_hash_set(toks) - distinct bigram shingle hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashSetExpr(args(0), TextStats.FpPrime, Dedup.P)))
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    signatures.foreach { case (ident, inf, builder) =>
+      org.apache.spark.sql.graftshim.GraftShim
+        .registerFunction(spark, ident, inf, builder)
+    }
+}

@@ -13,4 +13,15 @@ object GraftShim {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime function registration (the live-session counterpart of
+    * SparkSessionExtensions.injectFunction). */
+  def registerFunction(
+    spark: org.apache.spark.sql.SparkSession,
+    ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+    info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+    builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }
