@@ -30,6 +30,7 @@ object SparkEntry {
     "q5_broadcast" -> (Queries.q5Broadcast _),
     "window_topn" -> (Queries.windowTopn _),
     "events_sessionize" -> (Queries.eventsSessionize _),
+    "events_asof" -> (Queries.eventsAsof _),
     "text_stats" -> (TextStats.textStats _),
     "lang_id" -> (TextStats.langId _),
     "doc_fingerprint" -> (TextStats.docFingerprint _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q5_broadcast" -> Queries.q5BroadcastSql,
     "window_topn" -> Queries.windowTopnSql,
     "events_sessionize" -> Queries.eventsSessionizeSql,
+    "events_asof" -> Queries.eventsAsofSql,
     "text_stats" -> TextStats.textStatsSql,
     "lang_id" -> TextStats.langIdSql,
     "doc_fingerprint" -> TextStats.docFingerprintSql,

@@ -187,6 +187,40 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  // ---- events_asof: as-of attribution join --------------------------------
+
+  /** As-of join expressed as a window (the compose-first rule: Spark has
+    * no ASOF JOIN operator, but per-key "most recent prior row" is exactly
+    * `last(..., ignoreNulls)` over an unbounded-preceding window — one
+    * shuffle on the key, no range join, no cartesian): every event is
+    * attributed to the same user's most recent signup at or before it. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(byTime))
+      .withColumn("signup_age_us", col("ts") - col("signup_ts"))
+      .select("user_id", "event_id", "ts", "signup_ts", "signup_age_us")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val eventsAsofSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events)
+      |SELECT user_id, event_id, ts,
+      |       last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS signup_ts,
+      |       ts - last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS signup_age_us
+      |FROM e
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
