@@ -37,16 +37,28 @@ object Tables {
     * rebalance first — on a production 100 TB table the scan has thousands
     * of row groups and this is a no-op, so no shuffle is added at scale. */
   /** The scan-width probe (`df.rdd`) plans the query twice, so its verdict
-    * is memoized per (session, path) — every registered query re-reads its
-    * tables through here, and 30+ queries × a replan each would cost more
-    * than the rebalance saves. */
-  private val spreadDecisions =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+    * is memoized for the session's lifetime — every registered query
+    * re-reads its tables through here, and 30+ queries × a replan each
+    * would cost more than the rebalance saves. Weak session keys: a
+    * stopped session's entries (and the session itself) stay collectable,
+    * so a driver cycling sessions does not leak. The verdict is
+    * intentionally session-stable; files added mid-session keep the first
+    * probe's answer. */
+  private val spreadDecisions: java.util.Map[SparkSession, scala.collection.mutable.Map[String, Boolean]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Boolean]]())
 
   private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    val narrow = spreadDecisions.getOrElseUpdate((spark, key),
-      df.rdd.getNumPartitions < cores)
+    val perSession = spreadDecisions.synchronized {
+      var m = spreadDecisions.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+        spreadDecisions.put(spark, m)
+      }
+      m
+    }
+    val narrow = perSession.getOrElseUpdate(key, df.rdd.getNumPartitions < cores)
     if (narrow) df.repartition(cores) else df
   }
 

@@ -27,23 +27,34 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity guard: a wrong-arity SQL call should fail resolution with a
+    * message naming the function and its signature, not an
+    * IndexOutOfBoundsException from inside the builder. */
+  private def arity(name: String, usage: String, n: Int)(
+    build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s) — usage: $usage — got ${args.length}")
+      build(args)
+    }
+
   val signatures: Seq[(FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - int64 dot product of two long arrays"),
-      (args: Seq[Expression]) => LongDotExpr(args(0), args(1))),
+      arity("long_dot", "long_dot(a, b)", 2)(args => LongDotExpr(args(0), args(1)))),
     (FunctionIdentifier("byte_roll_hash"),
       info("byte_roll_hash", "byte_roll_hash(s) - rolling polynomial hash of s's bytes"),
-      (args: Seq[Expression]) =>
-        ByteRollHashExpr(args(0), TextStats.FpPrime, TextStats.FpMod)),
+      arity("byte_roll_hash", "byte_roll_hash(s)", 1)(args =>
+        ByteRollHashExpr(args(0), TextStats.FpPrime, TextStats.FpMod))),
     (FunctionIdentifier("minhash_affine"),
       info("minhash_affine", "minhash_affine(sh) - 16-permutation minhash signature"),
-      (args: Seq[Expression]) =>
-        MinHashExpr(args(0), Dedup.PermA, Dedup.PermB, Dedup.P)),
+      arity("minhash_affine", "minhash_affine(sh)", 1)(args =>
+        MinHashExpr(args(0), Dedup.PermA, Dedup.PermB, Dedup.P))),
     (FunctionIdentifier("shingle_hash_set"),
       info("shingle_hash_set", "shingle_hash_set(toks) - distinct bigram shingle hashes"),
-      (args: Seq[Expression]) =>
-        ShingleHashSetExpr(args(0), TextStats.FpPrime, Dedup.P)))
+      arity("shingle_hash_set", "shingle_hash_set(toks)", 1)(args =>
+        ShingleHashSetExpr(args(0), TextStats.FpPrime, Dedup.P))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -70,7 +70,14 @@ object ChangeFeedStream {
     * its LSN feedback is only periodic, src/cdc/replication.rs:255-282) is
     * dropped by keyed dedup within the event-time watermark. State is
     * bounded: an LSN older than the watermark can no longer reappear and
-    * its dedup entry is evicted. */
+    * its dedup entry is evicted.
+    *
+    * Contract: the source is a replication stream, so LSNs are monotone
+    * and a redelivery can only replay from the last confirmed offset —
+    * i.e. it arrives within the dedup horizon (the 2h watermark delay).
+    * An LSN further than the horizon behind the stream head is treated as
+    * already delivered and dropped; feeding this operator non-monotone
+    * backfills would need the horizon widened to their maximum lateness. */
   def dedupedChanges(events: DataFrame): DataFrame =
     graft.cdc.ChangeFeed.decodedFrom(events)
       // one-day base offset: lsn 0 must sit above the initial watermark
@@ -115,9 +122,14 @@ object ChangeFeedStream {
               closed += SessClosed(uid, cur.session_seq, cur.n_events,
                 cur.start_us, cur.end_us, cur.first_event_id)
               cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, cur.session_seq + 1)
+            } else if (e.ts_us < cur.start_us - SessionGapUs) {
+              // beyond the lateness horizon: the event belongs to a session
+              // older than the open one (possibly already emitted) — drop
+              // it rather than corrupt the open session, the same
+              // decision a watermark makes for too-late data
             } else {
-              // a late event from a previous batch may carry an earlier
-              // timestamp — widen the session, never shrink it
+              // a late event within the gap of the open session — widen
+              // the session, never shrink it
               cur = cur.copy(
                 start_us = math.min(cur.start_us, e.ts_us),
                 end_us = math.max(cur.end_us, e.ts_us),

@@ -15,13 +15,19 @@ object GraftShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Runtime function registration (the live-session counterpart of
-    * SparkSessionExtensions.injectFunction). */
+    * SparkSessionExtensions.injectFunction). Classic sessions only — a
+    * Spark Connect session has no local FunctionRegistry; fail with a
+    * clear message instead of a ClassCastException. */
   def registerFunction(
     spark: org.apache.spark.sql.SparkSession,
     ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
     info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
-    builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
+    builder: Seq[Expression] => Expression): Unit = spark match {
+    case classic: org.apache.spark.sql.classic.SparkSession =>
+      classic.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    case other => throw new UnsupportedOperationException(
+      s"runtime function registration needs a classic SparkSession " +
+        s"(got ${other.getClass.getName}); for Spark Connect, set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions on the server")
+  }
 }
