@@ -102,6 +102,38 @@ object ChangeFeedStream {
     * in time order into the open session, emitting a session whenever a
     * gap closes it; the still-open session rides in the group state (and
     * the checkpoint) across batches and restarts. */
+  /** Pure per-batch fold (unit-tested in SessionFoldSpec): sort the
+    * batch's events, walk gaps against the open session, emit closed
+    * sessions, return the still-open state. Lateness rules: an event
+    * within the gap of the open session widens it (never shrinks); an
+    * event older than the open session's start by more than the gap
+    * belongs to an earlier (possibly already-emitted) session and is
+    * dropped — the same call a watermark makes for too-late data. */
+  def foldSession(uid: Long, prev: Option[SessState], events: Seq[SessEvent])
+    : (Seq[SessClosed], Option[SessState]) = {
+    val sorted = events.sortBy(e => (e.ts_us, e.event_id))
+    var cur = prev.orNull
+    val closed = Seq.newBuilder[SessClosed]
+    sorted.foreach { e =>
+      if (cur == null) {
+        cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, 1L)
+      } else if (e.ts_us - cur.end_us > SessionGapUs) {
+        closed += SessClosed(uid, cur.session_seq, cur.n_events,
+          cur.start_us, cur.end_us, cur.first_event_id)
+        cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, cur.session_seq + 1)
+      } else if (e.ts_us < cur.start_us - SessionGapUs) {
+        // beyond the lateness horizon — drop
+      } else {
+        cur = cur.copy(
+          start_us = math.min(cur.start_us, e.ts_us),
+          end_us = math.max(cur.end_us, e.ts_us),
+          n_events = cur.n_events + 1,
+          first_event_id = math.min(cur.first_event_id, e.event_id))
+      }
+    }
+    (closed.result(), Option(cur))
+  }
+
   def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[SessClosed] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -112,33 +144,9 @@ object ChangeFeedStream {
       .flatMapGroupsWithState[SessState, SessClosed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[SessState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var cur = state.getOption.orNull
-          val closed = Seq.newBuilder[SessClosed]
-          sorted.foreach { e =>
-            if (cur == null) {
-              cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, 1L)
-            } else if (e.ts_us - cur.end_us > SessionGapUs) {
-              closed += SessClosed(uid, cur.session_seq, cur.n_events,
-                cur.start_us, cur.end_us, cur.first_event_id)
-              cur = SessState(e.ts_us, e.ts_us, 1L, e.event_id, cur.session_seq + 1)
-            } else if (e.ts_us < cur.start_us - SessionGapUs) {
-              // beyond the lateness horizon: the event belongs to a session
-              // older than the open one (possibly already emitted) — drop
-              // it rather than corrupt the open session, the same
-              // decision a watermark makes for too-late data
-            } else {
-              // a late event within the gap of the open session — widen
-              // the session, never shrink it
-              cur = cur.copy(
-                start_us = math.min(cur.start_us, e.ts_us),
-                end_us = math.max(cur.end_us, e.ts_us),
-                n_events = cur.n_events + 1,
-                first_event_id = math.min(cur.first_event_id, e.event_id))
-            }
-          }
-          if (cur != null) state.update(cur)
-          closed.result().iterator
+          val (closed, next) = foldSession(uid, state.getOption, it.toSeq)
+          next.foreach(state.update)
+          closed.iterator
       }
   }
 
