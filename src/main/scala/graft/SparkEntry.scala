@@ -47,6 +47,7 @@ object SparkEntry {
     "quality_filter" -> (Pipeline.qualityFilter _),
     "sample_stratified" -> (Pipeline.sampleStratified _),
     "pack_sequences" -> (Pipeline.packSequences _),
+    "pipeline_e2e" -> (Pipeline.pipelineE2e _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +85,6 @@ object SparkEntry {
     "quality_filter" -> Pipeline.qualityFilterSql,
     "sample_stratified" -> Pipeline.sampleStratifiedSql,
     "pack_sequences" -> Pipeline.packSequencesSql,
+    "pipeline_e2e" -> Pipeline.pipelineE2eSql,
   )
 }

@@ -104,6 +104,71 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ---- pipeline_e2e: the composed training-data pass ----------------------
+
+  /** The full pass a corpus makes on its way to training shards, as ONE
+    * declarative plan Catalyst optimizes end-to-end: quality envelope →
+    * exact-dedup keepers → deterministic stratified sample → sequence
+    * packing. Composition is the point: each stage is the same operator
+    * registered standalone, and the optimizer collapses the chain into
+    * scan → project/filter → one groupBy → one window. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = TextStats.hits(TextStats.Stopwords("en"))
+    val filtered = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"),
+        nTok.cast("long").as("n_tokens"),
+        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
+      .where(col("n_tokens").between(MinTokens, MaxTokens) &&
+        col("stop_ratio_e4") >= MinStopE4)
+    val keepers = filtered.groupBy("norm")
+      .agg(min("doc_id").as("keeper_id"))
+    val deduped = filtered
+      .join(keepers, filtered("doc_id") === keepers("keeper_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val sampled = deduped
+      .where(col("doc_id") % HashModPrime * HashMult % 100 <
+        when(col("lang") === "en", 50L).otherwise(20L))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / ContextTokens)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineE2eSql: String = {
+    val stops = TextStats.Stopwords("en").map(s => s"'$s'").mkString(",")
+    s"""WITH stats AS (
+       |  SELECT doc_id, lang, lower(trim(text)) AS norm,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS n_stop
+       |  FROM documents),
+       |filtered AS (
+       |  SELECT doc_id, lang, norm, n_tokens
+       |  FROM stats
+       |  WHERE n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |    AND (CASE WHEN n_tokens = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END) >= $MinStopE4),
+       |keepers AS (
+       |  SELECT min(doc_id) AS keeper_id FROM filtered GROUP BY norm),
+       |sampled AS (
+       |  SELECT f.doc_id, f.lang, f.n_tokens
+       |  FROM filtered f JOIN keepers k ON f.doc_id = k.keeper_id
+       |  WHERE (f.doc_id % $HashModPrime * $HashMult) % 100 <
+       |        CASE WHEN f.lang = 'en' THEN 50 ELSE 20 END)
+       |SELECT doc_id, lang, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |       CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / $ContextTokens) AS BIGINT) AS bin
+       |FROM sampled
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val packSequencesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -83,6 +83,34 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("session fold equals a reference gap-scan on in-order batches") = {
+    import graft.streaming.ChangeFeedStream
+    val Gap = ChangeFeedStream.SessionGapUs
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      gaps <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, Gap), Gen.choose(Gap + 1, Gap * 3)))
+    } yield gaps.scanLeft(1000L)(_ + _).zipWithIndex
+      .map { case (ts, i) => ChangeFeedStream.SessEvent(1L, ts, i.toLong) }
+
+    Prop.forAll(evGen) { events =>
+      val (closed, open) = ChangeFeedStream.foldSession(1L, None, events)
+      // reference model: split whenever consecutive gap exceeds Gap
+      val model = events.foldLeft(List.empty[List[ChangeFeedStream.SessEvent]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) if e.ts_us - cur.head.ts_us <= Gap =>
+          (e :: cur) :: done
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse).reverse
+      val emitted = closed.map(c => (c.n_events, c.start_us, c.end_us))
+      val want = model.dropRight(1).map(s =>
+        (s.length.toLong, s.head.ts_us, s.last.ts_us))
+      val openOk = open.exists(st =>
+        st.n_events == model.last.length &&
+          st.start_us == model.last.head.ts_us && st.end_us == model.last.last.ts_us)
+      emitted == want && openOk
+    }
+  }
+
   property("minhash is order-invariant and monotone under union") = {
     val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
     Prop.forAll(setGen, setGen, Gen.long) { (a, b, seed) =>
