@@ -31,6 +31,7 @@ object SparkEntry {
     "window_topn" -> (Queries.windowTopn _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_asof" -> (Queries.eventsAsof _),
+    "events_range_join" -> (Queries.eventsRangeJoin _),
     "text_stats" -> (TextStats.textStats _),
     "lang_id" -> (TextStats.langId _),
     "doc_fingerprint" -> (TextStats.docFingerprint _),
@@ -38,6 +39,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "decontaminate" -> (Dedup.decontaminate _),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "ann_topk" -> (Similarity.annTopk _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "window_topn" -> Queries.windowTopnSql,
     "events_sessionize" -> Queries.eventsSessionizeSql,
     "events_asof" -> Queries.eventsAsofSql,
+    "events_range_join" -> Queries.eventsRangeJoinSql,
     "text_stats" -> TextStats.textStatsSql,
     "lang_id" -> TextStats.langIdSql,
     "doc_fingerprint" -> TextStats.docFingerprintSql,
@@ -76,6 +79,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "decontaminate" -> Dedup.decontaminateSql,
+    "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

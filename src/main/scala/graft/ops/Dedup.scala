@@ -165,6 +165,36 @@ object Dedup {
   def shingleSetsProbe(spark: SparkSession, dir: String): DataFrame = shingleSets(spark, dir)
   def bandsProbe(spark: SparkSession, dir: String): DataFrame = bands(spark, dir)
 
+  // ---- dedup_simhash_pairs ------------------------------------------------
+
+  /** SimHash near-dup pairs: documents whose 32-bit fingerprints differ by
+    * at most MaxHamming bits. Candidates come from an equi-join on the
+    * top-16-bit bucket (two docs within the distance threshold usually
+    * agree on the high half; full multi-probe would OR several band
+    * buckets), then the exact popcount-of-xor filter — never all-pairs. */
+  val MaxHamming = 6L
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = dedupSimhash(spark, dir).select("doc_id", "simhash", "bucket")
+    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
+    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupSimhashPairsSql: String =
+    s"""WITH $SimhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- decontaminate ------------------------------------------------------
 
   /** Eval-set decontamination: training documents sharing ≥ MinShared
@@ -233,11 +263,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val dedupSimhashSql: String = {
+  /** Shared oracle CTEs: token hashes → 32-bit simhash → bucket. */
+  private val SimhashCtes: String = {
     val bitTerms = (0 until 32).map { i =>
       s"CASE WHEN 2 * len(list_filter(th, x -> ((x >> $i) & 1) = 1)) > len(th) THEN ${1L << i} ELSE 0 END"
     }.mkString("\n    + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    list_transform(string_split(lower(trim(text)), ' '),
        |      s -> list_reduce(
@@ -248,9 +279,15 @@ object Dedup {
        |s AS (
        |  SELECT doc_id,
        |    $bitTerms AS simhash
-       |  FROM t)
-       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
-       |       CAST(simhash AS BIGINT) >> 16 AS bucket
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |sh AS (
+       |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       |         CAST(simhash AS BIGINT) >> 16 AS bucket
+       |  FROM s)""".stripMargin
   }
+
+  val dedupSimhashSql: String =
+    s"""WITH $SimhashCtes
+       |SELECT doc_id, simhash, bucket
+       |FROM sh ORDER BY doc_id""".stripMargin
 }

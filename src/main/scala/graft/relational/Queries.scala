@@ -187,6 +187,49 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  // ---- events_range_join: interval self-join without a cartesian ----------
+
+  /** Range join via interval bucketing (the compose-first answer to a
+    * range-join operator): pairs of same-user events at most RangeUs
+    * apart. The later event joins on its own time bucket AND the previous
+    * one (an event pair can straddle a boundary), so candidates come only
+    * from an equi-join on (user_id, bucket) — never an all-pairs join —
+    * and the exact range predicate filters the candidates. At 100 TB the
+    * shuffle is on (user, bucket) with bucket width = the range, which
+    * bounds each bucket's pair count. */
+  val RangeUs: Long = 60L * 1000 * 1000 // 1 minute
+
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
+      .withColumn("bucket", expr(s"ts_a div $RangeUs"))
+    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+      col("event_id").as("id_b"))
+      .withColumn("bucket", explode(array(
+        expr(s"ts_b div $RangeUs"), expr(s"ts_b div $RangeUs") - 1)))
+    a.join(b, Seq("bucket"))
+      .where(col("user_id") === col("user_b") &&
+        (col("ts_b") - col("ts_a")).between(0, RangeUs) &&
+        (col("ts_b") > col("ts_a") ||
+          (col("ts_b") === col("ts_a") && col("id_a") < col("id_b"))))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("ts_b") - col("ts_a")).as("dt_us"))
+      .distinct()
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
+  val eventsRangeJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events)
+       |SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+       |       b.ts - a.ts AS dt_us
+       |FROM e a JOIN e b
+       |  ON a.user_id = b.user_id
+       | AND b.ts - a.ts BETWEEN 0 AND $RangeUs
+       | AND (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
+       |ORDER BY a.user_id, id_a, id_b""".stripMargin
+
   // ---- events_asof: as-of attribution join --------------------------------
 
   /** As-of join expressed as a window (the compose-first rule: Spark has
