@@ -167,11 +167,13 @@ object Dedup {
 
   // ---- dedup_simhash_pairs ------------------------------------------------
 
-  /** SimHash near-dup pairs: documents whose 32-bit fingerprints differ by
-    * at most MaxHamming bits. Candidates come from an equi-join on the
-    * top-16-bit bucket (two docs within the distance threshold usually
-    * agree on the high half; full multi-probe would OR several band
-    * buckets), then the exact popcount-of-xor filter — never all-pairs. */
+  /** SimHash near-dup pairs, single-probe: candidate pairs come from an
+    * equi-join on the top-16-bit bucket, then the exact popcount-of-xor
+    * Hamming filter — never all-pairs. This is a RECALL HEURISTIC, not an
+    * exhaustive Hamming search: a qualifying pair whose differing bits
+    * all fall in the high half is missed (guaranteed-recall at distance d
+    * needs d+1 bands with a per-band OR join — the usual trade the
+    * single-probe variant declines in exchange for one narrow shuffle). */
   val MaxHamming = 6L
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {

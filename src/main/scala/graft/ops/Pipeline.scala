@@ -91,37 +91,49 @@ object Pipeline {
     * tokenized training shards are written. */
   val ContextTokens = 512L
 
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared packing stage: running token prefix per lang stratum → bin.
+    * One definition serves the standalone operator and the composed pass
+    * so the binning rule cannot silently diverge between them. */
+  private def packWindow(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    df.withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / ContextTokens)
           .cast("long"))
-      .orderBy("doc_id")
   }
+
+  /** Shared quality-envelope predicate over (n_tokens, stop_ratio_e4). */
+  private def qualityEnvelope(df: DataFrame): DataFrame =
+    df.where(col("n_tokens").between(MinTokens, MaxTokens) &&
+      col("stop_ratio_e4") >= MinStopE4)
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packWindow(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .orderBy("doc_id")
 
   // ---- pipeline_e2e: the composed training-data pass ----------------------
 
-  /** The full pass a corpus makes on its way to training shards, as ONE
-    * declarative plan Catalyst optimizes end-to-end: quality envelope →
+  /** The full pass a corpus makes on its way to training shards, composed
+    * from the SAME stage definitions the standalone operators use
+    * (qualityEnvelope, packWindow, the sampling hash): quality envelope →
     * exact-dedup keepers → deterministic stratified sample → sequence
-    * packing. Composition is the point: each stage is the same operator
-    * registered standalone, and the optimizer collapses the chain into
-    * scan → project/filter → one groupBy → one window. */
+    * packing. The filtered frame is persisted because the dedup-by-join
+    * shape references it twice (join input and keeper aggregate) — without
+    * it the scan + normalization + stopword count would run twice. */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = TextStats.hits(TextStats.Stopwords("en"))
-    val filtered = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"),
-        nTok.cast("long").as("n_tokens"),
-        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
-      .where(col("n_tokens").between(MinTokens, MaxTokens) &&
-        col("stop_ratio_e4") >= MinStopE4)
+    val filtered = qualityEnvelope(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"),
+          nTok.cast("long").as("n_tokens"),
+          TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = filtered.groupBy("norm")
       .agg(min("doc_id").as("keeper_id"))
     val deduped = filtered
@@ -130,14 +142,7 @@ object Pipeline {
     val sampled = deduped
       .where(col("doc_id") % HashModPrime * HashMult % 100 <
         when(col("lang") === "en", 50L).otherwise(20L))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .withColumn("bin",
-        floor((col("cum_tokens") - col("n_tokens")).cast("double") / ContextTokens)
-          .cast("long"))
-      .orderBy("doc_id")
+    packWindow(sampled).orderBy("doc_id")
   }
 
   val pipelineE2eSql: String = {

@@ -213,9 +213,12 @@ object Queries {
         (col("ts_b") - col("ts_a")).between(0, RangeUs) &&
         (col("ts_b") > col("ts_a") ||
           (col("ts_b") === col("ts_a") && col("id_a") < col("id_b"))))
+      // no distinct needed: b's two exploded buckets differ, so a pair can
+      // match the equi-join on at most one of them — a dedup here would
+      // only add a shuffle (and hide an engine divergence, since the
+      // oracle has no DISTINCT)
       .select(col("user_id"), col("id_a"), col("id_b"),
         (col("ts_b") - col("ts_a")).as("dt_us"))
-      .distinct()
       .orderBy("user_id", "id_a", "id_b")
   }
 
