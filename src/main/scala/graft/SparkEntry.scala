@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "decontaminate" -> (Dedup.decontaminate _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
+    "dedup_simhash_multiprobe" -> (Dedup.dedupSimhashMultiprobe _),
     "ann_topk" -> (Similarity.annTopk _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "decontaminate" -> Dedup.decontaminateSql,
     "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
+    "dedup_simhash_multiprobe" -> Dedup.dedupSimhashMultiprobeSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

@@ -197,6 +197,67 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dedup_simhash_multiprobe -------------------------------------------
+
+  /** Guaranteed-recall SimHash pairs: the 32-bit fingerprint splits into 4
+    * bands of 8 bits; by pigeonhole, any pair within Hamming distance 3
+    * agrees exactly on at least one band, so the per-band equi-join
+    * misses nothing up to that distance. A pair can agree on several
+    * bands, so the candidate set is de-duplicated BEFORE the exact
+    * popcount filter (semantically required here, unlike the range join).
+    * The band-count/distance trade is the operator's contract: d+1 bands
+    * guarantee distance d. */
+  val MpBands = 4
+  val MpMaxHamming = 3L
+
+  def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val s = dedupSimhash(spark, dir).select("doc_id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until MpBands).map { j =>
+      struct(lit(j).as("band_id"),
+        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("band_val"))
+    }
+    val banded = s
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(s.select(col("doc_id"), col("simhash").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(s.select(col("doc_id"), col("simhash").as("sh_b")), col("doc_b") === col("doc_id"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= MpMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupSimhashMultiprobeSql: String = {
+    val bandSelects = (0 until MpBands).map { j =>
+      s"SELECT doc_id, $j AS band_id, (simhash >> ${8 * j}) & 255 AS band_val FROM sh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $SimhashCtes,
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sh a ON p.doc_a = a.doc_id
+       |JOIN sh b ON p.doc_b = b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MpMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   /** Eval-set decontamination: training documents sharing ≥ MinShared
