@@ -46,6 +46,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _),
     "embed_cosine_dup" -> (Similarity.embedCosineDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
+    "mm_frames" -> (Multimodal.mmFrames _),
     "stream_window_counts" -> (ChangeFeedStream.streamWindowCounts _),
     "quality_filter" -> (Pipeline.qualityFilter _),
     "sample_stratified" -> (Pipeline.sampleStratified _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvfSql,
     "embed_cosine_dup" -> Similarity.embedCosineDupSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
+    "mm_frames" -> Multimodal.mmFramesSql,
     "stream_window_counts" -> ChangeFeedStream.streamWindowCountsSql,
     "quality_filter" -> Pipeline.qualityFilterSql,
     "sample_stratified" -> Pipeline.sampleStratifiedSql,

@@ -66,6 +66,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- mm_frames ----------------------------------------------------------
+
+  /** Frame sampling plumbing for the video rows: every FrameStride-th
+    * frame index, with its (fake) byte offset into the payload — the
+    * explode shape a real frame sampler produces ahead of a decode UDF.
+    * One narrow explode per video row, no shuffle. */
+  val FrameStride = 24
+
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 2) // the video stripe of the mm table
+      .select(col("doc_id"),
+        (col("n_chars") % 480 + 16).cast("int").as("height"),
+        (col("n_chars") % 640 + 16).cast("int").as("width"))
+      .withColumn("n_frames", (col("height") * 24).cast("long"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong)))
+          .as("frame_idx"),
+        col("width"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("width")).as("byte_offset"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFramesSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars % 480 + 16 AS INT) AS height,
+       |         CAST(n_chars % 640 + 16 AS INT) AS width
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, width, unnest(range(0, CAST(height AS BIGINT) * 24,
+       |         $FrameStride)) AS frame_idx
+       |  FROM v)
+       |SELECT doc_id, frame_idx, frame_idx * width AS byte_offset
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val mmFeaturesSql: String =
     s"""WITH m AS (
        |  SELECT doc_id,
