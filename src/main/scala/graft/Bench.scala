@@ -19,8 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // prime IO + codegen + the scan-width probe for every heavy table, so
+    // the first query alphabetically isn't billed the session's cold start
+    Seq(Tables.events _, Tables.documents _, Tables.embeddings _).foreach { t =>
+      try t(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
 
     var errors = ListMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
