@@ -62,6 +62,32 @@ object Tables {
     if (narrow) df.repartition(cores) else df
   }
 
+  /** Memoized persist: build + `persist(MEMORY_AND_DISK)` a frame at most
+    * once per (session, key). Spark's CacheManager already dedupes cached
+    * data by plan, but re-calling persist() on a freshly built copy of the
+    * same plan logs "Asked to cache already cached data" per call and keeps
+    * re-deriving the plan; memoizing the DataFrame object itself makes the
+    * shared intermediate (decoded CDC feed, shingle sets, quantized
+    * vectors) genuinely build-once. Weak session keys as in
+    * [[spreadDecisions]]: entries die with their session, so nothing leaks
+    * across driver-cycled sessions. */
+  private val persistCache: java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = persistCache.synchronized {
+      var m = persistCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        persistCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(key,
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** events: event_id, ts (long, ns since epoch), user_id, event_type,
     * value, props (JSON string). */
   def events(s: SparkSession, dir: String): DataFrame =

@@ -17,9 +17,13 @@ import graft.Tables
   * hit, and it is a single narrow projection: no shuffle, fully
   * whole-stage-codegen, parquet scan reads only the five event columns.
   *
-  * Deletes carry only the primary key column (wal2json emits `oldkeys` for
-  * deletes, not the full row) — this is what gives the specific filters
-  * their "missing column never matches" semantics downstream.
+  * Deletes carry EMPTY `columnnames`/`columnvalues`: real wal2json emits
+  * deletes with an `oldkeys` object instead of the column arrays, and the
+  * reference's specific-filter walk over `columnnames` therefore never
+  * matches a delete (reference src/utils/specific_filter.rs:21-50,
+  * src/forwarder/mod.rs:97-126). Synthesizing empty arrays reproduces that
+  * never-match behavior exactly through the same missing-column ⇒ NULL path
+  * the filters already implement.
   */
 object ChangeFeed {
 
@@ -62,10 +66,11 @@ object ChangeFeed {
     val isDel = kindCol === "delete"
     val k = regexp_extract(col("props"), "[0-9]+", 0)
     val valueCents = expr("cast(round(value * 100) as bigint)")
-    val names = when(isDel, array(lit("event_id")))
+    val emptyArr = typedLit(Seq.empty[String])
+    val names = when(isDel, emptyArr)
       .otherwise(array(lit("event_id"), lit("user_id"), lit("event_type"),
         lit("value_cents"), lit("k")))
-    val vals = when(isDel, array(col("event_id").cast("string")))
+    val vals = when(isDel, emptyArr)
       .otherwise(array(col("event_id").cast("string"),
         col("user_id").cast("string"), col("event_type"),
         valueCents.cast("string"), k))
@@ -90,15 +95,17 @@ object ChangeFeed {
         col("c.columnnames").as("columnnames"),
         col("c.columnvalues").as("columnvalues"))
 
-  /** Batch decode is persisted (memory+disk): the reference decodes each
-    * message ONCE and fans it to every consumer (src/forwarder/mod.rs:82-96
-    * runs ahead of the per-session loop); here the decoded feed is likewise
-    * materialized once per session and shared by all CDC queries instead of
-    * re-running the JSON decode per query. The streaming path
-    * (decodedFrom over a stream) is unaffected. */
+  /** Batch decode is persisted (memory+disk) and memoized per (session,
+    * dir): the reference decodes each message ONCE and fans it to every
+    * consumer (src/forwarder/mod.rs:82-96 runs ahead of the per-session
+    * loop); here the decoded feed is likewise materialized once per session
+    * and shared by all CDC queries instead of re-running the JSON decode
+    * per query. The streaming path (decodedFrom over a stream) is
+    * unaffected. */
   def decoded(spark: SparkSession, dir: String): DataFrame =
-    decodedFrom(Tables.events(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Tables.memoPersist(spark, s"cdc.decoded:$dir") {
+      decodedFrom(Tables.events(spark, dir))
+    }
 
   /** Decoded records + the name→value map the specific filters probe
     * (reference src/utils/specific_filter.rs:21-50 walks columnnames to
@@ -156,9 +163,9 @@ object ChangeFeed {
   val changeDecodeSql: String =
     s"""WITH $FeedCte
        |SELECT lsn, kind, tbl,
-       |  CASE WHEN kind = 'delete' THEN 'event_id'
+       |  CASE WHEN kind = 'delete' THEN ''
        |       ELSE 'event_id|user_id|event_type|value_cents|k' END AS cols,
-       |  CASE WHEN kind = 'delete' THEN CAST(lsn AS VARCHAR)
+       |  CASE WHEN kind = 'delete' THEN ''
        |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
        |                      event_type, CAST(value_cents AS VARCHAR), k) END AS vals
        |FROM feed ORDER BY lsn""".stripMargin

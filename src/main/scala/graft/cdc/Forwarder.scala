@@ -66,7 +66,8 @@ object Forwarder {
 
   /** feed → routed → parsed subs → fanout, with uid_val exposed for auth.
     * The per-column value CASE mirrors the name→value map lookup: deletes
-    * only expose event_id (missing column ⇒ NULL ⇒ no match). */
+    * expose NO columns (empty columnnames ⇒ every lookup NULL ⇒ specific
+    * filters never match a delete, reference specific_filter.rs:21-50). */
   val FanoutCtes: String =
     s"""${ChangeFeed.FeedCte},
        |${HyperRemap.RoutedCte},
@@ -74,12 +75,14 @@ object Forwarder {
        |joined AS (
        |  SELECT s.sub_id, r.lsn, r.base, r.kind, s.fcol, s.fop, s.fval,
        |         CASE WHEN r.kind <> 'delete' THEN CAST(r.user_id AS VARCHAR) END AS uid_val,
-       |         CASE s.fcol
-       |              WHEN 'event_id' THEN CAST(r.lsn AS VARCHAR)
-       |              WHEN 'user_id' THEN CASE WHEN r.kind <> 'delete' THEN CAST(r.user_id AS VARCHAR) END
-       |              WHEN 'event_type' THEN CASE WHEN r.kind <> 'delete' THEN r.event_type END
-       |              WHEN 'value_cents' THEN CASE WHEN r.kind <> 'delete' THEN CAST(r.value_cents AS VARCHAR) END
-       |              WHEN 'k' THEN CASE WHEN r.kind <> 'delete' THEN r.k END
+       |         CASE WHEN r.kind = 'delete' THEN NULL
+       |              ELSE CASE s.fcol
+       |                   WHEN 'event_id' THEN CAST(r.lsn AS VARCHAR)
+       |                   WHEN 'user_id' THEN CAST(r.user_id AS VARCHAR)
+       |                   WHEN 'event_type' THEN r.event_type
+       |                   WHEN 'value_cents' THEN CAST(r.value_cents AS VARCHAR)
+       |                   WHEN 'k' THEN r.k
+       |              END
        |         END AS cv
        |  FROM routed r
        |  JOIN validated s ON s.routable AND s.tbl = r.base AND (s.flag & r.kflag) <> 0),

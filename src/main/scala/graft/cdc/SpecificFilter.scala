@@ -27,8 +27,9 @@ object SpecificFilter {
 
   // ---- queries ------------------------------------------------------------
 
-  /** eq probe on user_id=7. Deletes expose only event_id, so they are
-    * excluded by the missing-column rule, not by an explicit kind test. */
+  /** eq probe on user_id=7. Deletes expose no columns at all (empty
+    * columnnames, mirroring wal2json oldkeys), so they are excluded by the
+    * missing-column rule, not by an explicit kind test. */
   def filterEq(spark: SparkSession, dir: String): DataFrame = {
     val d = ChangeFeed.decodedWithMap(spark, dir)
     d.where(eqFilter(col("cmap"), lit("user_id"), lit("7")))

@@ -161,9 +161,10 @@ case class MinHashExpr(child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
   * CodegenFallback: the expression is invoked once per ROW (5e3..1e9 rows),
   * so the per-call fallback overhead is noise next to the per-byte work. */
 case class ShingleHashSetExpr(child: Expression, prime: Long, mod: Long)
-  extends UnaryExpression
+  extends UnaryExpression with ExpectsInputTypes
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_set"
 
@@ -208,9 +209,10 @@ case class ShingleHashSetExpr(child: Expression, prime: Long, mod: Long)
   * over the array. CodegenFallback — invoked once per row, the per-call
   * overhead is noise next to the per-element×per-bit work. */
 case class SimHashExpr(child: Expression, bits: Int)
-  extends UnaryExpression
+  extends UnaryExpression with ExpectsInputTypes
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
 

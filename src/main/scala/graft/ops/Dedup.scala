@@ -62,13 +62,14 @@ object Dedup {
     * frame is ids + int64 arrays (far smaller than the text) and spills
     * to disk if needed. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(norm, " ").as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        graft.functions.HashExprs.shingleHashSet(col("toks"), TextStats.FpPrime, P)
-          .as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Tables.memoPersist(spark, s"dedup.shingleSets:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(norm, " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          graft.functions.HashExprs.shingleHashSet(col("toks"), TextStats.FpPrime, P)
+            .as("sh"))
+    }
 
   /** doc_id + 16-element minhash signature array (one codegen'd pass over
     * the shingle set instead of 16 interpreted transform+min passes). */
@@ -215,8 +216,9 @@ object Dedup {
 
   def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val mask = (1L << MpBandBits) - 1
-    val s = dedupSimhash(spark, dir).select("doc_id", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = Tables.memoPersist(spark, s"dedup.simhashes:$dir") {
+      dedupSimhash(spark, dir).select("doc_id", "simhash")
+    }
     val bandStructs = (0 until MpBands).map { j =>
       struct(lit(j).as("band_id"),
         shiftright(col("simhash"), MpBandBits * j).bitwiseAND(lit(mask)).as("band_val"))

@@ -49,6 +49,13 @@ object Multimodal {
     case _       => m.height.toLong * 24L
   }
 
+  /** ASCII-only equivalence (same caveat as TextStats): the Spark side
+    * computes n_bytes/checksum from the UTF-8 payload BYTES while the
+    * oracle uses character length and per-char `ascii()` — identical only
+    * while the testdata text is pure ASCII (one byte per char, ascii() =
+    * byte value). If the corpus ever grows non-ASCII text, switch the
+    * oracle to `octet_length(encode(text))` + a byte-wise fold rather than
+    * weakening this side. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)

@@ -128,12 +128,13 @@ object Pipeline {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nStop = TextStats.hits(TextStats.Stopwords("en"))
-    val filtered = qualityEnvelope(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"),
-          nTok.cast("long").as("n_tokens"),
-          TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = Tables.memoPersist(spark, s"pipeline.filtered:$dir") {
+      qualityEnvelope(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"),
+            nTok.cast("long").as("n_tokens"),
+            TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4")))
+    }
     val keepers = filtered.groupBy("norm")
       .agg(min("doc_id").as("keeper_id"))
     val deduped = filtered

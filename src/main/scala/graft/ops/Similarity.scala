@@ -39,21 +39,21 @@ object Similarity {
     * Persisted (memory+disk): every similarity query self-joins this frame,
     * and quantization + 4 signature dot products per row are the dominant
     * per-vector cost — the materialize-signatures step of distributed ANN. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quant.as("qv"))
-      .withColumn("n2", dot(col("qv"), col("qv")))
-      // a vector whose components all quantize to zero has no direction:
-      // keep it out rather than let cos = 0/0 produce NaN (which Spark
-      // would floor to 0 while DuckDB errors on the BIGINT cast)
-      .where(col("n2") > 0)
-    val bucket = (0 until NumPlanes).map { j =>
-      val w = array(wVec(j).map(lit): _*)
-      when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    base.withColumn("bucket", bucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.vectors:$dir") {
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), quant.as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+        // a vector whose components all quantize to zero has no direction:
+        // keep it out rather than let cos = 0/0 produce NaN (which Spark
+        // would floor to 0 while DuckDB errors on the BIGINT cast)
+        .where(col("n2") > 0)
+      val bucket = (0 until NumPlanes).map { j =>
+        val w = array(wVec(j).map(lit): _*)
+        when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      base.withColumn("bucket", bucket)
+    }
 
   private def cosine(dotC: Column, na2: Column, nb2: Column): Column =
     dotC.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
@@ -130,20 +130,20 @@ object Similarity {
   val NumCells = 8
   val NProbe = 2
 
-  private def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val seeds = v.where(col("vec_id") < NumCells)
-      .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
-    v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
-      .crossJoin(broadcast(seeds))
-      .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
-      .select("avid", "seed_id", "rnk")
-      // referenced by both the cells and the probes branch — materialize
-      // the k×NumCells assignment once (one small row per vector×seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def cellAssignments(spark: SparkSession, dir: String): DataFrame =
+    // referenced by both the cells and the probes branch — materialize
+    // the k×NumCells assignment once (one small row per vector×seed)
+    Tables.memoPersist(spark, s"sim.cellAssignments:$dir") {
+      val v = vectors(spark, dir)
+      val seeds = v.where(col("vec_id") < NumCells)
+        .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
+      v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
+        .select("avid", "seed_id", "rnk")
+    }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)

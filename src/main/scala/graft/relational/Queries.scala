@@ -204,13 +204,12 @@ object Queries {
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
     val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("id_a"))
       .withColumn("bucket", expr(s"ts_a div $RangeUs"))
-    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+    val b = ev.select(col("user_id"), col("ts").as("ts_b"),
       col("event_id").as("id_b"))
       .withColumn("bucket", explode(array(
         expr(s"ts_b div $RangeUs"), expr(s"ts_b div $RangeUs") - 1)))
-    a.join(b, Seq("bucket"))
-      .where(col("user_id") === col("user_b") &&
-        (col("ts_b") - col("ts_a")).between(0, RangeUs) &&
+    a.join(b, Seq("user_id", "bucket"))
+      .where((col("ts_b") - col("ts_a")).between(0, RangeUs) &&
         (col("ts_b") > col("ts_a") ||
           (col("ts_b") === col("ts_a") && col("id_a") < col("id_b"))))
       // no distinct needed: b's two exploded buckets differ, so a pair can
