@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc._
 import graft.relational.Queries
-import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Ngrams, Pipeline, Similarity, TextStats}
 import graft.streaming.ChangeFeedStream
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -52,6 +52,13 @@ object SparkEntry {
     "sample_stratified" -> (Pipeline.sampleStratified _),
     "pack_sequences" -> (Pipeline.packSequences _),
     "pipeline_e2e" -> (Pipeline.pipelineE2e _),
+    "repetition_filter" -> (TextStats.repetitionFilter _),
+    "ngram_topk" -> (Ngrams.ngramTopk _),
+    "tfidf_topterms" -> (Ngrams.tfidfTopterms _),
+    "knn_classify" -> (Similarity.knnClassify _),
+    "embed_centroids" -> (Similarity.embedCentroids _),
+    "source_mix" -> (Pipeline.sourceMix _),
+    "shard_assign" -> (Pipeline.shardAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +101,12 @@ object SparkEntry {
     "sample_stratified" -> Pipeline.sampleStratifiedSql,
     "pack_sequences" -> Pipeline.packSequencesSql,
     "pipeline_e2e" -> Pipeline.pipelineE2eSql,
+    "repetition_filter" -> TextStats.repetitionFilterSql,
+    "ngram_topk" -> Ngrams.ngramTopkSql,
+    "tfidf_topterms" -> Ngrams.tfidfToptermsSql,
+    "knn_classify" -> Similarity.knnClassifySql,
+    "embed_centroids" -> Similarity.embedCentroidsSql,
+    "source_mix" -> Pipeline.sourceMixSql,
+    "shard_assign" -> Pipeline.shardAssignSql,
   )
 }

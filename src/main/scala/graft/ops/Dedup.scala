@@ -61,7 +61,7 @@ object Dedup {
     * is the standard materialize-signatures step of distributed LSH; the
     * frame is ids + int64 arrays (far smaller than the text) and spills
     * to disk if needed. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"dedup.shingleSets:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), split(norm, " ").as("toks"))
@@ -114,7 +114,7 @@ object Dedup {
   }
 
   /** Oracle CTE: doc_id + distinct shingle hashes, mirrored hash math. */
-  private val ShSqlCte: String =
+  private[ops] val ShSqlCte: String =
     s"""shs AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level n-gram statistics: heavy-hitter shingles and per-document
+  * TF-IDF top terms (SURVEY.md §2 rows 45-46) — the "what is this corpus
+  * made of" passes a training-data pipeline runs ahead of filtering
+  * decisions (hot boilerplate n-grams, per-doc salient terms).
+  *
+  * Scale shape (100 TB): both operators are groupBy aggregations on int64 /
+  * short-string keys, so every shuffle is preceded by map-side partial
+  * aggregation; the top-k steps are either a global TakeOrdered (bounded
+  * K rows cross the wire per partition) or a per-doc window on the doc_id
+  * shuffle. The document-frequency join in TF-IDF co-partitions on the
+  * token key — no broadcast needed, no skew beyond token popularity, which
+  * AQE's skew-join splitting absorbs.
+  */
+object Ngrams {
+
+  // ---- ngram_topk: corpus heavy-hitter bigrams ----------------------------
+
+  /** Top-K bigram shingles by document frequency. Reuses the dedup
+    * pipeline's persisted distinct-shingle sets (each doc contributes a
+    * shingle once, so count(*) IS document frequency). TakeOrdered brings
+    * only K rows per partition to the driver-side sort — no global sort
+    * shuffle. Ties break on the smaller shingle hash. */
+  val TopNgrams = 20
+
+  def ngramTopk(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleSets(spark, dir)
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(TopNgrams)
+
+  val ngramTopkSql: String =
+    s"""WITH ${Dedup.ShSqlCte},
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shs)
+       |SELECT shingle, count(*) AS df
+       |FROM ex GROUP BY shingle
+       |ORDER BY df DESC, shingle
+       |LIMIT $TopNgrams""".stripMargin
+
+  // ---- tfidf_topterms: per-document salient terms -------------------------
+
+  /** Per-doc top-3 tokens by tf × integer idf. The idf surrogate is
+    * floor(1e6 · N / df) — a pure int64-in / double-divide / floor-out
+    * expression both engines evaluate bit-identically (a float ln() would
+    * not be portable, and ranking only needs monotonicity in N/df).
+    * Plan: explode → tf groupBy (map-side combined) → df groupBy on token
+    * → co-partitioned tf⋈df join on token → corpus-size broadcast → per-doc
+    * window top-3. Score ties resolve to the lexicographically smaller
+    * token. */
+  val TfidfTopK = 3
+
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * floor(lit(1000000.0) * col("n_docs") / col("df")).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .where(col("rnk") <= TfidfTopK)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfToptermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+       |         CAST(df.df AS BIGINT) AS df,
+       |         CAST(tf.tf AS BIGINT)
+       |           * CAST(floor(CAST(1000000 AS DOUBLE) * n.n_docs / df.df) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, tok, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
+       |FROM ranked WHERE rnk <= $TfidfTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+}

@@ -115,6 +115,81 @@ object Pipeline {
           size(split(col("text"), " ")).cast("long").as("n_tokens")))
       .orderBy("doc_id")
 
+  // ---- source_mix: data-mixing plan per source ----------------------------
+
+  /** Source-mix rebalancing plan: per-source doc/token totals, each
+    * source's share of the corpus, and the deterministic down-sampling
+    * rate that would equalize token mass across sources (capped at 1e6 =
+    * keep everything — an under-represented source can't be up-sampled by
+    * dropping rows). This is the planning pass of a data-mixture step:
+    * its OUTPUT is #sources rows, so the unpartitioned windows below run
+    * over an already-reduced frame, not the corpus (the corpus-side work
+    * is one map-side-combined groupBy). All ratios are one double
+    * multiply-divide then floor — bit-identical across engines while the
+    * token totals stay under 2^53 (≈9e15 tokens ≫ any real corpus). */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+    val all = Window.partitionBy()
+    perSrc
+      .withColumn("total_tokens", sum("src_tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("share_e6",
+        floor(lit(1000000.0) * col("src_tokens") / col("total_tokens")).cast("long"))
+      .withColumn("rate_e6", least(lit(1000000L),
+        floor(lit(1000000.0) * col("total_tokens")
+          / (col("n_sources") * col("src_tokens"))).cast("long")))
+      .select("source", "n_docs", "src_tokens", "share_e6", "rate_e6")
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+       |         count(*) AS n_sources
+       |  FROM agg)
+       |SELECT source, n_docs, src_tokens,
+       |  CAST(floor(1000000.0 * src_tokens / total_tokens) AS BIGINT) AS share_e6,
+       |  least(CAST(1000000 AS BIGINT),
+       |        CAST(floor(1000000.0 * total_tokens / (n_sources * src_tokens)) AS BIGINT)) AS rate_e6
+       |FROM agg CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
+  // ---- shard_assign: deterministic training-shard routing -----------------
+
+  /** Deterministic shard router + balance audit: the same multiplicative
+    * hash family as the sampler assigns every document a shard in
+    * [0, NumShards); the aggregate reports per-shard doc/token mass and
+    * id range. At scale this hash IS the `repartition(NumShards, shard)`
+    * key the shard writer uses — the audit proves the router spreads mass
+    * evenly before 100 TB gets committed to it. */
+  val NumShards = 8
+
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") % HashModPrime * HashMult % NumShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  val shardAssignSql: String =
+    s"""SELECT (doc_id % $HashModPrime * $HashMult) % $NumShards AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM documents
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   // ---- pipeline_e2e: the composed training-data pass ----------------------
 
   /** The full pass a corpus makes on its way to training shards, composed

@@ -42,7 +42,7 @@ object Similarity {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"sim.vectors:$dir") {
       val base = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), quant.as("qv"))
+        .select(col("vec_id"), col("label").cast("long").as("label"), quant.as("qv"))
         .withColumn("n2", dot(col("qv"), col("qv")))
         // a vector whose components all quantize to zero has no direction:
         // keep it out rather than let cos = 0/0 produce NaN (which Spark
@@ -166,6 +166,56 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  // ---- knn_classify: label vote over brute-force neighbors ----------------
+
+  /** kNN classification: each query vector takes the majority label of its
+    * KnnK nearest neighbors by cosine (vote ties resolve to the smaller
+    * label; neighbor ties to the smaller vec_id). The candidate scan is
+    * the same bounded broadcast k×N pattern as ann_topk — the label vote
+    * adds one tiny aggregation over k×KnnK rows, nothing at fact scale. */
+  val KnnK = 7
+
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("qn2"))
+    val neighbors = v.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rnk") <= KnnK)
+    val pred = neighbors.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))
+      .where(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    pred.join(v.select(col("vec_id"), col("label").as("true_label")),
+        col("qid") === col("vec_id"))
+      .select("qid", "pred_label", "votes", "true_label")
+      .orderBy("qid")
+  }
+
+  // ---- embed_centroids: per-label element-wise centroid --------------------
+
+  /** Per-label centroids of the quantized vectors — the update step of a
+    * distributed k-means / class-prototype pass. posexplode fans each
+    * vector into (label, dim, component); the groupBy then map-side
+    * combines to labels×Dim partial sums per partition, so the shuffle
+    * carries only #labels × Dim rows per task regardless of corpus size.
+    * centroid_q = floor(sum/n) via one double division (sums stay far
+    * under 2^53, so the division is exact-input IEEE on both engines). */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("centroid_q",
+        floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .select("label", "dim", "n", "sum_q", "centroid_q")
+      .orderBy("label", "dim")
+
   // ---- oracle -------------------------------------------------------------
 
   /** Shared CTE: quantized vectors + norms + hyperplane bucket. */
@@ -177,12 +227,12 @@ object Similarity {
          |     THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString("\n    + ")
     s"""qvecs AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
        |vecs0 AS (
-       |  SELECT vec_id, qv,
+       |  SELECT vec_id, label, qv,
        |    list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2,
        |    $bucketTerms AS bucket
        |  FROM qvecs),
@@ -255,6 +305,39 @@ object Similarity {
        |SELECT qid, rnk, cid, cell, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY qid, rnk""".stripMargin
+
+  val knnClassifySql: String =
+    s"""WITH $VecCte,
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS label,
+       |         CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT qid, label, count(*) AS votes
+       |  FROM ranked WHERE rnk <= $KnnK GROUP BY qid, label),
+       |pred AS (
+       |  SELECT qid, label, votes,
+       |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT p.qid, p.label AS pred_label, CAST(p.votes AS BIGINT) AS votes,
+       |       q.label AS true_label
+       |FROM pred p JOIN vecs q ON p.qid = q.vec_id
+       |WHERE p.vr = 1
+       |ORDER BY p.qid""".stripMargin
+
+  val embedCentroidsSql: String =
+    s"""WITH $VecCte
+       |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |       CAST(sum(qv[dim]) AS BIGINT) AS sum_q,
+       |       CAST(floor(CAST(sum(qv[dim]) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q
+       |FROM vecs CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
 
   val embedCosineDupSql: String =
     s"""WITH $VecCte

@@ -130,6 +130,44 @@ object TextStats {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ---- repetition_filter --------------------------------------------------
+
+  /** Within-document repetition removal (the Gopher/RefinedWeb "repetition"
+    * rule re-expressed on whole tokens): rep_ratio = 1 − distinct/total
+    * tokens; documents at or above RepMaxE4 are dropped as
+    * boilerplate/degenerate. A narrow projection over the scan — the
+    * distinct count is `array_distinct` inside codegen, no shuffle, no
+    * per-doc state — so it runs at scan speed on 100 TB. */
+  val RepMaxE4 = 6000L
+
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks)
+    val nDist = size(array_distinct(toks))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        nDist.cast("long").as("n_distinct"),
+        ratioE4(nTok - nDist, nTok).as("rep_ratio_e4"))
+      .where(col("rep_ratio_e4") < RepMaxE4)
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |       CASE WHEN n_tokens = 0 THEN 0
+       |            ELSE CAST(floor(10000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT)
+       |       END AS rep_ratio_e4
+       |FROM t
+       |WHERE (CASE WHEN n_tokens = 0 THEN 0
+       |            ELSE CAST(floor(10000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT)
+       |       END) < $RepMaxE4
+       |ORDER BY doc_id""".stripMargin
+
   // ---- doc_fingerprint ----------------------------------------------------
 
   /** Rolling polynomial hash over the character stream:

