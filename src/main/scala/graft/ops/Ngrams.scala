@@ -59,9 +59,14 @@ object Ngrams {
 
   def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // Materialized once per (session, dir): the tf frame feeds both its own
+    // df aggregation and the final join — without the persist, Catalyst
+    // re-runs the explode + groupBy (the dominant stage) for each branch.
+    val tf = Tables.memoPersist(spark, s"ngrams.tf:$dir") {
+      docs
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    }
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "tok")
