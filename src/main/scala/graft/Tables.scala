@@ -68,15 +68,33 @@ object Tables {
     * same plan logs "Asked to cache already cached data" per call and keeps
     * re-deriving the plan; memoizing the DataFrame object itself makes the
     * shared intermediate (decoded CDC feed, shingle sets, quantized
-    * vectors) genuinely build-once. Weak session keys as in
-    * [[spreadDecisions]]: entries die with their session, so nothing leaks
-    * across driver-cycled sessions. */
+    * vectors) genuinely build-once.
+    *
+    * Lifetime: unlike [[spreadDecisions]] (whose Boolean values let the
+    * WeakHashMap key die), a cached DataFrame strongly references its own
+    * SparkSession, so weak keys alone can NEVER collect these entries.
+    * Instead every call purges entries whose underlying SparkContext has
+    * stopped (their cached blocks died with the executors). Sessions
+    * cycled over one long-lived context share that context's CacheManager
+    * anyway; a driver embedding this library can release one session's
+    * entries early with [[clearPersistCache]]. */
   private val persistCache: java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
+  /** Drop (and unpersist) every memoized frame of one session. */
+  def clearPersistCache(spark: SparkSession): Unit = persistCache.synchronized {
+    val m = persistCache.remove(spark)
+    if (m != null && !spark.sparkContext.isStopped)
+      m.values.foreach(df => df.unpersist(blocking = false))
+  }
+
   def memoPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = persistCache.synchronized {
+      val it = persistCache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
       var m = persistCache.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]

@@ -114,8 +114,12 @@ object ChangeFeed {
     decodedFrom(ev)
       .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
 
+  /** Batch variant rides the memoized persisted decode — the map column is
+    * one cheap projection over the cached frame, so filter_eq / filter_in /
+    * batch fan-out share the decode instead of re-running the JSON path. */
   def decodedWithMap(spark: SparkSession, dir: String): DataFrame =
-    decodedWithMapFrom(Tables.events(spark, dir))
+    decoded(spark, dir)
+      .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
 
   /** insert=1, update=2, delete=4 — reference src/api/ws_utils.rs:10-12. */
   val kindFlag: Column =

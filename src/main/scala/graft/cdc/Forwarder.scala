@@ -18,8 +18,14 @@ object Forwarder {
   /** Routed + filtered deliveries: (sub_id, lsn, base, kind, uid_val).
     * Pure frame transform — the same chain runs over the batch events
     * table and a Structured Streaming source (ForwarderStreamSpec). */
-  def fanoutFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
-    val changes = HyperRemap.remap(spark, ChangeFeed.decodedWithMapFrom(ev))
+  def fanoutFrom(spark: SparkSession, ev: DataFrame): DataFrame =
+    fanoutFromDecoded(spark, ChangeFeed.decodedWithMapFrom(ev))
+
+  /** Same chain over an already-decoded (+cmap) frame — the batch entry
+    * feeds the memoized persisted decode through here so fan-out shares it
+    * with every other CDC query instead of re-running the JSON path. */
+  def fanoutFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame = {
+    val changes = HyperRemap.remap(spark, withMap)
       .withColumn("kflag", ChangeFeed.kindFlag)
     val subs = Subscription.validated(spark).where(col("routable"))
       .select("sub_id", "flag", "tbl", "fcol", "fop", "fval")
@@ -42,7 +48,7 @@ object Forwarder {
   }
 
   def fanout(spark: SparkSession, dir: String): DataFrame =
-    fanoutFrom(spark, graft.Tables.events(spark, dir))
+    fanoutFromDecoded(spark, ChangeFeed.decodedWithMap(spark, dir))
 
   // ---- queries ------------------------------------------------------------
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Corpus-level n-gram statistics: heavy-hitter shingles and per-document
-  * TF-IDF top terms (SURVEY.md §2 rows 45-46) — the "what is this corpus
+  * TF-IDF top terms (SURVEY.md §2 rows 41-42) — the "what is this corpus
   * made of" passes a training-data pipeline runs ahead of filtering
   * decisions (hot boilerplate n-grams, per-doc salient terms).
   *

@@ -163,26 +163,30 @@ object Pipeline {
 
   // ---- shard_assign: deterministic training-shard routing -----------------
 
-  /** Deterministic shard router + balance audit: the same multiplicative
-    * hash family as the sampler assigns every document a shard in
-    * [0, NumShards); the aggregate reports per-shard doc/token mass and
-    * id range. At scale this hash IS the `repartition(NumShards, shard)`
-    * key the shard writer uses — the audit proves the router spreads mass
-    * evenly before 100 TB gets committed to it. */
+  /** Deterministic shard router + balance audit: a multiplicative hash
+    * assigns every document a shard in [0, NumShards); the aggregate
+    * reports per-shard doc/token mass and id range. At scale this hash IS
+    * the `repartition(NumShards, shard)` key the shard writer uses — the
+    * audit proves the router spreads mass evenly before 100 TB gets
+    * committed to it. The product is reduced mod the PRIME before the
+    * power-of-two shard modulus: HashMult ≡ 1 (mod 8), so taking the
+    * product's low bits directly would pass doc_id's low-bit structure
+    * straight through (stride-8 ids would all land in one shard); the
+    * prime reduction mixes high bits into the low ones first. */
   val NumShards = 8
 
   def shardAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        (col("doc_id") % HashModPrime * HashMult % NumShards).as("shard"))
+        (col("doc_id") % HashModPrime * HashMult % HashModPrime % NumShards).as("shard"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("shard")
 
   val shardAssignSql: String =
-    s"""SELECT (doc_id % $HashModPrime * $HashMult) % $NumShards AS shard,
+    s"""SELECT (doc_id % $HashModPrime * $HashMult) % $HashModPrime % $NumShards AS shard,
        |       count(*) AS n_docs,
        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -67,20 +67,31 @@ object Similarity {
   val NumQueries = 5
   val TopK = 5
 
-  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared brute-force neighbor scan: every vector scored against the
+    * broadcast query set, ranked per query by (cos desc, vec_id), cut at
+    * k. Both ann_topk and knn_classify derive from this one definition so
+    * the scoring/tie-break rule cannot silently diverge between them. */
+  private def scoredNeighbors(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("qn2"))
-    val scored = v.crossJoin(broadcast(q))
+    v.crossJoin(broadcast(q))
       .where(col("qid") =!= col("vec_id"))
       .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
-    scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-      .where(col("rnk") <= TopK)
+      .where(col("rnk") <= k)
+  }
+
+  /** Test probe into the shared neighbor scan (Dedup.shingleSetsProbe
+    * pattern): specs recompute the vote from this exact frame. */
+  def scoredNeighborsProbe(spark: SparkSession, dir: String, k: Int): DataFrame =
+    scoredNeighbors(spark, dir, k)
+
+  def annTopk(spark: SparkSession, dir: String): DataFrame =
+    scoredNeighbors(spark, dir, TopK)
       .select(col("qid"), col("rnk"), col("vec_id").as("cid"), cosE6(col("cos")).as("cos_e6"))
       .orderBy("qid", "rnk")
-  }
 
   // ---- ann_lsh: within-bucket top-k for every vector ----------------------
 
@@ -177,15 +188,7 @@ object Similarity {
 
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    val q = v.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("qn2"))
-    val neighbors = v.crossJoin(broadcast(q))
-      .where(col("qid") =!= col("vec_id"))
-      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-      .where(col("rnk") <= KnnK)
-    val pred = neighbors.groupBy("qid", "label")
+    val pred = scoredNeighbors(spark, dir, KnnK).groupBy("qid", "label")
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(
         Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))

@@ -87,12 +87,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).max <= 3 * fair)
   }
 
-  test("knn_classify and ann_topk agree on the neighbor ranking prefix") {
-    // the classifier's top-5 neighbors (KnnK=7 prefix) must equal ann_topk's
-    // top-5 — both derive from the same cosine ordering
+  test("knn_classify prediction is exactly the majority vote of the shared neighbor scan") {
+    val neighbors = Similarity.scoredNeighborsProbe(spark, Sf0001, Similarity.KnnK)
+      .select(col("qid"), col("rnk"), col("label")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("label")))
+    // recompute the vote in plain Scala: (votes desc, label asc) winner
+    val expected = neighbors.groupBy(_._1).map { case (qid, rows) =>
+      val (label, votes) = rows.groupBy(_._3).view.mapValues(_.length).toSeq
+        .minBy { case (l, v) => (-v, l) }
+      qid -> (label, votes.toLong)
+    }
+    val pred = Similarity.knnClassify(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("pred_label"), r.getAs[Long]("votes")))).toMap
+    assert(pred == expected)
+    // and the TopK prefix of that scan is exactly ann_topk's neighbor set
+    val prefix = neighbors.filter(_._2 <= Similarity.TopK)
+      .map { case (q, r, _) => (q, r) }.toSet
     val topk = Similarity.annTopk(spark, Sf0001)
-      .select(col("qid"), col("rnk"), col("cid")).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("cid"))).toSet
-    assert(topk.size == Similarity.NumQueries * Similarity.TopK)
+      .select(col("qid"), col("rnk")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"))).toSet
+    assert(prefix == topk)
   }
 }
