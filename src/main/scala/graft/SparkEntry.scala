@@ -59,6 +59,9 @@ object SparkEntry {
     "embed_centroids" -> (Similarity.embedCentroids _),
     "source_mix" -> (Pipeline.sourceMix _),
     "shard_assign" -> (Pipeline.shardAssign _),
+    "sample_reservoir" -> (Pipeline.sampleReservoir _),
+    "lang_quantiles" -> (Pipeline.langQuantiles _),
+    "user_window_1h" -> (Queries.userWindow1h _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +111,8 @@ object SparkEntry {
     "embed_centroids" -> Similarity.embedCentroidsSql,
     "source_mix" -> Pipeline.sourceMixSql,
     "shard_assign" -> Pipeline.shardAssignSql,
+    "sample_reservoir" -> Pipeline.sampleReservoirSql,
+    "lang_quantiles" -> Pipeline.langQuantilesSql,
+    "user_window_1h" -> Queries.userWindow1hSql,
   )
 }

@@ -194,6 +194,81 @@ object Pipeline {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // ---- sample_reservoir: fixed-count per-stratum sample -------------------
+
+  /** Deterministic reservoir-style sampling: exactly min(k, |stratum|)
+    * documents per language, chosen by ranking on a well-mixed
+    * multiplicative hash (prime-reduced, same family as the shard router)
+    * with doc_id as the total tie-break. Unlike the rate-based sampler
+    * this pins the output SIZE, which is what an eval-set or
+    * per-language budget needs. One window per stratum — the same shuffle
+    * shape as sessionize, million-scale stratum keys partition cleanly. */
+  val ReservoirK = 50
+
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val h = col("doc_id") % HashModPrime * HashMult % HashModPrime
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .where(col("rnk") <= ReservoirK)
+      .select("lang", "rnk", "doc_id")
+      .orderBy("lang", "rnk")
+  }
+
+  val sampleReservoirSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |         (doc_id % $HashModPrime * $HashMult) % $HashModPrime AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+       |  FROM h)
+       |SELECT lang, rnk, doc_id FROM r
+       |WHERE rnk <= $ReservoirK
+       |ORDER BY lang, rnk""".stripMargin
+
+  // ---- lang_quantiles: exact rank-based corpus quantiles ------------------
+
+  /** Per-language exact token-count quantiles by explicit rank selection:
+    * median at rank ⌈n/2⌉, p90 at rank ⌈9n/10⌉ over (n_tokens, doc_id)
+    * order. Rank arithmetic is pure int64 — no percentile interpolation,
+    * whose float semantics differ across engines. The conditional-max
+    * pivot keeps it to one window + one groupBy on the stratum key. */
+  def langQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    ranked
+      .groupBy("lang")
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rnk") === expr("(n + 1) div 2"), col("n_tokens"))).as("median_tokens"),
+        max(when(col("rnk") === expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90_tokens"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .orderBy("lang")
+  }
+
+  val langQuantilesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, n_tokens,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM t)
+       |SELECT lang, max(n) AS n_docs,
+       |       max(CASE WHEN rnk = (n + 1) // 2 THEN n_tokens END) AS median_tokens,
+       |       max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
+       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- pipeline_e2e: the composed training-data pass ----------------------
 
   /** The full pass a corpus makes on its way to training shards, composed

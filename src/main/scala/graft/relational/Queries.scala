@@ -232,6 +232,43 @@ object Queries {
        | AND (b.ts > a.ts OR (b.ts = a.ts AND a.event_id < b.event_id))
        |ORDER BY a.user_id, id_a, id_b""".stripMargin
 
+  // ---- user_window_1h: value-range sliding-window features ----------------
+
+  /** Per-event trailing-hour features over a RANGE frame: for every event,
+    * how many events and how much value the same user produced in the
+    * preceding hour (inclusive). The frame is VALUE-based (rangeBetween on
+    * the µs timestamp), not row-based — ties on ts share one frame, so the
+    * result is deterministic without a total order inside the frame, and
+    * the window is the standard feature-engineering shape (trailing
+    * activity counts) a training pipeline derives per interaction. One
+    * shuffle on user_id, same scale story as sessionize. */
+  val TrailUs: Long = 3600L * 1000 * 1000
+
+  def userWindow1h(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-TrailUs, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("value_cents"))
+      .withColumn("n_1h", count(lit(1)).over(frame))
+      .withColumn("sum_cents_1h", sum("value_cents").over(frame))
+      .select("user_id", "event_id", "ts", "n_1h", "sum_cents_1h")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val userWindow1hSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts, event_id,
+       |         CAST(round(value * 100) AS BIGINT) AS value_cents
+       |  FROM events)
+       |SELECT user_id, event_id, ts,
+       |       count(*) OVER w AS n_1h,
+       |       CAST(sum(value_cents) OVER w AS BIGINT) AS sum_cents_1h
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+       |             RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+
   // ---- events_asof: as-of attribution join --------------------------------
 
   /** As-of join expressed as a window (the compose-first rule: Spark has

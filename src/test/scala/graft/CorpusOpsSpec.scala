@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Ngrams, Pipeline, Similarity, TextStats}
+import graft.relational.Queries
 
 /** Invariants for the corpus-analysis / mixing operators that the DuckDB
   * oracle's value-hash can't articulate: vote majorities, mass
@@ -85,6 +86,41 @@ class CorpusOpsSpec extends SparkSpec {
     // multiplicative-hash balance: no shard holds more than 3x its fair share
     val fair = nDocs.toDouble / Pipeline.NumShards
     assert(rows.map(_.getAs[Long]("n_docs")).max <= 3 * fair)
+  }
+
+  test("sample_reservoir: exactly min(k, stratum size) rows per language") {
+    val perLang = Pipeline.sampleReservoir(spark, Sf0001).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val sizes = Tables.documents(spark, Sf0001).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(perLang.keySet == sizes.keySet)
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(Pipeline.ReservoirK.toLong, sizes(lang)))
+    }
+  }
+
+  test("lang_quantiles: quantiles ordered and inside the min/max envelope") {
+    val rows = Pipeline.langQuantiles(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, med, p90, mx) = (r.getAs[Long]("min_tokens"), r.getAs[Long]("median_tokens"),
+        r.getAs[Long]("p90_tokens"), r.getAs[Long]("max_tokens"))
+      assert(mn <= med && med <= p90 && p90 <= mx)
+    }
+  }
+
+  test("user_window_1h: trailing counts match a brute-force recount") {
+    val rows = Queries.userWindow1h(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("n_1h"), r.getAs[Long]("sum_cents_1h")))
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { evs =>
+      evs.foreach { case (_, ts, n, s) =>
+        val in = evs.filter(e => e._2 <= ts && e._2 >= ts - Queries.TrailUs)
+        assert(n == in.length, s"count mismatch at ts=$ts")
+      }
+    }
+    assert(rows.map(_._3).max > 1, "some trailing window must hold >1 event")
   }
 
   test("knn_classify prediction is exactly the majority vote of the shared neighbor scan") {
