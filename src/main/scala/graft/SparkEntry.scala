@@ -62,6 +62,8 @@ object SparkEntry {
     "sample_reservoir" -> (Pipeline.sampleReservoir _),
     "lang_quantiles" -> (Pipeline.langQuantiles _),
     "user_window_1h" -> (Queries.userWindow1h _),
+    "cdc_snapshot" -> (Forwarder.cdcSnapshot _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +116,7 @@ object SparkEntry {
     "sample_reservoir" -> Pipeline.sampleReservoirSql,
     "lang_quantiles" -> Pipeline.langQuantilesSql,
     "user_window_1h" -> Queries.userWindow1hSql,
+    "cdc_snapshot" -> Forwarder.cdcSnapshotSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
   )
 }

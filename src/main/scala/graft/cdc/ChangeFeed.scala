@@ -27,13 +27,19 @@ import graft.Tables
   */
 object ChangeFeed {
 
-  /** wal2json document schema (reference src/forwarder/mod.rs:11-13, 82-96). */
+  /** wal2json document schema (reference src/forwarder/mod.rs:11-13, 82-96).
+    * `oldkeys` is wal2json's delete/update-identity object — the reference
+    * ignores it (its filters walk columnnames only), but the snapshot
+    * materializer needs the deleted row's key to tombstone it. */
   val ChangeSchema: StructType = StructType(Seq(
     StructField("change", ArrayType(StructType(Seq(
       StructField("kind", StringType),
       StructField("table", StringType),
       StructField("columnnames", ArrayType(StringType)),
-      StructField("columnvalues", ArrayType(StringType))))))))
+      StructField("columnvalues", ArrayType(StringType)),
+      StructField("oldkeys", StructType(Seq(
+        StructField("keynames", ArrayType(StringType)),
+        StructField("keyvalues", ArrayType(StringType)))))))))))
 
   /** event_type → wal2json kind (SURVEY.md §3 mapping). */
   private val kindCol: Column =
@@ -74,11 +80,20 @@ object ChangeFeed {
       .otherwise(array(col("event_id").cast("string"),
         col("user_id").cast("string"), col("event_type"),
         valueCents.cast("string"), k))
+    // deletes identify the removed row via oldkeys (the wal2json REPLICA
+    // IDENTITY payload); to_json omits the null struct on insert/update,
+    // matching real wal2json documents
+    val okeys = when(isDel, struct(
+      array(lit("user_id")).as("keynames"),
+      array(col("user_id").cast("string")).as("keyvalues")))
+      .otherwise(lit(null).cast(
+        "struct<keynames:array<string>,keyvalues:array<string>>"))
     ev.select(
       col("event_id").as("lsn"),
       to_json(struct(array(struct(
         kindCol.as("kind"), tblCol.as("table"),
-        names.as("columnnames"), vals.as("columnvalues"))).as("change")))
+        names.as("columnnames"), vals.as("columnvalues"),
+        okeys.as("oldkeys"))).as("change")))
         .as("payload"))
   }
 
@@ -93,7 +108,9 @@ object ChangeFeed {
       .select(col("lsn"), explode(col("doc.change")).as("c"))
       .select(col("lsn"), col("c.kind").as("kind"), col("c.table").as("tbl"),
         col("c.columnnames").as("columnnames"),
-        col("c.columnvalues").as("columnvalues"))
+        col("c.columnvalues").as("columnvalues"),
+        col("c.oldkeys.keynames").as("keynames"),
+        col("c.oldkeys.keyvalues").as("keyvalues"))
 
   /** Batch decode is persisted (memory+disk) and memoized per (session,
     * dir): the reference decodes each message ONCE and fans it to every

@@ -68,6 +68,34 @@ object Forwarder {
       .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
       .orderBy("base")
 
+  /** Materialized snapshot from the change feed: per (base table, entity)
+    * last-writer-wins by LSN, with deletes as tombstones — the "apply the
+    * CDC stream to get current state" consumer the reference feeds (its
+    * clients replay the stream into their own views; this is that replay
+    * as one plan). The entity key comes from `columnvalues` for
+    * insert/update and from wal2json `oldkeys` for deletes (which carry no
+    * column arrays). One shuffle on (base, entity); the window is a
+    * per-key top-1, i.e. max-LSN semantics, skew-bounded by per-entity
+    * change counts. */
+  def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val entity = coalesce(
+      try_element_at(map_from_arrays(col("columnnames"), col("columnvalues")),
+        lit("user_id")),
+      try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
+        lit("user_id"))).cast("long")
+    val w = Window.partitionBy("base", "uid").orderBy(col("lsn").desc)
+    HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
+      .withColumn("uid", entity)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy("base", "uid")))
+      .where(col("rn") === 1 && col("kind") =!= "delete")
+      .select(col("base"), col("uid"), col("lsn").as("last_lsn"),
+        col("kind").as("last_kind"), col("n_changes"))
+      .orderBy("base", "uid")
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   /** feed → routed → parsed subs → fanout, with uid_val exposed for auth.
@@ -102,6 +130,24 @@ object Forwarder {
     s"""WITH $FanoutCtes
        |SELECT sub_id, lsn, base, kind
        |FROM fanout ORDER BY sub_id, lsn""".stripMargin
+
+  /** The relational mirror keys every change on user_id directly (the feed
+    * CTE carries it for all kinds; the engine-side split between
+    * columnvalues and oldkeys is a decode-path concern, not a semantic
+    * one). */
+  val cdcSnapshotSql: String =
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte},
+       |ranked AS (
+       |  SELECT base, user_id AS uid, lsn, kind,
+       |         row_number() OVER (PARTITION BY base, user_id ORDER BY lsn DESC) AS rn,
+       |         count(*) OVER (PARTITION BY base, user_id) AS n_changes
+       |  FROM routed)
+       |SELECT base, uid, lsn AS last_lsn, kind AS last_kind,
+       |       CAST(n_changes AS BIGINT) AS n_changes
+       |FROM ranked
+       |WHERE rn = 1 AND kind <> 'delete'
+       |ORDER BY base, uid""".stripMargin
 
   val resumeOffsetsSql: String =
     s"""WITH ${ChangeFeed.FeedCte},

@@ -92,26 +92,37 @@ object Dedup {
   }
 
   /** LSH candidate pairs (same key in ≥1 band) + exact shingle-set Jaccard
-    * in 1e-4 fixed point. Pairs are formed per bucket, never all-pairs. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
-    val b = bands(spark, dir)
-    val pairs = b.as("a")
-      .join(b.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sets.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        floor(lit(10000.0) * size(array_intersect(col("sh_a"), col("sh_b")))
-          / size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
-  }
+    * in 1e-4 fixed point. Pairs are formed per bucket, never all-pairs.
+    * Memoized + persisted: the verification join (candidate pairs × two
+    * shingle-set lookups × per-pair intersection) is the dominant dedup
+    * cost and is consumed by BOTH the pair report (dedup_minhash) and the
+    * cluster builder (dedup_clusters). The union size is derived as
+    * |A|+|B|−|A∩B| (the sets are distinct by construction) — one hash
+    * probe pass per pair instead of two. */
+  private[ops] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.pairs:$dir") {
+      val sets = shingleSets(spark, dir)
+      val b = bands(spark, dir)
+      val pairs = b.as("a")
+        .join(b.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(sets.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+        .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(col("doc_a"), col("doc_b"),
+          floor(lit(10000.0) * col("isz")
+            / (size(col("sh_a")) + size(col("sh_b")) - col("isz")))
+            .cast("long").as("jaccard_e4"))
+    }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   /** Oracle CTE: doc_id + distinct shingle hashes, mirrored hash math. */
   private[ops] val ShSqlCte: String =
@@ -156,7 +167,7 @@ object Dedup {
        |   AND a.doc_id < b.doc_id)
        |SELECT p.doc_a, p.doc_b,
        |  CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh))
-       |       / len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS jaccard_e4
+       |       / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_e4
        |FROM pairs p
        |JOIN shs sa ON p.doc_a = sa.doc_id
        |JOIN shs sb ON p.doc_b = sb.doc_id
@@ -264,6 +275,106 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MpMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---- dedup_clusters -----------------------------------------------------
+
+  /** Connected components over the verified near-dup pairs (jaccard ≥
+    * ClusterMinJaccardE4): keeper selection needs CLUSTERS, not pairs — a
+    * chain a~b~c must keep one document, not two "pair winners". Min-label
+    * propagation: every member's label converges to the smallest doc_id
+    * reachable through the pair graph. The loop is driver-side CONTROL
+    * only (a scalar convergence count per round, never a data collect);
+    * each round is one co-partitioned join + groupBy, and rounds grow with
+    * the graph DIAMETER, which for near-dup clusters (cliques/stars from
+    * copies of one source doc) is 2-3 — the standard distributed
+    * connected-components shape. A checkpoint-per-round keeps the
+    * iterated plan from growing unboundedly. */
+  val ClusterMinJaccardE4 = 5000L
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // verifiedPairs is memoized+persisted (shared with dedup_minhash), but
+    // the loop would still re-scan that full candidate cache (≥40× larger
+    // than the thresholded survivors on copy-heavy corpora) on every
+    // round's union branches — so the small filtered edge set gets its own
+    // loop-local persist, released on exit
+    val edges0 = verifiedPairs(spark, dir)
+      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = edges0.union(
+      edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(eager = true)
+    // labels only ever decrease, so the label sum is a strictly-monotone
+    // convergence witness: one scalar aggregate per round instead of an
+    // old-vs-new join. Each round propagates neighbor minima AND
+    // pointer-doubles (jump to the label's own label), so rounds grow with
+    // log(diameter), not diameter — a similarity CHAIN (copy_i ~ copy_i+1
+    // from drifting near-copies, the 10× stress shape) converges in ~4
+    // rounds instead of ~10.
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    while (curSum < prevSum) {
+      val prop = edges.join(labels, col("doc_a") === col("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("lbl"))
+      val relabeled = labels.select("doc_id", "lbl").union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // p_id is unique (relabeled is grouped by doc_id), so the shortcut
+      // join is 1:1 — no re-aggregation needed after it. localCheckpoint
+      // (not persist): an iterated plan otherwise GROWS by one round's
+      // lineage per round — caching only short-circuits execution, the
+      // analyzer/optimizer still walk the whole accumulated logical plan,
+      // and by round N that planning time dwarfs the actual 250k-row
+      // shuffles (measured 10 s/round → 1.3 s with truncation).
+      val next = relabeled
+        .join(relabeled.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl")),
+          col("lbl") === col("p_id"), "left")
+        .select(col("doc_id"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      prevSum = curSum
+      curSum = next.agg(sum("lbl")).head.getLong(0)
+      relabeled.unpersist(blocking = false)
+      labels = next
+    }
+    // labels is a checkpoint leaf by now — the final sort plans against it
+    // alone, so the loop-local edge cache can be released immediately
+    edges0.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Recursive-CTE transitive closure: min reachable id per node — the
+    * oracle computes the exact fixpoint the propagation loop converges
+    * to. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ShSqlCte,
+       |$MinhashSqlCte,
+       |$BandsSqlCte,
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cpairs p
+       |  JOIN shs sa ON p.doc_a = sa.doc_id
+       |  JOIN shs sb ON p.doc_b = sb.doc_id
+       |  WHERE CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh))
+       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT)
+       |        >= $ClusterMinJaccardE4),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  UNION SELECT doc_b, doc_a FROM verified),
+       |reach(node, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node)
+       |SELECT node AS doc_id, min(m) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---- decontaminate ------------------------------------------------------
 

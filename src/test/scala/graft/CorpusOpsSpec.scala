@@ -123,6 +123,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_._3).max > 1, "some trailing window must hold >1 event")
   }
 
+  test("dedup_clusters: labels are cluster minima and cover exactly the paired docs") {
+    import graft.ops.Dedup
+    val clusters = Dedup.dedupClusters(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val edges = Dedup.dedupMinhash(spark, Sf0001).collect()
+      .filter(_.getAs[Long]("jaccard_e4") >= Dedup.ClusterMinJaccardE4)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(clusters.keySet == nodes, "every paired doc gets a label, nothing else")
+    edges.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) must share a cluster")
+    }
+    // each cluster's id is its own smallest member
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
+  test("cdc_snapshot: one live row per (base, entity), tombstones removed") {
+    import graft.cdc.{ChangeFeed, Forwarder, HyperRemap}
+    val snap = Forwarder.cdcSnapshot(spark, Sf0001).collect()
+    val keys = snap.map(r => (r.getAs[String]("base"), r.getAs[Long]("uid")))
+    assert(keys.distinct.length == keys.length)
+    assert(snap.forall(_.getAs[String]("last_kind") != "delete"))
+    // cross-check one bucket by replaying the decoded feed in Scala
+    val feed = HyperRemap.remap(spark, ChangeFeed.decoded(spark, Sf0001)).collect()
+      .map { r =>
+        val names = r.getAs[collection.Seq[String]]("columnnames")
+        val vals = r.getAs[collection.Seq[String]]("columnvalues")
+        val kn = Option(r.getAs[collection.Seq[String]]("keynames")).getOrElse(collection.Seq.empty[String])
+        val kv = Option(r.getAs[collection.Seq[String]]("keyvalues")).getOrElse(collection.Seq.empty[String])
+        val m = (names.zip(vals) ++ kn.zip(kv)).toMap
+        (r.getAs[String]("base"), m("user_id").toLong,
+          r.getAs[Long]("lsn"), r.getAs[String]("kind"))
+      }
+    // NB: .filter + .keys, not .collect returning tuples — Map#collect
+    // over 2-tuples rebuilds a Map and silently collapses keys per base
+    val expected = feed.groupBy(e => (e._1, e._2))
+      .filter { case (_, evs) => evs.maxBy(_._3)._4 != "delete" }
+      .keys.toSet
+    assert(keys.toSet == expected)
+  }
+
   test("knn_classify prediction is exactly the majority vote of the shared neighbor scan") {
     val neighbors = Similarity.scoredNeighborsProbe(spark, Sf0001, Similarity.KnnK)
       .select(col("qid"), col("rnk"), col("label")).collect()
