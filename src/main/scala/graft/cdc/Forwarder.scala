@@ -79,13 +79,14 @@ object Forwarder {
     * change counts. */
   def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reuse the shared cmap projection for insert/update values; only the
+    // delete-side oldkeys lookup is specific to this operator
     val entity = coalesce(
-      try_element_at(map_from_arrays(col("columnnames"), col("columnvalues")),
-        lit("user_id")),
+      try_element_at(col("cmap"), lit("user_id")),
       try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
         lit("user_id"))).cast("long")
     val w = Window.partitionBy("base", "uid").orderBy(col("lsn").desc)
-    HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
+    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
       .withColumn("uid", entity)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_changes", count(lit(1)).over(

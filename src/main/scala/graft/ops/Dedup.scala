@@ -164,13 +164,17 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id)
-       |SELECT p.doc_a, p.doc_b,
-       |  CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh))
-       |       / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_e4
-       |FROM pairs p
-       |JOIN shs sa ON p.doc_a = sa.doc_id
-       |JOIN shs sb ON p.doc_b = sb.doc_id
+       |   AND a.doc_id < b.doc_id),
+       |sized AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh)) AS isz,
+       |         len(sa.sh) AS sza, len(sb.sh) AS szb
+       |  FROM pairs p
+       |  JOIN shs sa ON p.doc_a = sa.doc_id
+       |  JOIN shs sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
+       |FROM sized
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Dev probes for stage timing (see graft.Probe). */
@@ -309,14 +313,22 @@ object Dedup {
       .localCheckpoint(eager = true)
     // labels only ever decrease, so the label sum is a strictly-monotone
     // convergence witness: one scalar aggregate per round instead of an
-    // old-vs-new join. Each round propagates neighbor minima AND
-    // pointer-doubles (jump to the label's own label), so rounds grow with
-    // log(diameter), not diameter — a similarity CHAIN (copy_i ~ copy_i+1
-    // from drifting near-copies, the 10× stress shape) converges in ~4
-    // rounds instead of ~10.
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("lbl")).head.getLong(0)
-    while (curSum < prevSum) {
+    // old-vs-new join. The sum runs in DECIMAL(38,0) — a Long sum wraps
+    // at ~1e9 docs × 1e10 ids and a wrapped witness can end the loop
+    // before the fixpoint. An empty graph (no pair over the threshold)
+    // yields a NULL sum → None → the loop never runs and the result is
+    // empty, matching the oracle. Each round propagates neighbor minima
+    // AND pointer-doubles (jump to the label's own label), so rounds grow
+    // with log(diameter), not diameter — a similarity CHAIN
+    // (copy_i ~ copy_i+1 from drifting near-copies, the 10× stress shape)
+    // converges in ~4 rounds instead of ~10.
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
+    var prevSum: Option[java.math.BigDecimal] = None
+    var curSum = lblSum(labels)
+    while (curSum.isDefined && prevSum.forall(p => curSum.get.compareTo(p) < 0)) {
       val prop = edges.join(labels, col("doc_a") === col("doc_id"))
         .select(col("doc_b").as("doc_id"), col("lbl"))
       val relabeled = labels.select("doc_id", "lbl").union(prop)
@@ -335,7 +347,7 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = true)
       prevSum = curSum
-      curSum = next.agg(sum("lbl")).head.getLong(0)
+      curSum = lblSum(next)
       relabeled.unpersist(blocking = false)
       labels = next
     }
@@ -358,13 +370,16 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |verified AS (
-       |  SELECT p.doc_a, p.doc_b
+       |csized AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh)) AS isz,
+       |         len(sa.sh) AS sza, len(sb.sh) AS szb
        |  FROM cpairs p
        |  JOIN shs sa ON p.doc_a = sa.doc_id
-       |  JOIN shs sb ON p.doc_b = sb.doc_id
-       |  WHERE CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh))
-       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT)
+       |  JOIN shs sb ON p.doc_b = sb.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b FROM csized
+       |  WHERE CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT)
        |        >= $ClusterMinJaccardE4),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified

@@ -249,10 +249,10 @@ object Queries {
       .rangeBetween(-TrailUs, 0)
     Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"),
-        expr("cast(round(value * 100) as bigint)").as("value_cents"))
+        cents(col("value")).as("value_cents"))
       .withColumn("n_1h", count(lit(1)).over(frame))
       .withColumn("sum_cents_1h", sum("value_cents").over(frame))
-      .select("user_id", "event_id", "ts", "n_1h", "sum_cents_1h")
+      .select("user_id", "event_id", "ts", "value_cents", "n_1h", "sum_cents_1h")
       .orderBy("user_id", "ts", "event_id")
   }
 
@@ -261,7 +261,7 @@ object Queries {
        |  SELECT user_id, epoch_us(ts) AS ts, event_id,
        |         CAST(round(value * 100) AS BIGINT) AS value_cents
        |  FROM events)
-       |SELECT user_id, event_id, ts,
+       |SELECT user_id, event_id, ts, value_cents,
        |       count(*) OVER w AS n_1h,
        |       CAST(sum(value_cents) OVER w AS BIGINT) AS sum_cents_1h
        |FROM e

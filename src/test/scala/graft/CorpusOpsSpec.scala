@@ -109,18 +109,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("user_window_1h: trailing counts match a brute-force recount") {
+  test("user_window_1h: trailing counts AND sums match a brute-force recount") {
     val rows = Queries.userWindow1h(spark, Sf0001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
-        r.getAs[Long]("n_1h"), r.getAs[Long]("sum_cents_1h")))
+        r.getAs[Long]("value_cents"), r.getAs[Long]("n_1h"),
+        r.getAs[Long]("sum_cents_1h")))
     val byUser = rows.groupBy(_._1)
     byUser.values.foreach { evs =>
-      evs.foreach { case (_, ts, n, s) =>
+      evs.foreach { case (_, ts, _, n, s) =>
         val in = evs.filter(e => e._2 <= ts && e._2 >= ts - Queries.TrailUs)
         assert(n == in.length, s"count mismatch at ts=$ts")
+        assert(s == in.map(_._3).sum, s"sum mismatch at ts=$ts")
       }
     }
-    assert(rows.map(_._3).max > 1, "some trailing window must hold >1 event")
+    assert(rows.map(_._4).max > 1, "some trailing window must hold >1 event")
   }
 
   test("dedup_clusters: labels are cluster minima and cover exactly the paired docs") {
