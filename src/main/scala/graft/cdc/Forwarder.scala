@@ -77,17 +77,19 @@ object Forwarder {
     * column arrays). One shuffle on (base, entity); the window is a
     * per-key top-1, i.e. max-LSN semantics, skew-bounded by per-entity
     * change counts. */
+  /** Entity key over a decoded+cmap change row: insert/update expose it in
+    * the column map, deletes only in wal2json oldkeys. Shared by the batch
+    * snapshot and its streaming twin (CdcSnapshotStreamSpec). */
+  val entityCol: org.apache.spark.sql.Column = coalesce(
+    try_element_at(col("cmap"), lit("user_id")),
+    try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
+      lit("user_id"))).cast("long")
+
   def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // reuse the shared cmap projection for insert/update values; only the
-    // delete-side oldkeys lookup is specific to this operator
-    val entity = coalesce(
-      try_element_at(col("cmap"), lit("user_id")),
-      try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
-        lit("user_id"))).cast("long")
     val w = Window.partitionBy("base", "uid").orderBy(col("lsn").desc)
     HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
-      .withColumn("uid", entity)
+      .withColumn("uid", entityCol)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_changes", count(lit(1)).over(
         Window.partitionBy("base", "uid")))
