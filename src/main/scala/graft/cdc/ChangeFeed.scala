@@ -160,6 +160,36 @@ object ChangeFeed {
       .groupBy("kind", "tbl").agg(count(lit(1)).as("n"))
       .orderBy("kind", "tbl")
 
+  // ---- cdc_redact ---------------------------------------------------------
+
+  /** PII redaction in the delivery path: digits in the values of sensitive
+    * columns are masked before the change leaves the forwarder, and each
+    * change reports how many characters were redacted. The reference
+    * forwards raw `columnvalues` to every subscriber
+    * (src/forwarder/mod.rs:43-143); a compliance deployment interposes
+    * exactly this scrub between decode and fan-out. Column-targeted via
+    * `zip_with` over the parallel name/value arrays — one narrow
+    * codegen'd projection, no shuffle, order-preserving — and deletes pass
+    * through untouched (their column arrays are empty; oldkeys are key
+    * material, not payload). */
+  val SensitiveCols = Seq("value_cents", "k")
+
+  def cdcRedact(spark: SparkSession, dir: String): DataFrame = {
+    val sensitive = (n: Column) => n.isin(SensitiveCols.map(_.asInstanceOf[Any]): _*)
+    val red = zip_with(col("columnnames"), col("columnvalues"), (n, v) =>
+      when(sensitive(n), regexp_replace(v, "[0-9]", "#")).otherwise(v))
+    val nRed = aggregate(
+      zip_with(col("columnnames"), col("columnvalues"), (n, v) =>
+        when(sensitive(n), size(regexp_extract_all(v, lit("[0-9]"), lit(0))))
+          .otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+    decoded(spark, dir)
+      .select(col("lsn"), col("kind"), col("tbl"),
+        array_join(red, "|").as("vals_redacted"),
+        nRed.cast("long").as("n_redacted"))
+      .orderBy("lsn")
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   /** Relational mirror of the feed synthesis, shared by every CDC oracle. */
@@ -189,6 +219,19 @@ object ChangeFeed {
        |  CASE WHEN kind = 'delete' THEN ''
        |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
        |                      event_type, CAST(value_cents AS VARCHAR), k) END AS vals
+       |FROM feed ORDER BY lsn""".stripMargin
+
+  val cdcRedactSql: String =
+    s"""WITH $FeedCte
+       |SELECT lsn, kind, tbl,
+       |  CASE WHEN kind = 'delete' THEN ''
+       |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
+       |                      event_type,
+       |                      regexp_replace(CAST(value_cents AS VARCHAR), '[0-9]', '#', 'g'),
+       |                      regexp_replace(k, '[0-9]', '#', 'g')) END AS vals_redacted,
+       |  CASE WHEN kind = 'delete' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(regexp_extract_all(CAST(value_cents AS VARCHAR), '[0-9]'))
+       |            + len(regexp_extract_all(k, '[0-9]')) AS BIGINT) END AS n_redacted
        |FROM feed ORDER BY lsn""".stripMargin
 
   val changeTypeFilterSql: String =

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Document chunking and chunk-level corpus hygiene (SURVEY.md §2 rows
+  * 52-54): overlapping token-window chunks, cross-document boilerplate
+  * detection, and a Bloom-filter eval-set membership prefilter.
+  *
+  * Chunking is the unit step of a context-window training pipeline: long
+  * documents become overlapping token windows, each fingerprinted with the
+  * same rolling polynomial hash the document fingerprints use, so chunk
+  * identity is comparable corpus-wide. The chunk frame is a narrow
+  * projection + one generator (`posexplode`) over the scan — no shuffle —
+  * and is memoized per (session, dir) because three operators share it.
+  *
+  * Scale: chunks-per-doc is n_tokens/stride, so the frame is a small
+  * constant factor over the corpus and partitions exactly like the scan.
+  * The 31-bit chunk fingerprint can conflate distinct chunks (~n²/2^32
+  * expected collisions); at real corpus scale the same plan runs with the
+  * 63-bit SimHash-style widening — the width is a constant here, chosen to
+  * stay bit-reproducible in the DuckDB oracle.
+  */
+object Chunks {
+
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Shared DuckDB fragment: rolling fingerprint of a string expression —
+    * textually identical math to `HashExprs.byteRollHash`. */
+  def fpSql(e: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * ${TextStats.FpPrime} + c) % ${TextStats.FpMod})""".stripMargin
+
+  /** One row per (doc, chunk): overlapping ChunkTokens-wide windows every
+    * ChunkStride tokens. Chunk text is dropped after fingerprinting so the
+    * persisted shared frame stays lean. */
+  def chunkFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"chunks.frame:$dir") {
+      val toks = split(col("text"), " ")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), toks.as("toks"),
+          size(toks).as("n_tok"))
+        .where(col("n_tok") > 0)
+        .select(col("doc_id"), col("source"), col("toks"), col("n_tok"),
+          posexplode(sequence(lit(0), col("n_tok") - 1, lit(ChunkStride))))
+        .withColumn("chunk",
+          array_join(slice(col("toks"), col("col") + 1, lit(ChunkTokens)), " "))
+        .select(col("doc_id"), col("source"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").cast("long").as("start_tok"),
+          least(lit(ChunkTokens), col("n_tok") - col("col"))
+            .cast("long").as("n_chunk_tokens"),
+          graft.functions.HashExprs
+            .byteRollHash(col("chunk"), TextStats.FpPrime, TextStats.FpMod)
+            .as("chunk_fp"))
+    }
+
+  /** Shared DuckDB CTE mirroring [[chunkFrame]]. */
+  val ChunksCte: String =
+    s"""chunks AS (
+       |  SELECT doc_id, source,
+       |         CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+       |         CAST(s AS BIGINT) AS start_tok,
+       |         CAST(least($ChunkTokens, n_tok - s) AS BIGINT) AS n_chunk_tokens,
+       |         ${fpSql(s"array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' ')")} AS chunk_fp
+       |  FROM (SELECT doc_id, source,
+       |               string_split(text, ' ') AS toks,
+       |               len(string_split(text, ' ')) AS n_tok,
+       |               unnest(range(0, len(string_split(text, ' ')), $ChunkStride)) AS s
+       |        FROM documents
+       |        WHERE len(string_split(text, ' ')) > 0) t)""".stripMargin
+
+  // ---- doc_chunks ---------------------------------------------------------
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_fp")
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunksSql: String =
+    s"""WITH $ChunksCte
+       |SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_fp
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- chunk_boilerplate --------------------------------------------------
+
+  /** Chunks repeated across ≥2 distinct documents — the boilerplate /
+    * template detector (headers, navigation, license blocks at web scale).
+    * One groupBy on the chunk fingerprint; the distinct-doc count is a
+    * partial-aggregated count over the already-shuffled group, and output
+    * size is bounded by the number of REPEATED chunks, which is tiny
+    * relative to the corpus. */
+  def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir)
+      .groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("chunk_fp")
+
+  val chunkBoilerplateSql: String =
+    s"""WITH $ChunksCte
+       |SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM chunks GROUP BY chunk_fp
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_fp""".stripMargin
+
+  // ---- bloom_decontaminate ------------------------------------------------
+
+  /** Bloom-filter eval-set membership prefilter: the eval corpus (source
+    * 'src0', same held-out convention as [[Dedup.decontaminate]]) sets
+    * k=3 bit positions per chunk fingerprint in an m=8192-bit filter;
+    * every train chunk whose 3 positions are all set is flagged, then
+    * exact fp membership labels it true hit vs Bloom false positive.
+    *
+    * This is the scale pattern for "have we seen this before" against a
+    * reference set: the bit table is AT MOST m rows no matter how large
+    * the eval corpus grows, so the probe side is three broadcast
+    * left-semi joins over a narrow scan — the train corpus is never
+    * shuffled. The verification join broadcasts the distinct eval
+    * fingerprints (bounded by the eval set, which is small by
+    * definition). False positives are the expected Bloom behavior and are
+    * labeled, not hidden: at fill ratio p the FP rate is p³.
+    *
+    * Positions use the shard-router trick (prime reduction before the
+    * power-of-two modulus) so fingerprint low-bit structure cannot leak
+    * into bit positions. */
+  val BloomBits = 8192L
+  val BloomM1 = 2654435761L
+  val BloomM2 = 2246822519L
+  val BloomM3 = 3266489917L
+
+  private def pos(m: Long): Column =
+    col("chunk_fp") * m % TextStats.FpMod % BloomBits
+
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkFrame(spark, dir)
+    val evalFps = chunks.where(col("source") === Dedup.EvalSource)
+      .select("chunk_fp").distinct()
+    val bits = evalFps
+      .select(explode(array(pos(BloomM1), pos(BloomM2), pos(BloomM3))).as("bit"))
+      .distinct()
+    chunks.where(col("source") =!= Dedup.EvalSource)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        pos(BloomM1).as("p1"), pos(BloomM2).as("p2"), pos(BloomM3).as("p3"))
+      .join(broadcast(bits.withColumnRenamed("bit", "p1")), Seq("p1"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("bit", "p2")), Seq("p2"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("bit", "p3")), Seq("p3"), "left_semi")
+      .join(broadcast(evalFps.withColumnRenamed("chunk_fp", "efp")),
+        col("chunk_fp") === col("efp"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
+        when(col("efp").isNotNull, 1L).otherwise(0L).as("exact_hit"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH $ChunksCte,
+       |efps AS (
+       |  SELECT DISTINCT chunk_fp FROM chunks WHERE source = '${Dedup.EvalSource}'),
+       |bits AS (
+       |  SELECT DISTINCT bit FROM (
+       |    SELECT unnest([chunk_fp * $BloomM1 % ${TextStats.FpMod} % $BloomBits,
+       |                   chunk_fp * $BloomM2 % ${TextStats.FpMod} % $BloomBits,
+       |                   chunk_fp * $BloomM3 % ${TextStats.FpMod} % $BloomBits]) AS bit
+       |    FROM efps) u),
+       |probes AS (
+       |  SELECT doc_id, chunk_idx, chunk_fp,
+       |         chunk_fp * $BloomM1 % ${TextStats.FpMod} % $BloomBits AS p1,
+       |         chunk_fp * $BloomM2 % ${TextStats.FpMod} % $BloomBits AS p2,
+       |         chunk_fp * $BloomM3 % ${TextStats.FpMod} % $BloomBits AS p3
+       |  FROM chunks WHERE source <> '${Dedup.EvalSource}')
+       |SELECT p.doc_id, p.chunk_idx, p.chunk_fp,
+       |       CAST(CASE WHEN e.chunk_fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit
+       |FROM probes p
+       |JOIN bits b1 ON p.p1 = b1.bit
+       |JOIN bits b2 ON p.p2 = b2.bit
+       |JOIN bits b3 ON p.p3 = b3.bit
+       |LEFT JOIN efps e ON p.chunk_fp = e.chunk_fp
+       |ORDER BY p.doc_id, p.chunk_idx""".stripMargin
+}

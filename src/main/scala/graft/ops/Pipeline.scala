@@ -269,6 +269,51 @@ object Pipeline {
        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- lang_trim: winsorized per-language token statistics ----------------
+
+  /** Trimmed (winsorized) per-language token-count mean: drop the bottom
+    * and top 10% of documents by (n_tokens, doc_id) rank, then average
+    * the kept mass — the robust estimate a corpus report wants when a few
+    * giant or empty documents would swamp the raw mean. Reuses the exact
+    * rank machinery of [[langQuantiles]] (integer `div` arithmetic, total
+    * tie-break), so the trim boundaries are bit-identical across engines;
+    * the only float op is one e4 fixed-point division at the end. Same
+    * shuffle shape as every stratum window: one partition per language. */
+  def langTrim(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rnk") > expr("n div 10") && col("rnk") <= expr("n - n div 10"))
+      .groupBy("lang")
+      .agg(max("n").as("n_docs"), count(lit(1)).as("n_kept"),
+        sum("n_tokens").as("kept_tokens"))
+      .withColumn("trim_mean_e4",
+        expr("CAST(floor(10000.0 * kept_tokens / n_kept) AS BIGINT)"))
+      .orderBy("lang")
+
+  val langTrimSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, n_tokens,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM t),
+       |k AS (
+       |  SELECT lang, max(n) AS n_docs, count(*) AS n_kept,
+       |         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM r
+       |  WHERE rnk > n // 10 AND rnk <= n - n // 10
+       |  GROUP BY lang)
+       |SELECT lang, n_docs, n_kept, kept_tokens,
+       |       CAST(floor(10000.0 * kept_tokens / n_kept) AS BIGINT) AS trim_mean_e4
+       |FROM k ORDER BY lang""".stripMargin
+
   // ---- pipeline_e2e: the composed training-data pass ----------------------
 
   /** The full pass a corpus makes on its way to training shards, composed

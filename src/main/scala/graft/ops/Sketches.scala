@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cardinality sketching (SURVEY.md §2 row 55): a deterministic
+  * HyperLogLog re-expressed as two partial-aggregating groupBys.
+  *
+  * At 100 TB, "how many distinct X per group" is the first question every
+  * corpus report asks, and exact distinct is a full shuffle of the key
+  * space. HLL is the standard answer: per (group, bucket) keep only the
+  * max rank — fixed sketch memory per group (m buckets), both
+  * aggregations map-side combine, and the merge is associative so the
+  * same plan computes incrementally over new partitions.
+  *
+  * Engine-portable hashing: production Spark would use `xxhash64`, but no
+  * other engine reproduces it bit-for-bit, so the driver's DuckDB gate
+  * could not verify it. Instead the hash family is the same
+  * prime-modulus affine mix the shard router and LSH stages use
+  * (pairwise-independent; Mersenne prime 2^31−1), and the geometric rank
+  * is the trailing-zero count of the mixed value, extracted with pure
+  * int64 ops: t = h & −h isolates the lowest set bit, and t mod 37 is a
+  * perfect hash of the 31 possible powers of two (2 generates the
+  * multiplicative group mod 37), decoded by a generated CASE — identical
+  * SQL text runs on both engines.
+  *
+  * The estimator is the raw HLL harmonic mean with α_64 fixed at
+  * ${AlphaE6}e-6; no small-range (linear counting) correction, because
+  * that needs ln(), whose last-ulp rounding is not guaranteed identical
+  * across engines — the bias below ~2.5·m distinct values is accepted
+  * and visible in the emitted err_e4 column. All power-of-2 terms are
+  * exact int64 (2^(40−rho)), and the one float division sequence is
+  * written with identical literal text on both sides.
+  */
+object Sketches {
+
+  val HllP = 2147483647L  // 2^31 − 1, same modulus as the fingerprints
+  val HllM1 = 2654435761L // bucket mix
+  val HllM2 = 2246822519L // rank mix
+  val HllBuckets = 64
+  val AlphaE6 = 709337L   // 0.7213 / (1 + 1.079/64), e6 fixed point
+
+  /** Generated CASE decoding 2^k → k for k in [0, 30] via t mod 37. */
+  def tzCaseSql(e: String): String = {
+    val whens = (0 to 30)
+      .map(k => s"WHEN ${(BigInt(2).pow(k) % 37)} THEN $k").mkString(" ")
+    s"CASE (($e) & -($e)) % 37 $whens END"
+  }
+
+  /** Geometric rank: trailing zeros of the 31-bit mix + 1; all-zero → 32. */
+  def rhoSql(e: String): String =
+    s"CASE WHEN ($e) = 0 THEN 32 ELSE (${tzCaseSql(e)}) + 1 END"
+
+  // identical float math on both engines: alpha * m^2 * 2^40 / S, e6
+  // scaled. Scientific notation, NOT decimal-point literals: both engines
+  // parse `4.5e15` as DOUBLE, while DuckDB types `4503599627370496.0` as
+  // DECIMAL(18,1) and overflows multiplying it.
+  private val estSql =
+    s"CAST(floor($AlphaE6 * 4.503599627370496e15 / s_total / 1.0e6) AS BIGINT)"
+  private val errSql =
+    "CAST(floor(1.0e4 * abs(hll_est - n_exact) / n_exact) AS BIGINT)"
+
+  // ---- hll_distinct -------------------------------------------------------
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mix2 = s"event_id % $HllP * $HllM2 % $HllP"
+    val sketch = ev
+      .select(col("event_type"),
+        expr(s"event_id % $HllP * $HllM1 % $HllP % $HllBuckets").as("bucket"),
+        expr(rhoSql(mix2)).as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("rho_max"))
+      .groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - rho_max AS INT))"))
+        .as("s_present"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("s_total",
+        col("s_present") + (lit(HllBuckets.toLong) - col("n_buckets")) * lit(1L << 40))
+      .withColumn("hll_est", expr(estSql))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("event_id").as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_est"),
+        expr(errSql).as("err_e4"))
+      .orderBy("event_type")
+  }
+
+  val hllDistinctSql: String = {
+    val mix2 = s"event_id % $HllP * $HllM2 % $HllP"
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         event_id % $HllP * $HllM1 % $HllP % $HllBuckets AS bucket,
+       |         ${rhoSql(mix2)} AS rho
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, bucket, max(rho) AS rho_max
+       |  FROM b GROUP BY event_type, bucket),
+       |s AS (
+       |  SELECT event_type,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(40 - rho_max AS INT)) AS BIGINT) AS s_present,
+       |         count(*) AS n_buckets
+       |  FROM m GROUP BY event_type),
+       |e AS (
+       |  SELECT event_type,
+       |         s_present + ($HllBuckets - n_buckets) * (CAST(1 AS BIGINT) << 40) AS s_total
+       |  FROM s),
+       |est AS (
+       |  SELECT event_type, $estSql AS hll_est FROM e),
+       |x AS (
+       |  SELECT event_type, count(DISTINCT event_id) AS n_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT est.event_type, x.n_exact, est.hll_est, $errSql AS err_e4
+       |FROM est JOIN x ON est.event_type = x.event_type
+       |ORDER BY est.event_type""".stripMargin
+  }
+}

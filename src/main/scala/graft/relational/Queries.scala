@@ -269,6 +269,37 @@ object Queries {
        |             RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, ts, event_id""".stripMargin
 
+  // ---- agg_skew_distinct: two-phase exact distinct under key skew ---------
+
+  /** Exact per-type distinct users + value mass with the distinct phase
+    * written as its own shuffle: phase 1 dedups on the COMPOSITE
+    * (event_type, user_id) key — high cardinality, so a handful of hot
+    * event types cannot pin the work to a handful of reducers the way
+    * `count(DISTINCT)` shuffled on the group key alone would at 100 TB —
+    * and phase 2 is a plain count on the already-distinct rows. Spark's
+    * optimizer performs this expansion for single distinct aggregates
+    * itself; writing it explicitly keeps the shuffle key visible (and
+    * extendable with a salt stage) and lets the algebraic sums travel a
+    * separate partial-agg path instead of the Expand operator. */
+  def aggSkewDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), cents(col("value")).as("cents"))
+    val users = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val sums = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+    sums.join(users, Seq("event_type"))
+      .select("event_type", "n_events", "sum_cents", "n_users")
+      .orderBy("event_type")
+  }
+
+  val aggSkewDistinctSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- events_asof: as-of attribution join --------------------------------
 
   /** As-of join expressed as a window (the compose-first rule: Spark has
