@@ -246,6 +246,16 @@ case class SimHashExpr(child: Expression, bits: Int)
 }
 
 object HashExprs {
+  /** Shared affine-mix multipliers for the engine's portable hash family
+    * (x % P * MixN % P, P prime). One definition point: the stratified
+    * sampler / shard router, the HLL bucket+rank mixes, and the Bloom
+    * bit positions all draw from here — an edit to a stray copy would
+    * silently change hash behavior for only some operators. Values fit
+    * the no-overflow bound (2^31−1) · Mix < 2^63. */
+  val Mix1 = 2654435761L // Knuth multiplicative golden-ratio constant
+  val Mix2 = 2246822519L // xxhash PRIME32_2
+  val Mix3 = 3266489917L // xxhash PRIME32_3
+
   def longDot(a: Column, b: Column): Column =
     GraftShim.column(
       LongDotExpr(GraftShim.expression(a), GraftShim.expression(b)))

@@ -27,14 +27,6 @@ object Chunks {
   val ChunkTokens = 32
   val ChunkStride = 24
 
-  /** Shared DuckDB fragment: rolling fingerprint of a string expression —
-    * textually identical math to `HashExprs.byteRollHash`. */
-  def fpSql(e: String): String =
-    s"""list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (h, c) -> (h * ${TextStats.FpPrime} + c) % ${TextStats.FpMod})""".stripMargin
-
   /** One row per (doc, chunk): overlapping ChunkTokens-wide windows every
     * ChunkStride tokens. Chunk text is dropped after fingerprinting so the
     * persisted shared frame stays lean. */
@@ -66,7 +58,7 @@ object Chunks {
        |         CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
        |         CAST(s AS BIGINT) AS start_tok,
        |         CAST(least($ChunkTokens, n_tok - s) AS BIGINT) AS n_chunk_tokens,
-       |         ${fpSql(s"array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' ')")} AS chunk_fp
+       |         ${TextStats.fpSql(s"array_to_string(list_slice(toks, s + 1, s + $ChunkTokens), ' ')")} AS chunk_fp
        |  FROM (SELECT doc_id, source,
        |               string_split(text, ' ') AS toks,
        |               len(string_split(text, ' ')) AS n_tok,
@@ -133,12 +125,16 @@ object Chunks {
     * power-of-two modulus) so fingerprint low-bit structure cannot leak
     * into bit positions. */
   val BloomBits = 8192L
-  val BloomM1 = 2654435761L
-  val BloomM2 = 2246822519L
-  val BloomM3 = 3266489917L
+  val BloomM1: Long = graft.functions.HashExprs.Mix1
+  val BloomM2: Long = graft.functions.HashExprs.Mix2
+  val BloomM3: Long = graft.functions.HashExprs.Mix3
 
   private def pos(m: Long): Column =
     col("chunk_fp") * m % TextStats.FpMod % BloomBits
+
+  /** Oracle twin of [[pos]] — one definition for all six SQL uses. */
+  private def posSql(m: Long): String =
+    s"chunk_fp * $m % ${TextStats.FpMod} % $BloomBits"
 
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunkFrame(spark, dir)
@@ -166,15 +162,15 @@ object Chunks {
        |  SELECT DISTINCT chunk_fp FROM chunks WHERE source = '${Dedup.EvalSource}'),
        |bits AS (
        |  SELECT DISTINCT bit FROM (
-       |    SELECT unnest([chunk_fp * $BloomM1 % ${TextStats.FpMod} % $BloomBits,
-       |                   chunk_fp * $BloomM2 % ${TextStats.FpMod} % $BloomBits,
-       |                   chunk_fp * $BloomM3 % ${TextStats.FpMod} % $BloomBits]) AS bit
+       |    SELECT unnest([${posSql(BloomM1)},
+       |                   ${posSql(BloomM2)},
+       |                   ${posSql(BloomM3)}]) AS bit
        |    FROM efps) u),
        |probes AS (
        |  SELECT doc_id, chunk_idx, chunk_fp,
-       |         chunk_fp * $BloomM1 % ${TextStats.FpMod} % $BloomBits AS p1,
-       |         chunk_fp * $BloomM2 % ${TextStats.FpMod} % $BloomBits AS p2,
-       |         chunk_fp * $BloomM3 % ${TextStats.FpMod} % $BloomBits AS p3
+       |         ${posSql(BloomM1)} AS p1,
+       |         ${posSql(BloomM2)} AS p2,
+       |         ${posSql(BloomM3)} AS p3
        |  FROM chunks WHERE source <> '${Dedup.EvalSource}')
        |SELECT p.doc_id, p.chunk_idx, p.chunk_fp,
        |       CAST(CASE WHEN e.chunk_fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit

@@ -132,10 +132,7 @@ object Dedup {
        |      list_transform(range(1, len(string_split(lower(trim(text)), ' '))),
        |        i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
        |             string_split(lower(trim(text)), ' ')[i+1]),
-       |      s -> list_reduce(
-       |        list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |        (h, c) -> (h * ${TextStats.FpPrime} + c) % $P))) AS sh
+       |      s -> ${TextStats.fpSql("s")})) AS sh
        |  FROM documents
        |  WHERE len(string_split(lower(trim(text)), ' ')) >= 2)""".stripMargin
 
@@ -476,10 +473,7 @@ object Dedup {
     s"""t AS (
        |  SELECT doc_id,
        |    list_transform(string_split(lower(trim(text)), ' '),
-       |      s -> list_reduce(
-       |        list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |        (h, c) -> (h * ${TextStats.FpPrime} + c) % $P)) AS th
+       |      s -> ${TextStats.fpSql("s")}) AS th
        |  FROM documents),
        |tws AS (
        |  SELECT doc_id,

@@ -63,7 +63,7 @@ object Pipeline {
     * a prime BEFORE the multiply so the product stays far below 2^63 for
     * any conceivable id (a raw multiply would wrap negative in Spark and
     * error in DuckDB once doc_id passes ~3.5e9). */
-  val HashMult = 2654435761L
+  val HashMult: Long = graft.functions.HashExprs.Mix1
   val HashModPrime = 1000003L
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
@@ -236,14 +236,32 @@ object Pipeline {
     * order. Rank arithmetic is pure int64 — no percentile interpolation,
     * whose float semantics differ across engines. The conditional-max
     * pivot keeps it to one window + one groupBy on the stratum key. */
-  def langQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Tables.documents(spark, dir)
+  /** Shared rank stage for the per-language corpus reports: (doc_id, lang,
+    * n_tokens) plus exact per-stratum rank and size — one window per
+    * language. The quantile and winsorize operators both consume this, so
+    * the tie-break and tokenizer cannot desynchronize between them. */
+  private def rankedByTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-    ranked
+
+  /** Oracle twin of [[rankedByTokens]] (CTEs `t`, `r`). */
+  private val RankedSqlCtes: String =
+    """t AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, n_tokens,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rnk,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM t)""".stripMargin
+
+  def langQuantiles(spark: SparkSession, dir: String): DataFrame =
+    rankedByTokens(spark, dir)
       .groupBy("lang")
       .agg(
         max(col("n")).as("n_docs"),
@@ -251,18 +269,9 @@ object Pipeline {
         max(when(col("rnk") === expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90_tokens"),
         min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
       .orderBy("lang")
-  }
 
   val langQuantilesSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents),
-       |r AS (
-       |  SELECT lang, n_tokens,
-       |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rnk,
-       |         count(*) OVER (PARTITION BY lang) AS n
-       |  FROM t)
+    s"""WITH $RankedSqlCtes
        |SELECT lang, max(n) AS n_docs,
        |       max(CASE WHEN rnk = (n + 1) // 2 THEN n_tokens END) AS median_tokens,
        |       max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
@@ -280,30 +289,17 @@ object Pipeline {
     * the only float op is one e4 fixed-point division at the end. Same
     * shuffle shape as every stratum window: one partition per language. */
   def langTrim(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    rankedByTokens(spark, dir)
       .where(col("rnk") > expr("n div 10") && col("rnk") <= expr("n - n div 10"))
       .groupBy("lang")
       .agg(max("n").as("n_docs"), count(lit(1)).as("n_kept"),
         sum("n_tokens").as("kept_tokens"))
       .withColumn("trim_mean_e4",
-        expr("CAST(floor(10000.0 * kept_tokens / n_kept) AS BIGINT)"))
+        expr("CAST(floor(1.0e4 * kept_tokens / n_kept) AS BIGINT)"))
       .orderBy("lang")
 
   val langTrimSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, lang,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents),
-       |r AS (
-       |  SELECT lang, n_tokens,
-       |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rnk,
-       |         count(*) OVER (PARTITION BY lang) AS n
-       |  FROM t),
+    s"""WITH $RankedSqlCtes,
        |k AS (
        |  SELECT lang, max(n) AS n_docs, count(*) AS n_kept,
        |         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
@@ -311,7 +307,7 @@ object Pipeline {
        |  WHERE rnk > n // 10 AND rnk <= n - n // 10
        |  GROUP BY lang)
        |SELECT lang, n_docs, n_kept, kept_tokens,
-       |       CAST(floor(10000.0 * kept_tokens / n_kept) AS BIGINT) AS trim_mean_e4
+       |       CAST(floor(1.0e4 * kept_tokens / n_kept) AS BIGINT) AS trim_mean_e4
        |FROM k ORDER BY lang""".stripMargin
 
   // ---- pipeline_e2e: the composed training-data pass ----------------------

@@ -35,9 +35,9 @@ import graft.Tables
   */
 object Sketches {
 
-  val HllP = 2147483647L  // 2^31 − 1, same modulus as the fingerprints
-  val HllM1 = 2654435761L // bucket mix
-  val HllM2 = 2246822519L // rank mix
+  val HllP: Long = TextStats.FpMod // 2^31 − 1, same modulus as the fingerprints
+  val HllM1: Long = graft.functions.HashExprs.Mix1 // bucket mix
+  val HllM2: Long = graft.functions.HashExprs.Mix2 // rank mix
   val HllBuckets = 64
   val AlphaE6 = 709337L   // 0.7213 / (1 + 1.079/64), e6 fixed point
 

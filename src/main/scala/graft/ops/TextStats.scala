@@ -179,6 +179,17 @@ object TextStats {
   def fingerprint(text: Column): Column =
     graft.functions.HashExprs.byteRollHash(text, FpPrime, FpMod)
 
+  /** THE DuckDB text of the rolling fingerprint over a string expression —
+    * textually identical math to `HashExprs.byteRollHash`. Every oracle
+    * that fingerprints text (doc/chunk fingerprints, shingle and token
+    * hashes) must interpolate this one definition; a lone inline copy
+    * would let the engines desynchronize. */
+  def fpSql(e: String): String =
+    s"""list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (h, c) -> (h * $FpPrime + c) % $FpMod)""".stripMargin
+
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -187,13 +198,7 @@ object TextStats {
 
   val docFingerprintSql: String =
     s"""SELECT doc_id,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (h, c) -> (h * $FpPrime + c) % $FpMod) AS fp,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |    (h, c) -> (h * $FpPrime + c) % $FpMod) % 1024 AS fp_bucket
+       |  ${fpSql("text")} AS fp,
+       |  ${fpSql("text")} % 1024 AS fp_bucket
        |FROM documents ORDER BY doc_id""".stripMargin
 }
