@@ -104,6 +104,47 @@ object Chunks {
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY chunk_fp""".stripMargin
 
+  // ---- dedup_incremental --------------------------------------------------
+
+  /** Incremental ingest dedup at chunk granularity: documents of the new
+    * batch (doc_id ≡ 3 mod 4 stands in for "this ingest") are scored by
+    * how many of their chunks already exist in the historical corpus
+    * (everything else); a batch document is kept only when ALL its chunks
+    * are unseen. This is the per-ingest step a continuously-fed corpus
+    * runs instead of re-deduping 100 TB from scratch. The join is
+    * fp-keyed and co-partitioned; at scale history is the huge side and
+    * the day's batch the small one, so AQE picks a broadcast or a shuffle
+    * join from actual sizes — neither side is ever crossed. */
+  val BatchMod = 4L
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFrame(spark, dir)
+    val hist = ch.where(col("doc_id") % BatchMod =!= BatchMod - 1)
+      .select(col("chunk_fp").as("h_fp")).distinct()
+    ch.where(col("doc_id") % BatchMod === BatchMod - 1)
+      .join(hist, col("chunk_fp") === col("h_fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("h_fp").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("keep", when(col("n_seen") === 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $ChunksCte,
+       |hist AS (
+       |  SELECT DISTINCT chunk_fp AS h_fp FROM chunks
+       |  WHERE doc_id % $BatchMod <> ${BatchMod - 1})
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN h.h_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |       CAST(CASE WHEN sum(CASE WHEN h.h_fp IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM chunks c
+       |LEFT JOIN hist h ON c.chunk_fp = h.h_fp
+       |WHERE c.doc_id % $BatchMod = ${BatchMod - 1}
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---- bloom_decontaminate ------------------------------------------------
 
   /** Bloom-filter eval-set membership prefilter: the eval corpus (source

@@ -57,16 +57,20 @@ object Ngrams {
     * token. */
   val TfidfTopK = 3
 
-  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // Materialized once per (session, dir): the tf frame feeds both its own
-    // df aggregation and the final join — without the persist, Catalyst
-    // re-runs the explode + groupBy (the dominant stage) for each branch.
-    val tf = Tables.memoPersist(spark, s"ngrams.tf:$dir") {
-      docs
+  /** Per-(doc, token) counts, materialized once per (session, dir): the
+    * tf frame feeds the TF-IDF df aggregation and final join, the token
+    * totals, and the vocabulary build — without the persist, Catalyst
+    * re-runs the explode + groupBy (the dominant stage) per consumer. */
+  def tfFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"ngrams.tf:$dir") {
+      Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     }
+
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = tfFrame(spark, dir)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "tok")
@@ -79,6 +83,52 @@ object Ngrams {
       .select("doc_id", "rnk", "tok", "tf", "df", "score")
       .orderBy("doc_id", "rnk")
   }
+
+  /** Per-token corpus totals (occurrences), off the shared tf frame. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n"))
+
+  /** Oracle twin of [[tokenCounts]] (CTEs `toks`, `tf`, `tn`). */
+  val TokenCountsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |tn AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY tok)""".stripMargin
+
+  // ---- vocab_build --------------------------------------------------------
+
+  /** Tokenizer vocabulary: tokens with document frequency ≥ MinVocabDf,
+    * ids assigned by (occurrences desc, token) rank. The global
+    * row_number window is single-partition BY DESIGN: its input is the
+    * already-aggregated vocabulary table (bounded by vocabulary size, not
+    * corpus size — tens of thousands of rows at any corpus scale), so the
+    * sort never sees corpus-cardinality data. The corpus-side work is the
+    * same map-side-combined tf/df aggregation every operator here shares. */
+  val MinVocabDf = 2L
+
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame =
+    tfFrame(spark, dir)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("tf").as("n_occ"))
+      .where(col("df") >= MinVocabDf)
+      .withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("tok"))).cast("long"))
+      .select("vocab_id", "tok", "df", "n_occ")
+      .orderBy("vocab_id")
+
+  val vocabBuildSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |v AS (
+       |  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_occ
+       |  FROM tf GROUP BY tok
+       |  HAVING count(*) >= $MinVocabDf)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS vocab_id,
+       |       tok, df, n_occ
+       |FROM v ORDER BY vocab_id""".stripMargin
 
   val tfidfToptermsSql: String =
     s"""WITH toks AS (

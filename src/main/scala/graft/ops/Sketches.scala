@@ -87,6 +87,72 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  // ---- cms_topk -----------------------------------------------------------
+
+  /** Count-min sketch over the token stream, read back for the exact
+    * top-K tokens. Depth 3 (one row per shared mix multiplier), width
+    * 1024: the sketch is AT MOST 3×1024 cells no matter the corpus size —
+    * that bound is the whole point at 100 TB, where an exact token count
+    * table has vocabulary cardinality but the sketch stays resident in
+    * one broadcast. Build = union of the three (row, position, weight)
+    * projections → one map-side-combined groupBy on (row, pos); reading
+    * an estimate = min over the three cells, always ≥ the true count, so
+    * the emitted over_n column is provably non-negative and shows the
+    * collision overcount directly. Token weights come from the memoized
+    * tf frame the TF-IDF pass already shares. */
+  val CmsWidth = 1024L
+  val CmsTopK = 20
+
+  private val CmsMixes = Seq(
+    1L -> graft.functions.HashExprs.Mix1,
+    2L -> graft.functions.HashExprs.Mix2,
+    3L -> graft.functions.HashExprs.Mix3)
+
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tokN = Ngrams.tokenCounts(spark, dir)
+      .withColumn("th", TextStats.fingerprint(col("tok")))
+    val cells = CmsMixes.map { case (j, m) =>
+      tokN.select(lit(j).as("row_idx"),
+        (col("th") * m % TextStats.FpMod % CmsWidth).as("pos"), col("n"))
+    }.reduce(_ unionAll _)
+      .groupBy("row_idx", "pos").agg(sum("n").as("cell"))
+    val top = tokN.orderBy(col("n").desc, col("tok")).limit(CmsTopK)
+    val joined = CmsMixes.foldLeft(top) { case (acc, (j, m)) =>
+      acc.join(broadcast(
+        cells.where(col("row_idx") === j)
+          .select((col("pos")).as(s"p$j"), col("cell").as(s"c$j"))),
+        col("th") * m % TextStats.FpMod % CmsWidth === col(s"p$j"))
+    }
+    joined
+      .withColumn("cms_n", least(col("c1"), col("c2"), col("c3")))
+      .select(col("tok"), col("n").as("exact_n"), col("cms_n"),
+        (col("cms_n") - col("n")).as("over_n"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  val cmsTopkSql: String = {
+    val posOf = (m: Long) => s"th * $m % ${TextStats.FpMod} % $CmsWidth"
+    val rows = CmsMixes.map { case (j, m) =>
+      s"SELECT n, $j AS row_idx, ${posOf(m)} AS pos FROM h"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH ${Ngrams.TokenCountsCtes},
+       |h AS (
+       |  SELECT tok, n, ${TextStats.fpSql("tok")} AS th FROM tn),
+       |cells AS (
+       |  SELECT row_idx, pos, CAST(sum(n) AS BIGINT) AS cell FROM (
+       |    $rows) u
+       |  GROUP BY row_idx, pos),
+       |top AS (SELECT tok, n, th FROM h ORDER BY n DESC, tok LIMIT $CmsTopK)
+       |SELECT t.tok, t.n AS exact_n,
+       |       least(c1.cell, c2.cell, c3.cell) AS cms_n,
+       |       least(c1.cell, c2.cell, c3.cell) - t.n AS over_n
+       |FROM top t
+       |JOIN cells c1 ON c1.row_idx = 1 AND c1.pos = t.${posOf(CmsMixes(0)._2)}
+       |JOIN cells c2 ON c2.row_idx = 2 AND c2.pos = t.${posOf(CmsMixes(1)._2)}
+       |JOIN cells c3 ON c3.row_idx = 3 AND c3.pos = t.${posOf(CmsMixes(2)._2)}
+       |ORDER BY exact_n DESC, tok""".stripMargin
+  }
+
   val hllDistinctSql: String = {
     val mix2 = s"event_id % $HllP * $HllM2 % $HllP"
     s"""WITH b AS (

@@ -300,6 +300,55 @@ object Queries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- event_anomalies: per-group z-score outliers ------------------------
+
+  /** Per-type 2σ outliers: group moments from one map-side-combined
+    * aggregation (counts, cent sums, DECIMAL(38,0) squared sums — a Long
+    * squared-sum wraps at real scale), broadcast back onto the stream as
+    * a 5-row dim. Determinism across engines: the moments are exact
+    * integers; mean/std are derived with ONE textually identical double
+    * expression sequence on both sides (÷, ×, sqrt are all IEEE
+    * correctly-rounded, so identical operand order ⇒ identical bits), and
+    * the only emitted float is floored e4 fixed point. */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sum_sq"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", expr("CAST(sum_cents AS DOUBLE) / n"))
+      .withColumn("std", expr(
+        """sqrt(CAST(sum_sq AS DOUBLE) / n
+          | - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n))""".stripMargin))
+      .where(col("std") > 0 && expr("abs(cents - mean) > 2.0e0 * std"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("CAST(floor(1.0e4 * abs(cents - mean) / std) AS BIGINT)").as("dev_e4"))
+      .orderBy("event_id")
+  }
+
+  val eventAnomaliesSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |         sum(cents * cents) AS sum_sq
+      |  FROM e GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_id, e.event_type, e.cents,
+      |         CAST(sum_cents AS DOUBLE) / n AS mean,
+      |         sqrt(CAST(sum_sq AS DOUBLE) / n
+      |           - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n)) AS std
+      |  FROM e JOIN stats USING (event_type))
+      |SELECT event_id, event_type, cents,
+      |       CAST(floor(1.0e4 * abs(cents - mean) / std) AS BIGINT) AS dev_e4
+      |FROM z
+      |WHERE std > 0 AND abs(cents - mean) > 2.0e0 * std
+      |ORDER BY event_id""".stripMargin
+
   // ---- events_asof: as-of attribution join --------------------------------
 
   /** As-of join expressed as a window (the compose-first rule: Spark has
