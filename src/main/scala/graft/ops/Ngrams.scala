@@ -118,10 +118,7 @@ object Ngrams {
       .orderBy("vocab_id")
 
   val vocabBuildSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
-       |  FROM documents),
-       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    s"""WITH $TokenCountsCtes,
        |v AS (
        |  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_occ
        |  FROM tf GROUP BY tok

@@ -109,12 +109,16 @@ object Sketches {
     3L -> graft.functions.HashExprs.Mix3)
 
   def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    val tokN = Ngrams.tokenCounts(spark, dir)
-      .withColumn("th", TextStats.fingerprint(col("tok")))
+    // four consumers below (three cells branches + the top-K readback):
+    // memoized so the per-token aggregation + fingerprint run once
+    val tokN = graft.Tables.memoPersist(spark, s"sketches.tokn:$dir") {
+      Ngrams.tokenCounts(spark, dir)
+        .withColumn("th", TextStats.fingerprint(col("tok")))
+    }
     val cells = CmsMixes.map { case (j, m) =>
       tokN.select(lit(j).as("row_idx"),
         (col("th") * m % TextStats.FpMod % CmsWidth).as("pos"), col("n"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
       .groupBy("row_idx", "pos").agg(sum("n").as("cell"))
     val top = tokN.orderBy(col("n").desc, col("tok")).limit(CmsTopK)
     val joined = CmsMixes.foldLeft(top) { case (acc, (j, m)) =>

@@ -313,14 +313,20 @@ object Queries {
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+    // the wide cast sits on an OPERAND so the square itself is decimal —
+    // a LongType multiply would wrap before any cast once |cents| > ~3e9
     val stats = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
-        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sum_sq"))
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sum_sq"))
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("mean", expr("CAST(sum_cents AS DOUBLE) / n"))
-      .withColumn("std", expr(
-        """sqrt(CAST(sum_sq AS DOUBLE) / n
-          | - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n))""".stripMargin))
+      // float cancellation can round an all-equal group's variance to a
+      // small NEGATIVE number; the CASE keeps sqrt off that path (DuckDB
+      // would abort on sqrt(-x); Spark would emit NaN) on BOTH engines
+      .withColumn("varr", expr(
+        """CAST(sum_sq AS DOUBLE) / n
+          | - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n)""".stripMargin))
+      .withColumn("std", expr("CASE WHEN varr > 0 THEN sqrt(varr) ELSE 0.0e0 END"))
       .where(col("std") > 0 && expr("abs(cents - mean) > 2.0e0 * std"))
       .select(col("event_id"), col("event_type"), col("cents"),
         expr("CAST(floor(1.0e4 * abs(cents - mean) / std) AS BIGINT)").as("dev_e4"))
@@ -335,14 +341,18 @@ object Queries {
       |stats AS (
       |  SELECT event_type, count(*) AS n,
       |         CAST(sum(cents) AS BIGINT) AS sum_cents,
-      |         sum(cents * cents) AS sum_sq
+      |         sum(CAST(cents AS HUGEINT) * cents) AS sum_sq
       |  FROM e GROUP BY event_type),
-      |z AS (
+      |v AS (
       |  SELECT e.event_id, e.event_type, e.cents,
       |         CAST(sum_cents AS DOUBLE) / n AS mean,
-      |         sqrt(CAST(sum_sq AS DOUBLE) / n
-      |           - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n)) AS std
-      |  FROM e JOIN stats USING (event_type))
+      |         CAST(sum_sq AS DOUBLE) / n
+      |           - (CAST(sum_cents AS DOUBLE) / n) * (CAST(sum_cents AS DOUBLE) / n) AS varr
+      |  FROM e JOIN stats USING (event_type)),
+      |z AS (
+      |  SELECT event_id, event_type, cents, mean,
+      |         CASE WHEN varr > 0 THEN sqrt(varr) ELSE 0.0e0 END AS std
+      |  FROM v)
       |SELECT event_id, event_type, cents,
       |       CAST(floor(1.0e4 * abs(cents - mean) / std) AS BIGINT) AS dev_e4
       |FROM z
