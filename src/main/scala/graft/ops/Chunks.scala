@@ -184,12 +184,16 @@ object Chunks {
     val bits = evalFps
       .select(explode(array(pos(BloomM1), pos(BloomM2), pos(BloomM3))).as("bit"))
       .distinct()
+    // one broadcast bit table probed three times: identical right-side
+    // subtrees let Spark plan a single BroadcastExchange + ReusedExchange
+    // instead of three copies (renamed frames would defeat the reuse)
+    val b = broadcast(bits)
     chunks.where(col("source") =!= Dedup.EvalSource)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
         pos(BloomM1).as("p1"), pos(BloomM2).as("p2"), pos(BloomM3).as("p3"))
-      .join(broadcast(bits.withColumnRenamed("bit", "p1")), Seq("p1"), "left_semi")
-      .join(broadcast(bits.withColumnRenamed("bit", "p2")), Seq("p2"), "left_semi")
-      .join(broadcast(bits.withColumnRenamed("bit", "p3")), Seq("p3"), "left_semi")
+      .join(b, col("p1") === b("bit"), "left_semi")
+      .join(b, col("p2") === b("bit"), "left_semi")
+      .join(b, col("p3") === b("bit"), "left_semi")
       .join(broadcast(evalFps.withColumnRenamed("chunk_fp", "efp")),
         col("chunk_fp") === col("efp"), "left")
       .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"),
