@@ -96,6 +96,56 @@ object Ngrams {
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
       |tn AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY tok)""".stripMargin
 
+  // ---- token_drift --------------------------------------------------------
+
+  /** Token-distribution drift between two corpus snapshots (the even /
+    * odd doc_id halves stand in for "last month" vs "this month"): per
+    * token, each half's e6 frequency share and the absolute share delta,
+    * top DriftTopK by that delta. This is the drift monitor a continuously
+    * fed corpus runs to catch scrapes going stale or a source changing
+    * character. One full-outer co-partitioned join of two map-side
+    * -combined token aggregates; output is bounded by K. */
+  val DriftTopK = 20
+
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tfFrame(spark, dir)
+    def half(rem: Int, tag: String) = tf
+      .where(col("doc_id") % 2 === rem)
+      .groupBy("tok").agg(sum("tf").as(s"n_$tag"))
+      .withColumn(s"tot_$tag", sum(col(s"n_$tag")).over(Window.partitionBy()))
+    half(0, "a").join(half(1, "b"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("CAST(floor(1.0e6 * coalesce(n_a, 0) / max(tot_a) OVER ()) AS BIGINT)").as("share_a_e6"),
+        expr("CAST(floor(1.0e6 * coalesce(n_b, 0) / max(tot_b) OVER ()) AS BIGINT)").as("share_b_e6"))
+      .withColumn("delta_e6", abs(col("share_a_e6") - col("share_b_e6")))
+      .orderBy(col("delta_e6").desc, col("tok"))
+      .limit(DriftTopK)
+  }
+
+  val tokenDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |a AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n_a FROM tf WHERE doc_id % 2 = 0 GROUP BY tok),
+       |b AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n_b FROM tf WHERE doc_id % 2 = 1 GROUP BY tok),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM a) AS tot_a,
+       |         (SELECT CAST(sum(n_b) AS BIGINT) FROM b) AS tot_b),
+       |j AS (
+       |  SELECT coalesce(a.tok, b.tok) AS tok,
+       |         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |         CAST(floor(1.0e6 * coalesce(n_a, 0) / tot_a) AS BIGINT) AS share_a_e6,
+       |         CAST(floor(1.0e6 * coalesce(n_b, 0) / tot_b) AS BIGINT) AS share_b_e6
+       |  FROM a FULL OUTER JOIN b ON a.tok = b.tok CROSS JOIN tot)
+       |SELECT tok, n_a, n_b, share_a_e6, share_b_e6,
+       |       abs(share_a_e6 - share_b_e6) AS delta_e6
+       |FROM j
+       |ORDER BY delta_e6 DESC, tok
+       |LIMIT $DriftTopK""".stripMargin
+
   // ---- vocab_build --------------------------------------------------------
 
   /** Tokenizer vocabulary: tokens with document frequency ≥ MinVocabDf,

@@ -229,6 +229,50 @@ object Pipeline {
        |WHERE rnk <= $ReservoirK
        |ORDER BY lang, rnk""".stripMargin
 
+  // ---- sample_weighted: fixed-count weighted sample ------------------------
+
+  /** Weighted reservoir-style sample: k documents per language chosen
+    * with probability increasing in token mass. The classic A-ES key
+    * u^(1/w) needs pow(), whose rounding is not engine-portable; the
+    * integer surrogate rank = h·1e6 div w preserves "heavier ⇒ smaller
+    * expected key" with pure int64 arithmetic (h < 2^31 prime-mixed, so
+    * h·1e6 < 2^51 — no wrap), at the cost of the exact A-ES inclusion
+    * distribution. Same one-window-per-stratum shuffle as the uniform
+    * reservoir. */
+  val WeightedK = 25
+
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val h = col("doc_id") % HashModPrime * HashMult % HashModPrime
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("wkey", expr(s"(doc_id % $HashModPrime * $HashMult % $HashModPrime) * 1000000 div n_tokens"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("wkey"), col("doc_id"))))
+      .where(col("rnk") <= WeightedK)
+      .select("lang", "rnk", "doc_id", "n_tokens", "wkey")
+      .orderBy("lang", "rnk")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0),
+       |k AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         (doc_id % $HashModPrime * $HashMult % $HashModPrime) * 1000000 // n_tokens AS wkey
+       |  FROM t),
+       |r AS (
+       |  SELECT lang, doc_id, n_tokens, wkey,
+       |         row_number() OVER (PARTITION BY lang ORDER BY wkey, doc_id) AS rnk
+       |  FROM k)
+       |SELECT lang, rnk, doc_id, n_tokens, wkey FROM r
+       |WHERE rnk <= $WeightedK
+       |ORDER BY lang, rnk""".stripMargin
+
   // ---- lang_quantiles: exact rank-based corpus quantiles ------------------
 
   /** Per-language exact token-count quantiles by explicit rank selection:
