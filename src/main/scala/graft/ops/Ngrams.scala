@@ -112,23 +112,27 @@ object Ngrams {
     def half(rem: Int, tag: String) = tf
       .where(col("doc_id") % 2 === rem)
       .groupBy("tok").agg(sum("tf").as(s"n_$tag"))
-      .withColumn(s"tot_$tag", sum(col(s"n_$tag")).over(Window.partitionBy()))
-    half(0, "a").join(half(1, "b"), Seq("tok"), "full_outer")
+    val a = half(0, "a")
+    val b = half(1, "b")
+    // scalar totals as a 1-row broadcast (the tfidf n_docs pattern) —
+    // an unpartitioned window here would drag each half's whole
+    // vocabulary through a single partition
+    val tots = a.agg(sum("n_a").as("tot_a"))
+      .crossJoin(b.agg(sum("n_b").as("tot_b")))
+    a.join(b, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(tots))
       .select(col("tok"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
-        expr("CAST(floor(1.0e6 * coalesce(n_a, 0) / max(tot_a) OVER ()) AS BIGINT)").as("share_a_e6"),
-        expr("CAST(floor(1.0e6 * coalesce(n_b, 0) / max(tot_b) OVER ()) AS BIGINT)").as("share_b_e6"))
+        expr("CAST(floor(1.0e6 * coalesce(n_a, 0) / tot_a) AS BIGINT)").as("share_a_e6"),
+        expr("CAST(floor(1.0e6 * coalesce(n_b, 0) / tot_b) AS BIGINT)").as("share_b_e6"))
       .withColumn("delta_e6", abs(col("share_a_e6") - col("share_b_e6")))
       .orderBy(col("delta_e6").desc, col("tok"))
       .limit(DriftTopK)
   }
 
   val tokenDriftSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
-       |  FROM documents),
-       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    s"""WITH $TokenCountsCtes,
        |a AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n_a FROM tf WHERE doc_id % 2 = 0 GROUP BY tok),
        |b AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n_b FROM tf WHERE doc_id % 2 = 1 GROUP BY tok),
        |tot AS (

@@ -235,14 +235,13 @@ object Pipeline {
     * with probability increasing in token mass. The classic A-ES key
     * u^(1/w) needs pow(), whose rounding is not engine-portable; the
     * integer surrogate rank = h·1e6 div w preserves "heavier ⇒ smaller
-    * expected key" with pure int64 arithmetic (h < 2^31 prime-mixed, so
-    * h·1e6 < 2^51 — no wrap), at the cost of the exact A-ES inclusion
+    * expected key" with pure int64 arithmetic (h < HashModPrime ≈ 2^20,
+    * so h·1e6 < 2^40 — no wrap), at the cost of the exact A-ES inclusion
     * distribution. Same one-window-per-stratum shuffle as the uniform
     * reservoir. */
   val WeightedK = 25
 
-  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val h = col("doc_id") % HashModPrime * HashMult % HashModPrime
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -253,7 +252,6 @@ object Pipeline {
       .where(col("rnk") <= WeightedK)
       .select("lang", "rnk", "doc_id", "n_tokens", "wkey")
       .orderBy("lang", "rnk")
-  }
 
   val sampleWeightedSql: String =
     s"""WITH t AS (
