@@ -187,6 +187,53 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  // ---- session_native: Spark's built-in session_window ---------------------
+
+  /** The same 30-minute gap sessions expressed through Spark's NATIVE
+    * `session_window` aggregation instead of the lag/running-sum window
+    * pair — the operator Structured Streaming uses for watermarked
+    * session state, exercised here in batch where the oracle can check
+    * it. Spark merges overlapping per-event [ts, ts+gap) intervals;
+    * window.end is therefore last_ts + gap, which the gap-CTE oracle
+    * reproduces as max(ts) + gap. Timestamps round-trip long µs →
+    * TimestampType → long µs so the arithmetic both engines compare is
+    * int64. One shuffle on user_id, same as the lag formulation — but
+    * only ONE window-function-free aggregation, no two-pass lag + sum. */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      .withColumn("tse", expr("timestamp_micros(ts_us)"))
+      .groupBy(col("user_id"), session_window(col("tse"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+        min("event_id").as("first_event_id"))
+      .select(col("user_id"), col("start_us"),
+        expr("unix_micros(w.end)").as("gap_end_us"),
+        col("n_events"), col("first_event_id"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val sessionNativeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS start_us,
+      |       max(ts) + 1800000000 AS gap_end_us,
+      |       count(*) AS n_events, min(event_id) AS first_event_id
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   // ---- events_range_join: interval self-join without a cartesian ----------
 
   /** Range join via interval bucketing (the compose-first answer to a
