@@ -353,4 +353,48 @@ object Similarity {
        |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
        |         * 1000000.0) AS BIGINT) >= $DupThresholdE6
        |ORDER BY aid, bid""".stripMargin
+
+  // ---- embed_norm_audit ---------------------------------------------------
+
+  /** Per-label vector hygiene report: counts, zero-norm (direction-less)
+    * vectors, and the quantized squared-norm envelope — the audit a
+    * pipeline runs BEFORE trusting cosine math on a new embedding drop
+    * (the zero-norm count is exactly the population the similarity
+    * operators exclude to keep cos out of 0/0). One map-side-combined
+    * groupBy over a narrow projection; the squared-norm sum accumulates
+    * in DECIMAL(38,0) (a Long sum wraps at ~1e9 vectors × the 6.4e9
+    * per-vector bound) and only the bounded per-label mean is emitted. */
+  def embedNormAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), quant.as("qv"))
+      .withColumn("n2", dot(col("qv"), col("qv")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min("n2").as("min_n2"), max("n2").as("max_n2"),
+        sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_n2"), col("max_n2"),
+        expr("CAST(floor(CAST(sum_n2 AS DOUBLE) / n_vecs) AS BIGINT)").as("mean_n2"))
+      .orderBy("label")
+
+  val embedNormAuditSql: String =
+    s"""WITH q AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT label,
+       |         list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2
+       |  FROM q),
+       |s AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |         CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |         min(n2) AS min_n2, max(n2) AS max_n2,
+       |         sum(n2) AS sum_n2
+       |  FROM n GROUP BY label)
+       |SELECT label, n_vecs, n_zero, min_n2, max_n2,
+       |       CAST(floor(CAST(sum_n2 AS DOUBLE) / n_vecs) AS BIGINT) AS mean_n2
+       |FROM s ORDER BY label""".stripMargin
 }

@@ -347,6 +347,37 @@ object Queries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- events_pivot: per-user event-type matrix ---------------------------
+
+  /** Per-user activity matrix through the `pivot` API with an EXPLICIT
+    * value list: without one, pivot first collects the distinct pivot
+    * values to the driver — an extra job and a correctness hazard (a new
+    * event type would silently change the schema); with one, the plan is
+    * a single map-side-combined groupBy whose aggregate buffers carry
+    * five conditional counts. The cents sum pivots on the same pass. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("cents"))
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val eventsPivotSql: String = {
+    val cols = EventTypes.map { t =>
+      s"""       coalesce(sum(CASE WHEN event_type = '$t' THEN 1 END), 0) AS ${t}_n,
+         |       coalesce(CAST(sum(CASE WHEN event_type = '$t'
+         |           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT), 0) AS ${t}_cents""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   // ---- event_anomalies: per-group z-score outliers ------------------------
 
   /** Per-type 2σ outliers: group moments from one map-side-combined

@@ -65,6 +65,31 @@ class ChunkSketchSpec extends SparkSpec {
     }
   }
 
+  test("hll sketches merge: max-combining half sketches equals the whole") {
+    // the property that makes HLL incremental at 100 TB: sketch(A ∪ B) =
+    // bucketwise max(sketch(A), sketch(B)). Recompute the bucket/rho
+    // pipeline over the two event halves and over the whole table; the
+    // merged per-bucket maxima must be identical to the whole-table
+    // sketch, so estimates computed from merged partial sketches match
+    // a from-scratch pass exactly.
+    import org.apache.spark.sql.DataFrame
+    val mix1 = s"event_id % ${Sketches.HllP} * ${Sketches.HllM1} % ${Sketches.HllP}"
+    val mix2 = s"event_id % ${Sketches.HllP} * ${Sketches.HllM2} % ${Sketches.HllP}"
+    def sketch(df: DataFrame) = df
+      .selectExpr("event_type", s"$mix1 % ${Sketches.HllBuckets} AS bucket",
+        s"${Sketches.rhoSql(mix2)} AS rho")
+      .groupBy("event_type", "bucket").agg(max("rho").as("rho_max"))
+    val ev = Tables.events(spark, Sf0001)
+    val whole = sketch(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = sketch(ev.where(col("event_id") % 2 === 0))
+      .union(sketch(ev.where(col("event_id") % 2 === 1)))
+      .groupBy("event_type", "bucket").agg(max("rho_max").as("rho_max"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(whole.nonEmpty)
+    assert(merged === whole)
+  }
+
   test("redaction strips every digit it counts from sensitive columns") {
     val rows = ChangeFeed.cdcRedact(spark, Sf0001).collect()
     val nonDel = rows.filter(_.getAs[String]("kind") != "delete")
