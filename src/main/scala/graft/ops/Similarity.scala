@@ -221,6 +221,20 @@ object Similarity {
 
   // ---- oracle -------------------------------------------------------------
 
+  /** ONE definition of the oracle's 1e-4 quantization (CTE `qvecs`) and
+    * squared-norm reduce — shared by the similarity family and the
+    * hygiene audit, so the zero-norm population the audit counts is BY
+    * CONSTRUCTION the population the similarity CTEs filter. */
+  private val QvecsCte: String =
+    """qvecs AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings)""".stripMargin
+
+  private val N2Sql: String =
+    "list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)"
+
   /** Shared CTE: quantized vectors + norms + hyperplane bucket. */
   private val VecCte: String = {
     val bucketTerms = (0 until NumPlanes).map { j =>
@@ -229,14 +243,10 @@ object Similarity {
          |       i -> qv[i] * ($w)[i]), (x, y) -> x + y) > 0
          |     THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString("\n    + ")
-    s"""qvecs AS (
-       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-       |         list_transform(embedding,
-       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
+    s"""$QvecsCte,
        |vecs0 AS (
        |  SELECT vec_id, label, qv,
-       |    list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2,
+       |    $N2Sql AS n2,
        |    $bucketTerms AS bucket
        |  FROM qvecs),
        |vecs AS (
@@ -379,15 +389,10 @@ object Similarity {
       .orderBy("label")
 
   val embedNormAuditSql: String =
-    s"""WITH q AS (
-       |  SELECT CAST(label AS BIGINT) AS label,
-       |         list_transform(embedding,
-       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
+    s"""WITH $QvecsCte,
        |n AS (
-       |  SELECT label,
-       |         list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y) AS n2
-       |  FROM q),
+       |  SELECT label, $N2Sql AS n2
+       |  FROM qvecs),
        |s AS (
        |  SELECT label, count(*) AS n_vecs,
        |         CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,

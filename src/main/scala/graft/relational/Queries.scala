@@ -199,8 +199,7 @@ object Queries {
     * TimestampType → long µs so the arithmetic both engines compare is
     * int64. One shuffle on user_id, same as the lag formulation — but
     * only ONE window-function-free aggregation, no two-pass lag + sum. */
-  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
+  def sessionNative(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
       .withColumn("tse", expr("timestamp_micros(ts_us)"))
@@ -211,10 +210,12 @@ object Queries {
         expr("unix_micros(w.end)").as("gap_end_us"),
         col("n_events"), col("first_event_id"))
       .orderBy("user_id", "start_us")
-  }
 
-  val sessionNativeSql: String =
-    """WITH e AS (
+  /** Shared oracle gap-CTE (e/marked/sessions): ONE definition of the
+    * 30-minute-gap session assignment serves both session queries, so the
+    * gap constant and tie-break cannot drift between them. */
+  val SessionsCte: String =
+    """e AS (
       |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
       |marked AS (
       |  SELECT user_id, ts, event_id,
@@ -226,7 +227,10 @@ object Queries {
       |  SELECT user_id, ts, event_id,
       |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      |  FROM marked)
+      |  FROM marked)""".stripMargin
+
+  val sessionNativeSql: String =
+    s"""WITH $SessionsCte
       |SELECT user_id, min(ts) AS start_us,
       |       max(ts) + 1800000000 AS gap_end_us,
       |       count(*) AS n_events, min(event_id) AS first_event_id
@@ -472,19 +476,7 @@ object Queries {
       |ORDER BY user_id, ts, event_id""".stripMargin
 
   val eventsSessionizeSql: String =
-    """WITH e AS (
-      |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
-      |marked AS (
-      |  SELECT user_id, ts, event_id,
-      |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-      |  FROM e
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sessions AS (
-      |  SELECT user_id, ts, event_id,
-      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      |  FROM marked)
+    s"""WITH $SessionsCte
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts) AS start_us, max(ts) AS end_us,
       |       min(event_id) AS first_event_id
