@@ -68,6 +68,37 @@ object Forwarder {
       .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
       .orderBy("base")
 
+  /** Per-table replication lag against the feed's high-water mark — the
+    * reader-side view of the reference's standby status update (it
+    * reports received/flushed LSN every 10 s,
+    * src/cdc/replication.rs:255-282; a consumer diffing that against the
+    * master's position gets exactly this lag). Per base table: its last
+    * applied LSN, the global high-water, and the distance between them.
+    * The global max is a 1-row broadcast over the already-aggregated
+    * per-table frame — no second pass over the feed. */
+  def cdcLag(spark: SparkSession, dir: String): DataFrame = {
+    val perBase = HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
+      .groupBy("base")
+      .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
+    val hiWater = perBase.agg(max("max_lsn").as("global_lsn"))
+    perBase.crossJoin(broadcast(hiWater))
+      .withColumn("lag", col("global_lsn") - col("max_lsn"))
+      .select("base", "n_changes", "max_lsn", "global_lsn", "lag")
+      .orderBy("base")
+  }
+
+  val cdcLagSql: String =
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte},
+       |per_base AS (
+       |  SELECT base, max(lsn) AS max_lsn, count(*) AS n_changes
+       |  FROM routed GROUP BY base),
+       |hi AS (SELECT max(max_lsn) AS global_lsn FROM per_base)
+       |SELECT base, n_changes, max_lsn, global_lsn,
+       |       global_lsn - max_lsn AS lag
+       |FROM per_base CROSS JOIN hi
+       |ORDER BY base""".stripMargin
+
   /** Materialized snapshot from the change feed: per (base table, entity)
     * last-writer-wins by LSN, with deletes as tombstones — the "apply the
     * CDC stream to get current state" consumer the reference feeds (its

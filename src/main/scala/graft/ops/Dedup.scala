@@ -358,8 +358,12 @@ object Dedup {
   /** Recursive-CTE transitive closure: min reachable id per node — the
     * oracle computes the exact fixpoint the propagation loop converges
     * to. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $ShSqlCte,
+  /** Shared oracle chain: banding → candidate pairs → exact-jaccard
+    * verification → symmetric edge list. ONE definition serves the
+    * cluster closure and the degree report, so the edge threshold cannot
+    * drift between them. */
+  private[ops] val VerifiedEdgesCtes: String =
+    s"""$ShSqlCte,
        |$MinhashSqlCte,
        |$BandsSqlCte,
        |cpairs AS (
@@ -380,7 +384,35 @@ object Dedup {
        |        >= $ClusterMinJaccardE4),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
-       |  UNION SELECT doc_b, doc_a FROM verified),
+       |  UNION SELECT doc_b, doc_a FROM verified)""".stripMargin
+
+  // ---- graph_degree -------------------------------------------------------
+
+  /** Degree histogram of the verified near-dup graph — the health report
+    * read BEFORE running the cluster closure: a heavy high-degree tail
+    * means giant components (boilerplate-driven) and predicts closure
+    * cost, and its total mass is the edge count the propagation loop will
+    * carry. Rides the same memoized verified-pair cache; two keyed
+    * groupBys, output bounded by the max degree. */
+  def graphDegree(spark: SparkSession, dir: String): DataFrame = {
+    val v = verifiedPairs(spark, dir)
+      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
+    v.select(col("doc_a").as("doc_id"))
+      .union(v.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .orderBy("degree")
+  }
+
+  val graphDegreeSql: String =
+    s"""WITH $VerifiedEdgesCtes,
+       |deg AS (
+       |  SELECT a AS doc_id, count(*) AS degree FROM edges GROUP BY a)
+       |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $VerifiedEdgesCtes,
        |reach(node, m) AS (
        |  SELECT a, a FROM edges
        |  UNION
