@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet source/sink coverage: the documents table round-trips
+  * through JSONL and CSV with EXPLICIT schemas (schema inference is a
+  * whole extra pass over 100 TB and can silently re-type columns, so
+  * the engine's contract is schema-on-read). CSV carries free text, so
+  * the writer must quote/escape and the reader must honor multiline
+  * fields — exactly the options pinned here. */
+class FormatsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  private def docs = Tables.documents(spark, Sf0001)
+    .select("doc_id", "lang", "source", "text")
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+
+  test("documents round-trip through JSONL with explicit schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.schema(schema).json(out)
+      .select("doc_id", "lang", "source", "text")
+    assert(back.schema === schema)
+    assert(back.collect().map(key).sorted === docs.collect().map(key).sorted)
+  }
+
+  test("documents round-trip through quoted CSV with explicit schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(out)
+      .select("doc_id", "lang", "source", "text")
+    assert(back.schema === schema)
+    assert(back.collect().map(key).sorted === docs.collect().map(key).sorted)
+  }
+}
