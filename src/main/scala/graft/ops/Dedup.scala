@@ -124,6 +124,54 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     verifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  // ---- minhash_est --------------------------------------------------------
+
+  /** Signature-agreement Jaccard estimate vs the exact value, per LSH
+    * candidate pair — the accuracy report for the minhash sketch itself
+    * (completing the estimate-vs-truth set with hll_distinct and
+    * cms_topk). The estimate is matching-positions/16 in e4 fixed point:
+    * 10000/16 = 625 exactly, so est_e4 = n_agree · 625 is pure int64.
+    * At 100 TB this is the cheap first-pass score a pipeline uses to
+    * SKIP the exact intersection for clearly-far pairs: it needs only
+    * the 16-element signatures already materialized for banding, not
+    * the shingle sets. Rides the memoized pair cache for the exact
+    * column; the signature join is co-partitioned on doc id. */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(spark, dir)
+    val agree = zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    verifiedPairs(spark, dir)
+      .join(mh.select(col("doc_id"), col("mh").as("mh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(mh.select(col("doc_id"), col("mh").as("mh_b")), col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e4"),
+        (aggregate(agree, lit(0), (a, x) => a + x) * lit(625L)).as("est_e4"))
+      .withColumn("abs_err_e4", abs(col("est_e4") - col("jaccard_e4")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** def, not val: [[CandSqlCtes]] is declared later in the object, so a
+    * val here would capture a half-initialized (null) CTE. */
+  def minhashEstSql: String = {
+    val agreeTerms = (0 until NumPerms)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH $CandSqlCtes,
+       |ag AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(($agreeTerms) * 625 AS BIGINT) AS est_e4
+       |  FROM cpairs p
+       |  JOIN mh a ON p.doc_a = a.doc_id
+       |  JOIN mh b ON p.doc_b = b.doc_id)
+       |SELECT s.doc_a, s.doc_b,
+       |  CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT) AS jaccard_e4,
+       |  ag.est_e4,
+       |  abs(ag.est_e4 - CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT)) AS abs_err_e4
+       |FROM csized s
+       |JOIN ag ON s.doc_a = ag.doc_a AND s.doc_b = ag.doc_b
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+  }
+
   /** Oracle CTE: doc_id + distinct shingle hashes, mirrored hash math. */
   private[ops] val ShSqlCte: String =
     s"""shs AS (
@@ -153,25 +201,31 @@ object Dedup {
     s"bands AS (\n  $selects)"
   }
 
-  val dedupMinhashSql: String =
-    s"""WITH $ShSqlCte,
+  /** Shared oracle chain: shingles → minhash → bands → distinct candidate
+    * pairs → pair sizes. ONE definition for the pair report, the Jaccard
+    * estimator, and (via [[VerifiedEdgesCtes]]) the cluster closure. */
+  private[ops] val CandSqlCtes: String =
+    s"""$ShSqlCte,
        |$MinhashSqlCte,
        |$BandsSqlCte,
-       |pairs AS (
+       |cpairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |sized AS (
+       |csized AS (
        |  SELECT p.doc_a, p.doc_b,
        |         len(list_intersect(sa.sh, sb.sh)) AS isz,
        |         len(sa.sh) AS sza, len(sb.sh) AS szb
-       |  FROM pairs p
+       |  FROM cpairs p
        |  JOIN shs sa ON p.doc_a = sa.doc_id
-       |  JOIN shs sb ON p.doc_b = sb.doc_id)
+       |  JOIN shs sb ON p.doc_b = sb.doc_id)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $CandSqlCtes
        |SELECT doc_a, doc_b,
        |  CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
-       |FROM sized
+       |FROM csized
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Dev probes for stage timing (see graft.Probe). */
@@ -363,21 +417,7 @@ object Dedup {
     * cluster closure and the degree report, so the edge threshold cannot
     * drift between them. */
   private[ops] val VerifiedEdgesCtes: String =
-    s"""$ShSqlCte,
-       |$MinhashSqlCte,
-       |$BandsSqlCte,
-       |cpairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id),
-       |csized AS (
-       |  SELECT p.doc_a, p.doc_b,
-       |         len(list_intersect(sa.sh, sb.sh)) AS isz,
-       |         len(sa.sh) AS sza, len(sb.sh) AS szb
-       |  FROM cpairs p
-       |  JOIN shs sa ON p.doc_a = sa.doc_id
-       |  JOIN shs sb ON p.doc_b = sb.doc_id),
+    s"""$CandSqlCtes,
        |verified AS (
        |  SELECT doc_a, doc_b FROM csized
        |  WHERE CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT)
