@@ -57,15 +57,27 @@ object Forwarder {
       .select("sub_id", "lsn", "base", "kind")
       .orderBy("sub_id", "lsn")
 
-  /** Received-LSN checkpoint summary per base table — the batch analogue of
-    * the reference's standby-status-update feedback loop, which reports the
-    * max LSN seen every 10 s (reference src/cdc/replication.rs:255-282).
-    * The streaming counterpart (checkpointed offsets) lives in
-    * graft.streaming.ChangeFeedStream. */
-  def resumeOffsets(spark: SparkSession, dir: String): DataFrame =
+  /** Per-base-table applied-offset view — the batch analogue of the
+    * reference's standby-status-update feedback loop, which reports the
+    * max LSN seen every 10 s (reference src/cdc/replication.rs:255-282;
+    * the streaming counterpart lives in graft.streaming.ChangeFeedStream).
+    * ONE definition serves the checkpoint report and the lag report, so
+    * the remap chain and the aggregation cannot drift between them (SQL
+    * twin: [[PerBaseCte]]). */
+  private def perBaseOffsets(spark: SparkSession, dir: String): DataFrame =
     HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
       .groupBy("base")
       .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
+
+  /** Oracle twin of [[perBaseOffsets]] (requires feed + routed in scope). */
+  val PerBaseCte: String =
+    """per_base AS (
+      |  SELECT base, max(lsn) AS max_lsn, count(*) AS n_changes
+      |  FROM routed GROUP BY base)""".stripMargin
+
+  def resumeOffsets(spark: SparkSession, dir: String): DataFrame =
+    perBaseOffsets(spark, dir)
+      .select("base", "max_lsn", "n_changes")
       .orderBy("base")
 
   /** Per-table replication lag against the feed's high-water mark — the
@@ -77,9 +89,7 @@ object Forwarder {
     * The global max is a 1-row broadcast over the already-aggregated
     * per-table frame — no second pass over the feed. */
   def cdcLag(spark: SparkSession, dir: String): DataFrame = {
-    val perBase = HyperRemap.remap(spark, ChangeFeed.decoded(spark, dir))
-      .groupBy("base")
-      .agg(max(col("lsn")).as("max_lsn"), count(lit(1)).as("n_changes"))
+    val perBase = perBaseOffsets(spark, dir)
     val hiWater = perBase.agg(max("max_lsn").as("global_lsn"))
     perBase.crossJoin(broadcast(hiWater))
       .withColumn("lag", col("global_lsn") - col("max_lsn"))
@@ -87,12 +97,13 @@ object Forwarder {
       .orderBy("base")
   }
 
-  val cdcLagSql: String =
+  /** def: [[PerBaseCte]] is declared on this object and the val
+    * initialization order depends on member position; a def always sees
+    * the initialized value. */
+  def cdcLagSql: String =
     s"""WITH ${ChangeFeed.FeedCte},
        |${HyperRemap.RoutedCte},
-       |per_base AS (
-       |  SELECT base, max(lsn) AS max_lsn, count(*) AS n_changes
-       |  FROM routed GROUP BY base),
+       |$PerBaseCte,
        |hi AS (SELECT max(max_lsn) AS global_lsn FROM per_base)
        |SELECT base, n_changes, max_lsn, global_lsn,
        |       global_lsn - max_lsn AS lag
@@ -183,9 +194,10 @@ object Forwarder {
        |WHERE rn = 1 AND kind <> 'delete'
        |ORDER BY base, uid""".stripMargin
 
-  val resumeOffsetsSql: String =
+  def resumeOffsetsSql: String =
     s"""WITH ${ChangeFeed.FeedCte},
-       |${HyperRemap.RoutedCte}
-       |SELECT base, max(lsn) AS max_lsn, count(*) AS n_changes
-       |FROM routed GROUP BY base ORDER BY base""".stripMargin
+       |${HyperRemap.RoutedCte},
+       |$PerBaseCte
+       |SELECT base, max_lsn, n_changes
+       |FROM per_base ORDER BY base""".stripMargin
 }

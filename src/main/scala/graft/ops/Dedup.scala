@@ -150,27 +150,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** def, not val: [[CandSqlCtes]] is declared later in the object, so a
-    * val here would capture a half-initialized (null) CTE. */
-  def minhashEstSql: String = {
-    val agreeTerms = (0 until NumPerms)
-      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
-      .mkString("\n      + ")
-    s"""WITH $CandSqlCtes,
-       |ag AS (
-       |  SELECT p.doc_a, p.doc_b,
-       |    CAST(($agreeTerms) * 625 AS BIGINT) AS est_e4
-       |  FROM cpairs p
-       |  JOIN mh a ON p.doc_a = a.doc_id
-       |  JOIN mh b ON p.doc_b = b.doc_id)
-       |SELECT s.doc_a, s.doc_b,
-       |  CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT) AS jaccard_e4,
-       |  ag.est_e4,
-       |  abs(ag.est_e4 - CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT)) AS abs_err_e4
-       |FROM csized s
-       |JOIN ag ON s.doc_a = ag.doc_a AND s.doc_b = ag.doc_b
-       |ORDER BY s.doc_a, s.doc_b""".stripMargin
-  }
 
   /** Oracle CTE: doc_id + distinct shingle hashes, mirrored hash math. */
   private[ops] val ShSqlCte: String =
@@ -220,6 +199,28 @@ object Dedup {
        |  FROM cpairs p
        |  JOIN shs sa ON p.doc_a = sa.doc_id
        |  JOIN shs sb ON p.doc_b = sb.doc_id)""".stripMargin
+
+  /** Oracle for [[minhashEst]] — declared after [[CandSqlCtes]] so the
+    * interpolation sees the initialized value. */
+  val minhashEstSql: String = {
+    val agreeTerms = (0 until NumPerms)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH $CandSqlCtes,
+       |ag AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(($agreeTerms) * 625 AS BIGINT) AS est_e4
+       |  FROM cpairs p
+       |  JOIN mh a ON p.doc_a = a.doc_id
+       |  JOIN mh b ON p.doc_b = b.doc_id)
+       |SELECT s.doc_a, s.doc_b,
+       |  CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT) AS jaccard_e4,
+       |  ag.est_e4,
+       |  abs(ag.est_e4 - CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT)) AS abs_err_e4
+       |FROM csized s
+       |JOIN ag ON s.doc_a = ag.doc_a AND s.doc_b = ag.doc_b
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+  }
 
   val dedupMinhashSql: String =
     s"""WITH $CandSqlCtes
@@ -346,15 +347,22 @@ object Dedup {
     * iterated plan from growing unboundedly. */
   val ClusterMinJaccardE4 = 5000L
 
+  /** Spark twin of the oracle's `verified` CTE: candidate pairs surviving
+    * the cluster threshold. ONE definition for the closure and the degree
+    * report — mirroring [[VerifiedEdgesCtes]] on the SQL side — so the
+    * edge threshold cannot drift between them on either engine. */
+  private def thresholdedPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir)
+      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
+      .select(col("doc_a"), col("doc_b"))
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // verifiedPairs is memoized+persisted (shared with dedup_minhash), but
     // the loop would still re-scan that full candidate cache (≥40× larger
     // than the thresholded survivors on copy-heavy corpora) on every
     // round's union branches — so the small filtered edge set gets its own
     // loop-local persist, released on exit
-    val edges0 = verifiedPairs(spark, dir)
-      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
-      .select(col("doc_a"), col("doc_b"))
+    val edges0 = thresholdedPairs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = edges0.union(
       edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -409,9 +417,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Recursive-CTE transitive closure: min reachable id per node — the
-    * oracle computes the exact fixpoint the propagation loop converges
-    * to. */
   /** Shared oracle chain: banding → candidate pairs → exact-jaccard
     * verification → symmetric edge list. ONE definition serves the
     * cluster closure and the degree report, so the edge threshold cannot
@@ -435,8 +440,7 @@ object Dedup {
     * carry. Rides the same memoized verified-pair cache; two keyed
     * groupBys, output bounded by the max degree. */
   def graphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val v = verifiedPairs(spark, dir)
-      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
+    val v = thresholdedPairs(spark, dir)
     v.select(col("doc_a").as("doc_id"))
       .union(v.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
@@ -451,6 +455,9 @@ object Dedup {
        |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Recursive-CTE transitive closure: min reachable id per node — the
+    * oracle computes the exact fixpoint the propagation loop converges
+    * to. */
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $VerifiedEdgesCtes,
        |reach(node, m) AS (

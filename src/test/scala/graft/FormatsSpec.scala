@@ -17,8 +17,20 @@ class FormatsSpec extends SparkSpec {
     StructField("source", StringType),
     StructField("text", StringType)))
 
-  private def docs = Tables.documents(spark, Sf0001)
-    .select("doc_id", "lang", "source", "text")
+  /** Corpus + adversarial rows: the synthetic corpus text is plain
+    * words, so rows with embedded quotes, commas, and newlines are
+    * unioned in — without them the escape/multiLine options below would
+    * be pinned but never exercised. */
+  private def docs = {
+    import spark.implicits._
+    Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "source", "text")
+      .unionByName(Seq(
+        (9000001L, "en", "srcq", "says \"hello, world\" and more"),
+        (9000002L, "en", "srcq", "line one\nline two, still one doc"),
+        (9000003L, "en", "srcq", "trailing comma, and a \"quoted, comma\""))
+        .toDF("doc_id", "lang", "source", "text"))
+  }
 
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
