@@ -130,6 +130,54 @@ object TextStats {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ---- lang_confusion -----------------------------------------------------
+
+  /** Confusion matrix of the language-ID heuristic against the corpus
+    * labels, with per-cell counts and the truth-row share in e4 — the
+    * evaluation report that decides whether the classifier's thresholds
+    * are fit to route 100 TB. Rides [[langId]] unchanged (the classifier
+    * under test IS the production expression); one tiny groupBy on the
+    * (label, prediction) pair, output bounded by #languages². */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy("label_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("label_lang").agg(sum("n").as("row_n"))
+    cells.join(rows, Seq("label_lang"))
+      .select(col("label_lang"), col("pred_lang"), col("n"),
+        expr("CAST(floor(1.0e4 * n / row_n) AS BIGINT)").as("row_share_e4"))
+      .orderBy("label_lang", "pred_lang")
+  }
+
+  val langConfusionSql: String = {
+    def stops(l: String) = Stopwords(l).map(s => s"'$s'").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang AS label_lang,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("en")}))) AS BIGINT) AS hits_en,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("de")}))) AS BIGINT) AS hits_de,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("es")}))) AS BIGINT) AS hits_es,
+       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("fr")}))) AS BIGINT) AS hits_fr
+       |  FROM documents),
+       |p AS (
+       |  SELECT label_lang,
+       |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+       |         WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+       |         WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+       |         WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM h),
+       |cells AS (
+       |  SELECT label_lang, pred_lang, count(*) AS n
+       |  FROM p GROUP BY label_lang, pred_lang),
+       |rows_ AS (
+       |  SELECT label_lang, CAST(sum(n) AS BIGINT) AS row_n
+       |  FROM cells GROUP BY label_lang)
+       |SELECT c.label_lang, c.pred_lang, c.n,
+       |       CAST(floor(1.0e4 * c.n / r.row_n) AS BIGINT) AS row_share_e4
+       |FROM cells c JOIN rows_ r ON c.label_lang = r.label_lang
+       |ORDER BY c.label_lang, c.pred_lang""".stripMargin
+  }
+
   // ---- repetition_filter --------------------------------------------------
 
   /** Within-document repetition removal (the Gopher/RefinedWeb "repetition"

@@ -382,6 +382,47 @@ object Queries {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---- events_retention: week-over-week cohort retention ------------------
+
+  /** Week-over-week retention: of the users active in week w, how many
+    * are also active in week w+1. Two map-side-combined distinct
+    * (user, week) reductions and one co-partitioned self-join on
+    * (user_id, week) — the classic cohort query, shaped so the join key
+    * carries the user (high cardinality), never the week alone. Week ids
+    * are integer µs-epoch division, exact on both engines. */
+  val WeekUs = 7L * 86400 * 1000 * 1000
+
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div 1000 div $WeekUs").as("week"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"))
+      .withColumnRenamed("user_id", "u2")
+    val perWeek = uw.join(nxt,
+        uw("user_id") === col("u2") && uw("week") === nxt("week"), "left")
+      .groupBy(uw("week").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+    perWeek
+      .withColumn("retention_e4",
+        expr("CAST(floor(1.0e4 * n_retained / n_active) AS BIGINT)"))
+      .orderBy("week")
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week
+       |  FROM events),
+       |j AS (
+       |  SELECT a.week, a.user_id,
+       |         CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS retained
+       |  FROM uw a
+       |  LEFT JOIN uw b ON a.user_id = b.user_id AND b.week = a.week + 1)
+       |SELECT week, count(*) AS n_active,
+       |       CAST(sum(retained) AS BIGINT) AS n_retained,
+       |       CAST(floor(1.0e4 * sum(retained) / count(*)) AS BIGINT) AS retention_e4
+       |FROM j GROUP BY week ORDER BY week""".stripMargin
+
   // ---- event_anomalies: per-group z-score outliers ------------------------
 
   /** Per-type 2σ outliers: group moments from one map-side-combined
