@@ -112,23 +112,33 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val langIdSql: String = {
+  /** Shared oracle prefix: per-doc stopword hits + argmax prediction
+    * (CTEs `h`, `p`) — ONE definition of the classifier CASE serves the
+    * per-doc report and the confusion matrix, so an edit to the stopword
+    * lists or tie-break cannot desynchronize them. */
+  private def predCtes: String = {
     def stops(l: String) = Stopwords(l).map(s => s"'$s'").mkString(", ")
-    s"""WITH h AS (
+    s"""h AS (
        |  SELECT doc_id, lang AS label_lang,
        |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("en")}))) AS BIGINT) AS hits_en,
        |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("de")}))) AS BIGINT) AS hits_de,
        |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("es")}))) AS BIGINT) AS hits_es,
        |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("fr")}))) AS BIGINT) AS hits_fr
-       |  FROM documents)
-       |SELECT doc_id, label_lang, hits_de, hits_en, hits_es, hits_fr,
-       |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-       |       WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
-       |       WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
-       |       WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
-       |       ELSE 'fr' END AS pred_lang
-       |FROM h ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, label_lang, hits_de, hits_en, hits_es, hits_fr,
+       |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+       |         WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+       |         WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+       |         WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM h)""".stripMargin
   }
+
+  val langIdSql: String =
+    s"""WITH $predCtes
+       |SELECT doc_id, label_lang, hits_de, hits_en, hits_es, hits_fr, pred_lang
+       |FROM p ORDER BY doc_id""".stripMargin
 
   // ---- lang_confusion -----------------------------------------------------
 
@@ -149,23 +159,8 @@ object TextStats {
       .orderBy("label_lang", "pred_lang")
   }
 
-  val langConfusionSql: String = {
-    def stops(l: String) = Stopwords(l).map(s => s"'$s'").mkString(", ")
-    s"""WITH h AS (
-       |  SELECT doc_id, lang AS label_lang,
-       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("en")}))) AS BIGINT) AS hits_en,
-       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("de")}))) AS BIGINT) AS hits_de,
-       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("es")}))) AS BIGINT) AS hits_es,
-       |    CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops("fr")}))) AS BIGINT) AS hits_fr
-       |  FROM documents),
-       |p AS (
-       |  SELECT label_lang,
-       |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-       |         WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
-       |         WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
-       |         WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
-       |         ELSE 'fr' END AS pred_lang
-       |  FROM h),
+  val langConfusionSql: String =
+    s"""WITH $predCtes,
        |cells AS (
        |  SELECT label_lang, pred_lang, count(*) AS n
        |  FROM p GROUP BY label_lang, pred_lang),
@@ -176,7 +171,6 @@ object TextStats {
        |       CAST(floor(1.0e4 * c.n / r.row_n) AS BIGINT) AS row_share_e4
        |FROM cells c JOIN rows_ r ON c.label_lang = r.label_lang
        |ORDER BY c.label_lang, c.pred_lang""".stripMargin
-  }
 
   // ---- repetition_filter --------------------------------------------------
 

@@ -13,10 +13,7 @@ import org.apache.spark.sql.streaming.Trigger
 class CdcSnapshotStreamSpec extends SparkSpec {
 
   test("streaming snapshot state equals the batch snapshot") {
-    val work = java.nio.file.Files.createTempDirectory("graft-snap-").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$work/events-part1.parquet"))
+    val work = stageEventsDir()
     val stream = ChangeFeedStream.readEvents(spark, work)
     val snapState = HyperRemap.remap(spark, ChangeFeed.decodedWithMapFrom(stream))
       .withColumn("uid", Forwarder.entityCol)

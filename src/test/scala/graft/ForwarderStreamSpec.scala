@@ -10,11 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 class ForwarderStreamSpec extends SparkSpec {
 
   test("streaming fan-out delivers the same rows as the batch plan") {
-    // stream dir must hold only the events table (one schema per source)
-    val work = java.nio.file.Files.createTempDirectory("graft-fan-").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$work/events-part1.parquet"))
+    val work = stageEventsDir()
     val stream = ChangeFeedStream.readEvents(spark, work)
     val q = Forwarder.fanoutFrom(spark, stream)
       .writeStream

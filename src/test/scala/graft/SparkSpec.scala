@@ -16,6 +16,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val Sf0001 = "/root/testdata/sf0.001"
 
+  /** Stage the sf0.001 events table into a fresh temp dir for streaming
+    * file-source specs (one copied file -> one AvailableNow micro-batch).
+    * One definition for every streaming spec's fixture. */
+  def stageEventsDir(): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft-events-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$work/events-part1.parquet"))
+    work
+  }
+
   override def afterAll(): Unit = {
     // keep the session for the other suites in the same JVM
   }

@@ -12,8 +12,6 @@ import org.apache.spark.sql.streaming.Trigger
   * drained streaming result must equal the identical batch join. */
 class StreamStreamJoinSpec extends SparkSpec {
 
-  private val HourUs = 3600L * 1000 * 1000
-
   /** The same declarative join over any pair of (possibly streaming)
     * event frames — the batch/streaming-equivalence pattern the cdc
     * chain uses (`*From` transforms). */
@@ -36,10 +34,7 @@ class StreamStreamJoinSpec extends SparkSpec {
   }
 
   test("watermarked stream-stream interval join equals the batch join") {
-    val work = java.nio.file.Files.createTempDirectory("graft-ssj-").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$work/events-part1.parquet"))
+    val work = stageEventsDir()
     val stream = ChangeFeedStream.readEvents(spark, work)
     val q = attributed(stream, stream).writeStream
       .outputMode("append")

@@ -12,10 +12,7 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingDedupSpec extends SparkSpec {
 
   test("streaming dropDuplicates equals batch distinct") {
-    val work = java.nio.file.Files.createTempDirectory("graft-dedup-").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$work/events-part1.parquet"))
+    val work = stageEventsDir()
     val stream = ChangeFeedStream.readEvents(spark, work)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id")
