@@ -44,6 +44,23 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(key).sorted === docs.collect().map(key).sorted)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-evolve-").toString
+    // generation 1: (doc_id, lang); generation 2 adds quality_e4 — the
+    // additive-column evolution a long-lived corpus directory accretes
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.parquet(s"$out/gen=1")
+    Seq((3L, "fr", 812L), (4L, "en", 455L)).toDF("doc_id", "lang", "quality_e4")
+      .write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted === Array("doc_id", "gen", "lang", "quality_e4"))
+    val rows = merged.select("doc_id", "quality_e4").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    // old-generation rows surface the new column as null, new rows keep it
+    assert(rows === Array((1L, -1L), (2L, -1L), (3L, 812L), (4L, 455L)))
+  }
+
   test("documents round-trip through quoted CSV with explicit schema") {
     val out = java.nio.file.Files.createTempDirectory("graft-csv-").toString
     docs.write.mode("overwrite")
