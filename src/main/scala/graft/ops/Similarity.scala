@@ -364,6 +364,63 @@ object Similarity {
        |         * 1000000.0) AS BIGINT) >= $DupThresholdE6
        |ORDER BY aid, bid""".stripMargin
 
+  // ---- ann_recall ---------------------------------------------------------
+
+  /** Recall of the LSH index against the brute-force truth for the query
+    * set: per query, how many of the exact top-LshK neighbors the
+    * within-bucket retrieval also returns — the index-quality report that
+    * decides whether 4 hyperplanes are enough before the index serves
+    * 100 TB (completing the evaluation family with lang_confusion and
+    * minhash_est). BOTH sides reuse the production operators unchanged:
+    * the truth is the shared scoredNeighbors scan, the retrieval is
+    * annLsh filtered to the query ids (Catalyst pushes the filter into
+    * the bucket join). recall_e4 is exact integer arithmetic. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = scoredNeighbors(spark, dir, LshK)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val retrieved = annLsh(spark, dir)
+      .where(col("aid") < NumQueries)
+      .select(col("aid").as("r_qid"), col("bid").as("r_cid"))
+    exact.join(retrieved,
+        col("qid") === col("r_qid") && col("cid") === col("r_cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("r_cid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
+      .orderBy("qid")
+  }
+
+  val annRecallSql: String =
+    s"""WITH $VecCte,
+       |escored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM escored) r WHERE rnk <= $LshK),
+       |lscored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NumQueries),
+       |ret AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM lscored) r WHERE rnk <= $LshK)
+       |SELECT e.qid, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 10000 // count(*) AS recall_e4
+       |FROM ex e
+       |LEFT JOIN ret l ON e.qid = l.qid AND e.cid = l.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   // ---- embed_norm_audit ---------------------------------------------------
 
   /** Per-label vector hygiene report: counts, zero-norm (direction-less)
