@@ -256,17 +256,28 @@ object Similarity {
   private val DotSql =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)"
 
+  /** ONE definition of the oracle cosine over joined vecs aliases a/b —
+    * every scored CTE interpolates this, so the scoring rule cannot
+    * silently diverge between the production queries and the recall
+    * evaluation (mirrors the Spark-side shared `cosine`/`dot`). */
+  private val CosSql =
+    s"""CAST($DotSql AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+
+  /** Shared brute-force truth CTE (`bscored`): query set × all vectors. */
+  private val BruteScoredCte =
+    s"""bscored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         $CosSql AS cos
+       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id)""".stripMargin
+
   val annTopkSql: String =
     s"""WITH $VecCte,
-       |scored AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |         CAST($DotSql AS DOUBLE)
-       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |$BruteScoredCte,
        |ranked AS (
        |  SELECT qid, cid, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-       |  FROM scored)
+       |  FROM bscored)
        |SELECT qid, rnk, cid, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY qid, rnk""".stripMargin
@@ -275,8 +286,7 @@ object Similarity {
     s"""WITH $VecCte,
        |scored AS (
        |  SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
-       |         CAST($DotSql AS DOUBLE)
-       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |         $CosSql AS cos
        |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT aid, bid, bucket, cos,
@@ -392,20 +402,15 @@ object Similarity {
 
   val annRecallSql: String =
     s"""WITH $VecCte,
-       |escored AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |         CAST($DotSql AS DOUBLE)
-       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-       |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |$BruteScoredCte,
        |ex AS (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
        |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-       |    FROM escored) r WHERE rnk <= $LshK),
+       |    FROM bscored) r WHERE rnk <= $LshK),
        |lscored AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |         CAST($DotSql AS DOUBLE)
-       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |         $CosSql AS cos
        |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id < $NumQueries),
        |ret AS (
