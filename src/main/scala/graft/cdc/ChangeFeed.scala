@@ -160,6 +160,36 @@ object ChangeFeed {
       .groupBy("kind", "tbl").agg(count(lit(1)).as("n"))
       .orderBy("kind", "tbl")
 
+  // ---- replay_window ------------------------------------------------------
+
+  /** Bounded replay: the read path a reconnecting subscriber drives — it
+    * presents its last confirmed LSN and receives only the half-open
+    * window (lo, hi] of changes it missed (the reference resumes its
+    * replication slot from the confirmed LSN the standby status loop fed
+    * back, src/cdc/replication.rs:95-282). The LSN predicate is a plain
+    * Catalyst range filter, so on a production LSN-partitioned feed it
+    * prunes partitions before the scan; the per-(base, kind) summary is
+    * one map-side-combined groupBy over the window. */
+  val ReplayLo = 100L
+  val ReplayHi = 700L
+
+  def replayWindow(spark: SparkSession, dir: String): DataFrame =
+    HyperRemap.remap(spark, decoded(spark, dir))
+      .where(col("lsn") > ReplayLo && col("lsn") <= ReplayHi)
+      .groupBy("base", "kind")
+      .agg(count(lit(1)).as("n"), min("lsn").as("first_lsn"),
+        max("lsn").as("last_lsn"))
+      .orderBy("base", "kind")
+
+  def replayWindowSql: String =
+    s"""WITH $FeedCte,
+       |${HyperRemap.RoutedCte}
+       |SELECT base, kind, count(*) AS n,
+       |       min(lsn) AS first_lsn, max(lsn) AS last_lsn
+       |FROM routed
+       |WHERE lsn > $ReplayLo AND lsn <= $ReplayHi
+       |GROUP BY base, kind ORDER BY base, kind""".stripMargin
+
   // ---- cdc_redact ---------------------------------------------------------
 
   /** PII redaction in the delivery path: digits in the values of sensitive
