@@ -110,6 +110,14 @@ object Forwarder {
        |FROM per_base CROSS JOIN hi
        |ORDER BY base""".stripMargin
 
+  /** Entity key over a decoded+cmap change row: insert/update expose it in
+    * the column map, deletes only in wal2json oldkeys. Shared by the batch
+    * snapshot and its streaming twin (CdcSnapshotStreamSpec). */
+  val entityCol: org.apache.spark.sql.Column = coalesce(
+    try_element_at(col("cmap"), lit("user_id")),
+    try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
+      lit("user_id"))).cast("long")
+
   /** Materialized snapshot from the change feed: per (base table, entity)
     * last-writer-wins by LSN, with deletes as tombstones — the "apply the
     * CDC stream to get current state" consumer the reference feeds (its
@@ -119,14 +127,6 @@ object Forwarder {
     * column arrays). One shuffle on (base, entity); the window is a
     * per-key top-1, i.e. max-LSN semantics, skew-bounded by per-entity
     * change counts. */
-  /** Entity key over a decoded+cmap change row: insert/update expose it in
-    * the column map, deletes only in wal2json oldkeys. Shared by the batch
-    * snapshot and its streaming twin (CdcSnapshotStreamSpec). */
-  val entityCol: org.apache.spark.sql.Column = coalesce(
-    try_element_at(col("cmap"), lit("user_id")),
-    try_element_at(map_from_arrays(col("keynames"), col("keyvalues")),
-      lit("user_id"))).cast("long")
-
   def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("base", "uid").orderBy(col("lsn").desc)

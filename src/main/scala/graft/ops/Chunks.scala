@@ -13,7 +13,9 @@ import graft.Tables
   * same rolling polynomial hash the document fingerprints use, so chunk
   * identity is comparable corpus-wide. The chunk frame is a narrow
   * projection + one generator (`posexplode`) over the scan — no shuffle —
-  * and is memoized per (session, dir) because three operators share it.
+  * and is memoized per (session, dir) because its four consumers
+  * (chunk report, boilerplate, Bloom prefilter, incremental dedup)
+  * share it.
   *
   * Scale: chunks-per-doc is n_tokens/stride, so the frame is a small
   * constant factor over the corpus and partitions exactly like the scan.

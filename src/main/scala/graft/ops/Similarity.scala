@@ -333,8 +333,7 @@ object Similarity {
     s"""WITH $VecCte,
        |scored AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS label,
-       |         CAST($DotSql AS DOUBLE)
-       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |         $CosSql AS cos
        |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT qid, cid, label,
@@ -365,12 +364,10 @@ object Similarity {
   val embedCosineDupSql: String =
     s"""WITH $VecCte
        |SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
-       |       CAST(floor(CAST($DotSql AS DOUBLE)
-       |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |       CAST(floor(($CosSql)
        |         * 1000000.0) AS BIGINT) AS cos_e6
        |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(floor(CAST($DotSql AS DOUBLE)
-       |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |WHERE CAST(floor(($CosSql)
        |         * 1000000.0) AS BIGINT) >= $DupThresholdE6
        |ORDER BY aid, bid""".stripMargin
 

@@ -26,7 +26,7 @@ import graft.Tables
   * SQL text runs on both engines.
   *
   * The estimator is the raw HLL harmonic mean with α_64 fixed at
-  * ${AlphaE6}e-6; no small-range (linear counting) correction, because
+  * AlphaE6·1e-6 (709337e-6); no small-range (linear counting) correction, because
   * that needs ln(), whose last-ulp rounding is not guaranteed identical
   * across engines — the bias below ~2.5·m distinct values is accepted
   * and visible in the emitted err_e4 column. All power-of-2 terms are
