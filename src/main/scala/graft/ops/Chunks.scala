@@ -147,6 +147,51 @@ object Chunks {
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- source_overlap -----------------------------------------------------
+
+  /** Cross-source contamination matrix: for every ordered source pair,
+    * how many distinct chunk fingerprints they share — the corpus-level
+    * view the per-document decontaminators drill into. The join runs on
+    * the per-SOURCE distinct fp set (not per-document), so fan-out per
+    * fp is bounded by the source count, and fps present in more than
+    * [[MaxChunkDf]] sources are dropped first (decontaminate's
+    * hot-shingle rationale: ubiquitous boilerplate carries no pairing
+    * signal, and at a catalog with thousands of sources it would
+    * dominate the self-join). Output is at most #sources² rows. */
+  val MaxChunkDf = 100L
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = chunkFrame(spark, dir)
+      .select("source", "chunk_fp").distinct()
+    val cool = perSrc.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxChunkDf)
+      .select("chunk_fp")
+    val sp = perSrc.join(cool, Seq("chunk_fp"))
+    sp.select(col("chunk_fp"), col("source").as("src_a"))
+      .join(sp.select(col("chunk_fp"), col("source").as("src_b")), Seq("chunk_fp"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $ChunksCte,
+       |per_src AS (
+       |  SELECT DISTINCT source, chunk_fp FROM chunks),
+       |cool AS (
+       |  SELECT chunk_fp FROM per_src
+       |  GROUP BY chunk_fp HAVING count(*) <= $MaxChunkDf)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       count(*) AS n_shared_fps
+       |FROM per_src a
+       |JOIN cool c ON a.chunk_fp = c.chunk_fp
+       |JOIN per_src b ON a.chunk_fp = b.chunk_fp
+       |WHERE a.source < b.source
+       |GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ---- bloom_decontaminate ------------------------------------------------
 
   /** Bloom-filter eval-set membership prefilter: the eval corpus (source
