@@ -55,6 +55,23 @@ def main():
             n_fail += 1
             continue
         odf, sdf = odf[ocols], sdf[ocols]
+        # The driver hashes TYPED values: a DuckDB HUGEINT surfacing as
+        # float64 fails its hash even when every value compares equal in
+        # Python (events_pivot, round 4). It does NOT distinguish integer
+        # widths (int32 rank vs int64 rank hash-matched in round 4). So
+        # mirror it at dtype-KIND granularity: int==int regardless of
+        # width, but int vs float/decimal/object is a failure.
+        def kind(dt):
+            k = dt.kind
+            return "i" if k in ("i", "u") else k
+        dtdiff = {c: (str(sdf[c].dtype), str(odf[c].dtype))
+                  for c in ocols
+                  if kind(odf[c].dtype) != kind(sdf[c].dtype)}
+        if dtdiff:
+            print(f"FAIL {name}: dtype-kind mismatch (spark, oracle): "
+                  f"{dtdiff}")
+            n_fail += 1
+            continue
         bad = None
         for c in ocols:
             ov, sv = odf[c].tolist(), sdf[c].tolist()

@@ -372,7 +372,7 @@ object Queries {
 
   val eventsPivotSql: String = {
     val cols = EventTypes.map { t =>
-      s"""       coalesce(sum(CASE WHEN event_type = '$t' THEN 1 END), 0) AS ${t}_n,
+      s"""       coalesce(CAST(sum(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT), 0) AS ${t}_n,
          |       coalesce(CAST(sum(CASE WHEN event_type = '$t'
          |           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT), 0) AS ${t}_cents""".stripMargin
     }.mkString(",\n")
