@@ -31,9 +31,12 @@ import graft.Tables
   * tables gives 1−(1−(1−θ/π)^p)^L — raising p for scale is paid
   * back by raising L, and `ann_recall` certifies the trade on the
   * actual corpus). Defaults p=6, L=8 spend the SAME candidate budget
-  * as a single 16-bucket table (L·N²/2^(p+1) = N²/16) but measured
-  * 7× the top-k recall on the test corpus (47% vs 7%), because the
-  * union of independent tables retries the collision L times. A
+  * as a single 16-bucket table (L·N²/2^(p+1) = N²/16) with a far
+  * better recall curve for genuinely-near neighbors (at per-table
+  * collision 0.8^p the union reaches 0.91 vs 0.41 single-table);
+  * the 5-query test corpus is too small to resolve that curve, which
+  * is exactly why `ann_recall` exists as a harness to re-run at the
+  * deployment's own N and query load before trusting a setting. A
   * 100 TB corpus (N≈1e9, B≈4k) wants p≈18, L≈16 — override via
   * GRAFT_LSH_PLANES / GRAFT_LSH_TABLES, which both the Spark plan
   * and the generated oracle SQL read, so the mirror never splits.
@@ -44,9 +47,24 @@ object Similarity {
   val PlanesPerTable = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
   val NumTables = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
 
-  /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63. */
+  /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63: the sign
+    * bit of a splitmix64 finalizer over the (plane, component) pair. The
+    * weights are computed ONCE at plan-build time and embedded as literals
+    * in both the Spark plan and the generated oracle SQL, so the two sides
+    * cannot diverge. A full-width integer mix (multiply-xor-shift) is
+    * required here: the previous modular-arithmetic generator was periodic
+    * in j with period 97, so any sizing past 97 total planes (the 100 TB
+    * override is 18×16 = 288) silently produced duplicate/correlated
+    * tables — HyperplaneSpec now pins all 288 planes distinct and
+    * non-degenerate. */
   def wVec(j: Int): Seq[Long] =
-    (1 to Dim).map(i => if ((i.toLong * (2 * j + 3) * 1103515245L) % 97 < 48) 1L else -1L)
+    (1 to Dim).map { i =>
+      var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if (z < 0L) -1L else 1L
+    }
 
   /** Quantize float components to int64 1e-4 ticks. */
   private val quant: Column =
