@@ -26,10 +26,19 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Fail loudly on a misspelled subset name: a filter that matches
+    # nothing would otherwise print "0 pass, 0 fail" and exit 0 — a green
+    # run that verified nothing.
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
+    selected = [n for n in sorted(oracle) if not only or n in only]
+    if not selected:
+        print("FAIL: selection matched no queries")
+        sys.exit(2)
     n_pass = n_fail = 0
-    for name in sorted(oracle):
-        if only and name not in only:
-            continue
+    for name in selected:
         sql = oracle[name]
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
