@@ -30,13 +30,19 @@ object ChangeFeed {
   /** wal2json document schema (reference src/forwarder/mod.rs:11-13, 82-96).
     * `oldkeys` is wal2json's delete/update-identity object — the reference
     * ignores it (its filters walk columnnames only), but the snapshot
-    * materializer needs the deleted row's key to tombstone it. */
+    * materializer needs the deleted row's key to tombstone it.
+    * `columntypes` is wal2json's declared-type array; here it carries the
+    * JSON value type ("text" = a JSON string, "bigint" = a JSON number) so
+    * the decode can reproduce the reference's string-only filter matching
+    * (src/utils/specific_filter.rs:37-46 `as_str`) without losing the
+    * type distinction to the string-typed `columnvalues` array. */
   val ChangeSchema: StructType = StructType(Seq(
     StructField("change", ArrayType(StructType(Seq(
       StructField("kind", StringType),
       StructField("table", StringType),
       StructField("columnnames", ArrayType(StringType)),
       StructField("columnvalues", ArrayType(StringType)),
+      StructField("columntypes", ArrayType(StringType)),
       StructField("oldkeys", StructType(Seq(
         StructField("keynames", ArrayType(StringType)),
         StructField("keyvalues", ArrayType(StringType)))))))))))
@@ -57,17 +63,37 @@ object ChangeFeed {
       |  WHEN 3 THEN 'memstats'
       |  ELSE 'swapstats' END""".stripMargin)
 
+  /** The base table the purchase-transaction balance update targets: the
+    * busiest subscribed table, so multi-element documents genuinely flow
+    * through routing and fan-out (not just decode). */
+  val BalanceTable = "cpustats"
+
   /** Raw replication messages: (lsn, payload) with payload a wal2json JSON
-    * string. event_id stands in for the WAL LSN (monotone, unique).
-    * Takes ANY events frame — batch or streaming — so the whole decode /
-    * route / fan-out chain applies unchanged to a Structured Streaming
-    * source (see ForwarderStreamSpec).
+    * string. event_id stands in for the WAL LSN (monotone, unique per
+    * DOCUMENT — statements inside one document share it, like statements
+    * in one transaction share the commit LSN). Takes ANY events frame —
+    * batch or streaming — so the whole decode / route / fan-out chain
+    * applies unchanged to a Structured Streaming source
+    * (see ForwarderStreamSpec).
     *
-    * Note on value typing: real wal2json emits typed JSON values and the
+    * Multi-statement transactions: wal2json emits ONE document per
+    * transaction whose `change` array holds every statement, and the
+    * reference iterates that array (src/forwarder/mod.rs:96-126). Here a
+    * purchase is a two-statement transaction — the event-row insert plus
+    * an update of the buyer's running balance — so `change` arrays carry
+    * more than one element through decode/explode/route/fan-out. Deriving
+    * the second statement from the same source row (instead of grouping
+    * neighboring events) keeps the synthesis a narrow stateless projection:
+    * no shuffle in the feed, and the identical expression works under
+    * Structured Streaming.
+    *
+    * Value typing: real wal2json emits typed JSON values and the
     * reference's specific filter matches only string-typed ones
-    * (src/utils/specific_filter.rs:37-46 `as_str`); this feed serializes
-    * every value as a string, so the string-match path is the active one
-    * on both sides. */
+    * (src/utils/specific_filter.rs:37-46 `as_str`). `columntypes` carries
+    * that distinction: identifier/text columns (user_id — the host_uuid
+    * analogue —, event_type, k) are "text" = JSON strings; measures
+    * (event_id, value_cents, balance_cents) are "bigint" = JSON numbers,
+    * which the filters must never match. */
   def messagesFrom(ev: DataFrame): DataFrame = {
     val isDel = kindCol === "delete"
     val k = regexp_extract(col("props"), "[0-9]+", 0)
@@ -80,35 +106,54 @@ object ChangeFeed {
       .otherwise(array(col("event_id").cast("string"),
         col("user_id").cast("string"), col("event_type"),
         valueCents.cast("string"), k))
+    val types = when(isDel, emptyArr)
+      .otherwise(array(lit("bigint"), lit("text"), lit("text"),
+        lit("bigint"), lit("text")))
     // deletes identify the removed row via oldkeys (the wal2json REPLICA
     // IDENTITY payload); to_json omits the null struct on insert/update,
     // matching real wal2json documents
+    val nullKeys = lit(null).cast(
+      "struct<keynames:array<string>,keyvalues:array<string>>")
     val okeys = when(isDel, struct(
       array(lit("user_id")).as("keynames"),
       array(col("user_id").cast("string")).as("keyvalues")))
-      .otherwise(lit(null).cast(
-        "struct<keynames:array<string>,keyvalues:array<string>>"))
+      .otherwise(nullKeys)
+    val primary = struct(
+      kindCol.as("kind"), tblCol.as("table"),
+      names.as("columnnames"), vals.as("columnvalues"),
+      types.as("columntypes"), okeys.as("oldkeys"))
+    val balance = struct(
+      lit("update").as("kind"), lit(BalanceTable).as("table"),
+      array(lit("user_id"), lit("balance_cents")).as("columnnames"),
+      array(col("user_id").cast("string"), valueCents.cast("string"))
+        .as("columnvalues"),
+      array(lit("text"), lit("bigint")).as("columntypes"),
+      nullKeys.as("oldkeys"))
+    val changes = when(col("event_type") === "purchase",
+      array(primary, balance)).otherwise(array(primary))
     ev.select(
       col("event_id").as("lsn"),
-      to_json(struct(array(struct(
-        kindCol.as("kind"), tblCol.as("table"),
-        names.as("columnnames"), vals.as("columnvalues"),
-        okeys.as("oldkeys"))).as("change")))
-        .as("payload"))
+      to_json(struct(changes.as("change"))).as("payload"))
   }
 
   def messages(spark: SparkSession, dir: String): DataFrame =
     messagesFrom(Tables.events(spark, dir))
 
   /** Decoded change records: one row per element of each document's
-    * `change` array (reference src/forwarder/mod.rs:97-126). */
+    * `change` array (reference src/forwarder/mod.rs:97-126). A change is
+    * identified by (lsn, idx): statements inside one transaction document
+    * share the commit LSN and are ordered by their array position, which
+    * every consumer that cares about write order (LWW snapshots, ordered
+    * dumps) must use as the LSN tiebreak. */
   def decodedFrom(ev: DataFrame): DataFrame =
     messagesFrom(ev)
       .select(col("lsn"), from_json(col("payload"), ChangeSchema).as("doc"))
-      .select(col("lsn"), explode(col("doc.change")).as("c"))
-      .select(col("lsn"), col("c.kind").as("kind"), col("c.table").as("tbl"),
+      .select(col("lsn"), posexplode(col("doc.change")).as(Seq("idx", "c")))
+      .select(col("lsn"), col("idx").cast("long").as("idx"),
+        col("c.kind").as("kind"), col("c.table").as("tbl"),
         col("c.columnnames").as("columnnames"),
         col("c.columnvalues").as("columnvalues"),
+        col("c.columntypes").as("columntypes"),
         col("c.oldkeys.keynames").as("keynames"),
         col("c.oldkeys.keyvalues").as("keyvalues"))
 
@@ -124,19 +169,29 @@ object ChangeFeed {
       decodedFrom(Tables.events(spark, dir))
     }
 
-  /** Decoded records + the name→value map the specific filters probe
-    * (reference src/utils/specific_filter.rs:21-50 walks columnnames to
-    * find the index; here it is one Catalyst `map_from_arrays`). */
+  /** The name→value map the specific filters probe, built from TEXT-typed
+    * entries only: the reference locates the column by walking
+    * `columnnames`, then matches via `as_str`, so a JSON-number value
+    * behaves exactly like an absent column — no match, for any probe value
+    * (src/utils/specific_filter.rs:21-50). Dropping non-text entries from
+    * the map routes numeric values through the same missing-column ⇒ NULL
+    * ⇒ no-match path the filters already implement, instead of smuggling
+    * their decimal rendering into string equality. */
+  private val textValueMap: Column =
+    map_from_entries(transform(
+      filter(arrays_zip(col("columnnames"), col("columnvalues"), col("columntypes")),
+        e => e("columntypes") === lit("text")),
+      e => struct(e("columnnames"), e("columnvalues"))))
+
+  /** Decoded records + the string-match column map (see [[textValueMap]]). */
   def decodedWithMapFrom(ev: DataFrame): DataFrame =
-    decodedFrom(ev)
-      .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
+    decodedFrom(ev).withColumn("cmap", textValueMap)
 
   /** Batch variant rides the memoized persisted decode — the map column is
     * one cheap projection over the cached frame, so filter_eq / filter_in /
     * batch fan-out share the decode instead of re-running the JSON path. */
   def decodedWithMap(spark: SparkSession, dir: String): DataFrame =
-    decoded(spark, dir)
-      .withColumn("cmap", map_from_arrays(col("columnnames"), col("columnvalues")))
+    decoded(spark, dir).withColumn("cmap", textValueMap)
 
   /** insert=1, update=2, delete=4 — reference src/api/ws_utils.rs:10-12. */
   val kindFlag: Column =
@@ -146,10 +201,11 @@ object ChangeFeed {
 
   def changeDecode(spark: SparkSession, dir: String): DataFrame =
     decoded(spark, dir).select(
-      col("lsn"), col("kind"), col("tbl"),
+      col("lsn"), col("idx"), col("kind"), col("tbl"),
       array_join(col("columnnames"), "|").as("cols"),
-      array_join(col("columnvalues"), "|").as("vals"))
-      .orderBy("lsn")
+      array_join(col("columnvalues"), "|").as("vals"),
+      array_join(col("columntypes"), "|").as("types"))
+      .orderBy("lsn", "idx")
 
   /** Flag filter with mask INSERT|DELETE=5 — the bit test the forwarder
     * applies per session (reference src/api/ws_utils.rs:38-57,
@@ -202,7 +258,7 @@ object ChangeFeed {
     * codegen'd projection, no shuffle, order-preserving — and deletes pass
     * through untouched (their column arrays are empty; oldkeys are key
     * material, not payload). */
-  val SensitiveCols = Seq("value_cents", "k")
+  val SensitiveCols = Seq("value_cents", "balance_cents", "k")
 
   def cdcRedact(spark: SparkSession, dir: String): DataFrame = {
     val sensitive = (n: Column) => n.isin(SensitiveCols.map(_.asInstanceOf[Any]): _*)
@@ -214,17 +270,25 @@ object ChangeFeed {
           .otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
     decoded(spark, dir)
-      .select(col("lsn"), col("kind"), col("tbl"),
+      .select(col("lsn"), col("idx"), col("kind"), col("tbl"),
         array_join(red, "|").as("vals_redacted"),
         nRed.cast("long").as("n_redacted"))
-      .orderBy("lsn")
+      .orderBy("lsn", "idx")
   }
 
   // ---- oracle -------------------------------------------------------------
 
-  /** Relational mirror of the feed synthesis, shared by every CDC oracle. */
+  /** Relational mirror of the feed synthesis, shared by every CDC oracle:
+    * one row per CHANGE, identified by (lsn, idx). idx=0 is the event-row
+    * statement; idx=1 is the purchase transaction's balance-update
+    * statement. The value columns are row metadata the per-query CTEs
+    * consult under the change's own column-membership rules — a balance
+    * row (idx=1) carries ONLY user_id + balance_cents (= value_cents) in
+    * its wal2json column arrays, and a delete carries none (its key rides
+    * in oldkeys) — so any lookup of event_type/k on idx=1, or of anything
+    * on a delete, must yield NULL exactly as the engine-side map does. */
   val FeedCte: String =
-    """feed AS (
+    s"""feed0 AS (
       |  SELECT event_id AS lsn,
       |         CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
       |              WHEN event_type IN ('click','view') THEN 'update'
@@ -239,30 +303,47 @@ object ChangeFeed {
       |         event_type,
       |         CAST(round(value * 100) AS BIGINT) AS value_cents,
       |         regexp_extract(props, '[0-9]+', 0) AS k
-      |  FROM events)""".stripMargin
+      |  FROM events),
+      |feed AS (
+      |  SELECT lsn, CAST(0 AS BIGINT) AS idx, kind, tbl,
+      |         user_id, event_type, value_cents, k
+      |  FROM feed0
+      |  UNION ALL
+      |  SELECT lsn, CAST(1 AS BIGINT) AS idx, 'update' AS kind,
+      |         '$BalanceTable' AS tbl, user_id, event_type, value_cents, k
+      |  FROM feed0 WHERE event_type = 'purchase')""".stripMargin
 
   val changeDecodeSql: String =
     s"""WITH $FeedCte
-       |SELECT lsn, kind, tbl,
+       |SELECT lsn, idx, kind, tbl,
        |  CASE WHEN kind = 'delete' THEN ''
+       |       WHEN idx = 1 THEN 'user_id|balance_cents'
        |       ELSE 'event_id|user_id|event_type|value_cents|k' END AS cols,
        |  CASE WHEN kind = 'delete' THEN ''
+       |       WHEN idx = 1 THEN concat_ws('|', CAST(user_id AS VARCHAR),
+       |                                   CAST(value_cents AS VARCHAR))
        |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
-       |                      event_type, CAST(value_cents AS VARCHAR), k) END AS vals
-       |FROM feed ORDER BY lsn""".stripMargin
+       |                      event_type, CAST(value_cents AS VARCHAR), k) END AS vals,
+       |  CASE WHEN kind = 'delete' THEN ''
+       |       WHEN idx = 1 THEN 'text|bigint'
+       |       ELSE 'bigint|text|text|bigint|text' END AS types
+       |FROM feed ORDER BY lsn, idx""".stripMargin
 
   val cdcRedactSql: String =
     s"""WITH $FeedCte
-       |SELECT lsn, kind, tbl,
+       |SELECT lsn, idx, kind, tbl,
        |  CASE WHEN kind = 'delete' THEN ''
+       |       WHEN idx = 1 THEN concat_ws('|', CAST(user_id AS VARCHAR),
+       |            regexp_replace(CAST(value_cents AS VARCHAR), '[0-9]', '#', 'g'))
        |       ELSE concat_ws('|', CAST(lsn AS VARCHAR), CAST(user_id AS VARCHAR),
        |                      event_type,
        |                      regexp_replace(CAST(value_cents AS VARCHAR), '[0-9]', '#', 'g'),
        |                      regexp_replace(k, '[0-9]', '#', 'g')) END AS vals_redacted,
        |  CASE WHEN kind = 'delete' THEN CAST(0 AS BIGINT)
+       |       WHEN idx = 1 THEN CAST(len(regexp_extract_all(CAST(value_cents AS VARCHAR), '[0-9]')) AS BIGINT)
        |       ELSE CAST(len(regexp_extract_all(CAST(value_cents AS VARCHAR), '[0-9]'))
        |            + len(regexp_extract_all(k, '[0-9]')) AS BIGINT) END AS n_redacted
-       |FROM feed ORDER BY lsn""".stripMargin
+       |FROM feed ORDER BY lsn, idx""".stripMargin
 
   val changeTypeFilterSql: String =
     s"""WITH $FeedCte

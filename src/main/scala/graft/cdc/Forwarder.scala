@@ -43,7 +43,7 @@ object Forwarder {
         col("sub_tbl") === col("base") &&
           col("flag").bitwiseAND(col("kflag")) =!= 0)
       .where(specOk)
-      .select(col("sub_id"), col("lsn"), col("base"), col("kind"),
+      .select(col("sub_id"), col("lsn"), col("idx"), col("base"), col("kind"),
         try_element_at(col("cmap"), lit("user_id")).as("uid_val"))
   }
 
@@ -54,8 +54,8 @@ object Forwarder {
 
   def fanoutForward(spark: SparkSession, dir: String): DataFrame =
     fanout(spark, dir)
-      .select("sub_id", "lsn", "base", "kind")
-      .orderBy("sub_id", "lsn")
+      .select("sub_id", "lsn", "idx", "base", "kind")
+      .orderBy("sub_id", "lsn", "idx")
 
   /** Per-base-table applied-offset view — the batch analogue of the
     * reference's standby-status-update feedback loop, which reports the
@@ -129,7 +129,10 @@ object Forwarder {
     * change counts. */
   def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("base", "uid").orderBy(col("lsn").desc)
+    // statements inside one transaction document share the commit LSN;
+    // array position is the write order, so it breaks the LWW tie
+    val w = Window.partitionBy("base", "uid")
+      .orderBy(col("lsn").desc, col("idx").desc)
     HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
       .withColumn("uid", entityCol)
       .withColumn("rn", row_number().over(w))
@@ -144,37 +147,43 @@ object Forwarder {
   // ---- oracle -------------------------------------------------------------
 
   /** feed → routed → parsed subs → fanout, with uid_val exposed for auth.
-    * The per-column value CASE mirrors the name→value map lookup: deletes
-    * expose NO columns (empty columnnames ⇒ every lookup NULL ⇒ specific
-    * filters never match a delete, reference specific_filter.rs:21-50). */
+    * The per-column value CASE mirrors the name→value map lookup under
+    * BOTH no-match rules of reference specific_filter.rs:21-50:
+    *  - column membership: deletes expose NO columns (empty columnnames ⇒
+    *    every lookup NULL), and a balance statement (idx=1) exposes only
+    *    user_id + balance_cents;
+    *  - value typing: only text-typed values can match (`as_str`), so the
+    *    JSON-number columns event_id / value_cents / balance_cents have no
+    *    branch at all — a filter naming them never matches, even with the
+    *    exactly-right value (see filter_typed). */
   val FanoutCtes: String =
     s"""${ChangeFeed.FeedCte},
        |${HyperRemap.RoutedCte},
        |${Subscription.ParsedCte},
        |joined AS (
-       |  SELECT s.sub_id, r.lsn, r.base, r.kind, s.fcol, s.fop, s.fval,
+       |  SELECT s.sub_id, r.lsn, r.idx, r.base, r.kind, s.fcol, s.fop, s.fval,
        |         CASE WHEN r.kind <> 'delete' THEN CAST(r.user_id AS VARCHAR) END AS uid_val,
        |         CASE WHEN r.kind = 'delete' THEN NULL
+       |              WHEN r.idx = 1 THEN
+       |                CASE s.fcol WHEN 'user_id' THEN CAST(r.user_id AS VARCHAR) END
        |              ELSE CASE s.fcol
-       |                   WHEN 'event_id' THEN CAST(r.lsn AS VARCHAR)
        |                   WHEN 'user_id' THEN CAST(r.user_id AS VARCHAR)
        |                   WHEN 'event_type' THEN r.event_type
-       |                   WHEN 'value_cents' THEN CAST(r.value_cents AS VARCHAR)
        |                   WHEN 'k' THEN r.k
        |              END
        |         END AS cv
        |  FROM routed r
        |  JOIN validated s ON s.routable AND s.tbl = r.base AND (s.flag & r.kflag) <> 0),
        |fanout AS (
-       |  SELECT sub_id, lsn, base, kind, uid_val FROM joined
+       |  SELECT sub_id, lsn, idx, base, kind, uid_val FROM joined
        |  WHERE fop NOT IN ('eq', 'in')
        |     OR (fop = 'eq' AND cv = fval)
        |     OR (fop = 'in' AND list_contains(string_split(fval, ','), cv)))""".stripMargin
 
   val fanoutForwardSql: String =
     s"""WITH $FanoutCtes
-       |SELECT sub_id, lsn, base, kind
-       |FROM fanout ORDER BY sub_id, lsn""".stripMargin
+       |SELECT sub_id, lsn, idx, base, kind
+       |FROM fanout ORDER BY sub_id, lsn, idx""".stripMargin
 
   /** The relational mirror keys every change on user_id directly (the feed
     * CTE carries it for all kinds; the engine-side split between
@@ -185,7 +194,8 @@ object Forwarder {
        |${HyperRemap.RoutedCte},
        |ranked AS (
        |  SELECT base, user_id AS uid, lsn, kind,
-       |         row_number() OVER (PARTITION BY base, user_id ORDER BY lsn DESC) AS rn,
+       |         row_number() OVER (PARTITION BY base, user_id
+       |                            ORDER BY lsn DESC, idx DESC) AS rn,
        |         count(*) OVER (PARTITION BY base, user_id) AS n_changes
        |  FROM routed)
        |SELECT base, uid, lsn AS last_lsn, kind AS last_kind,

@@ -27,35 +27,91 @@ object SpecificFilter {
 
   // ---- queries ------------------------------------------------------------
 
-  /** eq probe on user_id=7. Deletes expose no columns at all (empty
-    * columnnames, mirroring wal2json oldkeys), so they are excluded by the
-    * missing-column rule, not by an explicit kind test. */
+  /** eq probe on user_id=7 (a text-typed identifier, so it matches both
+    * the event-row statement and a purchase's balance statement). Deletes
+    * expose no columns at all (empty columnnames, mirroring wal2json
+    * oldkeys), so they are excluded by the missing-column rule, not by an
+    * explicit kind test. */
   def filterEq(spark: SparkSession, dir: String): DataFrame = {
     val d = ChangeFeed.decodedWithMap(spark, dir)
     d.where(eqFilter(col("cmap"), lit("user_id"), lit("7")))
-      .select(col("lsn"), col("kind"), col("tbl"))
-      .orderBy("lsn")
+      .select(col("lsn"), col("idx"), col("kind"), col("tbl"))
+      .orderBy("lsn", "idx")
   }
 
-  /** in probe on k ∈ {10,20,30,42,77}. */
+  /** in probe on k ∈ {10,20,30,42,77}. k exists only on event-row
+    * statements, so balance statements fall out via the missing-column
+    * rule. */
   def filterIn(spark: SparkSession, dir: String): DataFrame = {
     val d = ChangeFeed.decodedWithMap(spark, dir)
     d.where(inFilter(col("cmap"), lit("k"), lit("10,20,30,42,77")))
-      .select(col("lsn"), try_element_at(col("cmap"), lit("k")).as("k"))
-      .orderBy("lsn")
+      .select(col("lsn"), col("idx"), try_element_at(col("cmap"), lit("k")).as("k"))
+      .orderBy("lsn", "idx")
+  }
+
+  /** The reference's string-only match rule, pinned per column: for every
+    * column any change carries, count the changes that carry it
+    * (n_present) vs the changes where an eq filter probing the column
+    * WITH ITS OWN VALUE matches (n_self_match). For text-typed columns
+    * the two are equal; for JSON-number columns (event_id, value_cents,
+    * balance_cents) n_self_match is 0 — even the exactly-right value
+    * never matches, because the reference compares via `as_str`
+    * (src/utils/specific_filter.rs:37-46) and a number has no str. The
+    * Spark side computes this through the production filter machinery
+    * (the type-filtered cmap + eqFilter); the oracle applies the rule
+    * structurally from the declared types. */
+  val ProbedCols: Seq[String] =
+    Seq("event_id", "user_id", "event_type", "value_cents", "k", "balance_cents")
+
+  def filterTyped(spark: SparkSession, dir: String): DataFrame = {
+    val rawMap = map_from_arrays(col("columnnames"), col("columnvalues"))
+    val probes = ProbedCols.map { c =>
+      struct(lit(c).as("colname"),
+        when(array_contains(col("columnnames"), c), 1L).otherwise(0L).as("present"),
+        when(eqFilter(col("cmap"), lit(c), try_element_at(rawMap, lit(c))), 1L)
+          .otherwise(0L).as("selfmatch"))
+    }
+    ChangeFeed.decodedWithMap(spark, dir)
+      .select(explode(array(probes: _*)).as("p"))
+      .groupBy(col("p.colname").as("colname"))
+      .agg(sum("p.present").as("n_present"),
+        sum("p.selfmatch").as("n_self_match"))
+      .where(col("n_present") > 0)
+      .orderBy("colname")
   }
 
   // ---- oracle -------------------------------------------------------------
 
   val filterEqSql: String =
     s"""WITH ${ChangeFeed.FeedCte}
-       |SELECT lsn, kind, tbl FROM feed
+       |SELECT lsn, idx, kind, tbl FROM feed
        |WHERE kind <> 'delete' AND CAST(user_id AS VARCHAR) = '7'
-       |ORDER BY lsn""".stripMargin
+       |ORDER BY lsn, idx""".stripMargin
 
   val filterInSql: String =
     s"""WITH ${ChangeFeed.FeedCte}
-       |SELECT lsn, k FROM feed
-       |WHERE kind <> 'delete' AND k IN ('10','20','30','42','77')
-       |ORDER BY lsn""".stripMargin
+       |SELECT lsn, idx, k FROM feed
+       |WHERE idx = 0 AND kind <> 'delete' AND k IN ('10','20','30','42','77')
+       |ORDER BY lsn, idx""".stripMargin
+
+  /** Mirror of [[filterTyped]]: unnest each change's (name, type) pairs
+    * under its own column-membership rules, then n_self_match counts the
+    * text-typed entries — the structural statement of `as_str`. */
+  val filterTypedSql: String =
+    s"""WITH ${ChangeFeed.FeedCte},
+       |entries AS (
+       |  SELECT lsn, idx,
+       |    unnest(CASE WHEN kind = 'delete' THEN CAST([] AS VARCHAR[])
+       |                WHEN idx = 1 THEN ['user_id', 'balance_cents']
+       |                ELSE ['event_id', 'user_id', 'event_type', 'value_cents', 'k']
+       |           END) AS cname,
+       |    unnest(CASE WHEN kind = 'delete' THEN CAST([] AS VARCHAR[])
+       |                WHEN idx = 1 THEN ['text', 'bigint']
+       |                ELSE ['bigint', 'text', 'text', 'bigint', 'text']
+       |           END) AS ctype
+       |  FROM feed)
+       |SELECT cname AS colname, count(*) AS n_present,
+       |       CAST(sum(CASE WHEN ctype = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_self_match
+       |FROM entries GROUP BY cname ORDER BY colname""".stripMargin
 }

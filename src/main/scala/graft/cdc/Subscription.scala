@@ -141,10 +141,10 @@ object Subscription {
     * exactly the reference's model, where the gate runs once per connect
     * and the specific filter does the per-message work. */
   def authRestrict(spark: SparkSession, dir: String): DataFrame = {
-    val fan = Forwarder.fanout(spark, dir) // sub_id, lsn, base, kind, uid_val
+    val fan = Forwarder.fanout(spark, dir) // sub_id, lsn, idx, base, kind, uid_val
     fan.join(broadcast(authAllowed(spark)), Seq("sub_id"))
-      .select("sub_id", "lsn", "base", "kind")
-      .orderBy("sub_id", "lsn")
+      .select("sub_id", "lsn", "idx", "base", "kind")
+      .orderBy("sub_id", "lsn", "idx")
   }
 
   // ---- oracle -------------------------------------------------------------
@@ -210,8 +210,8 @@ object Subscription {
        |    AND v.fval = CAST(o.o_user_id AS VARCHAR)
        |  WHERE v.routable AND (a.a_sub_id IS NOT NULL
        |     OR (v.fop = 'eq' AND v.fcol IN ($ownCols) AND o.o_sub_id IS NOT NULL)))
-       |SELECT f.sub_id, f.lsn, f.base, f.kind
+       |SELECT f.sub_id, f.lsn, f.idx, f.base, f.kind
        |FROM fanout f JOIN allowed w ON f.sub_id = w.sub_id
-       |ORDER BY f.sub_id, f.lsn""".stripMargin
+       |ORDER BY f.sub_id, f.lsn, f.idx""".stripMargin
   }
 }

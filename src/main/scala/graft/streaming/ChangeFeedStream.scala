@@ -84,7 +84,9 @@ object ChangeFeedStream {
       // (epoch 0) or it would be discarded as late before dedup sees it
       .withColumn("event_time", timestamp_micros(col("lsn") * 1000L + 86400000000L))
       .withWatermark("event_time", "2 hours")
-      .dropDuplicatesWithinWatermark("lsn")
+      // a change is (lsn, idx): statements of one transaction document
+      // share the LSN, so keying on lsn alone would "dedup" them away
+      .dropDuplicatesWithinWatermark("lsn", "idx")
 
   // ---- stateful sessionization -------------------------------------------
 

@@ -19,7 +19,9 @@ class CdcSnapshotStreamSpec extends SparkSpec {
       .withColumn("uid", Forwarder.entityCol)
       .groupBy("base", "uid")
       .agg(max("lsn").as("last_lsn"),
-        expr("max_by(kind, lsn)").as("last_kind"),
+        // (lsn, idx) is the write order: statements of one transaction
+        // document share the LSN (same tiebreak as batch cdcSnapshot)
+        expr("max_by(kind, struct(lsn, idx))").as("last_kind"),
         count(lit(1)).as("n_changes"))
     val q = snapState.writeStream
       .outputMode("complete")

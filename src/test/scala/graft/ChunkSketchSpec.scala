@@ -96,13 +96,21 @@ class ChunkSketchSpec extends SparkSpec {
     assert(nonDel.nonEmpty)
     nonDel.foreach { r =>
       val parts = r.getAs[String]("vals_redacted").split('|')
-      // layout: event_id|user_id|event_type|value_cents|k — last two masked
-      assert(parts.length === 5)
-      assert(!parts(3).exists(_.isDigit) && !parts(4).exists(_.isDigit))
-      val masked = parts(3).count(_ == '#') + parts(4).count(_ == '#')
-      assert(masked.toLong === r.getAs[Long]("n_redacted"))
-      // key/type fields are forwarded untouched
-      assert(parts(0).forall(_.isDigit) && parts(1).forall(_.isDigit))
+      if (r.getAs[Long]("idx") == 1L) {
+        // balance statement: user_id|balance_cents — balance masked
+        assert(parts.length === 2)
+        assert(!parts(1).exists(_.isDigit))
+        assert(parts(1).count(_ == '#').toLong === r.getAs[Long]("n_redacted"))
+        assert(parts(0).forall(_.isDigit)) // key field forwarded untouched
+      } else {
+        // layout: event_id|user_id|event_type|value_cents|k — last two masked
+        assert(parts.length === 5)
+        assert(!parts(3).exists(_.isDigit) && !parts(4).exists(_.isDigit))
+        val masked = parts(3).count(_ == '#') + parts(4).count(_ == '#')
+        assert(masked.toLong === r.getAs[Long]("n_redacted"))
+        // key/type fields are forwarded untouched
+        assert(parts(0).forall(_.isDigit) && parts(1).forall(_.isDigit))
+      }
     }
     rows.filter(_.getAs[String]("kind") == "delete").foreach { r =>
       assert(r.getAs[String]("vals_redacted") === "")

@@ -22,7 +22,7 @@ class ForwarderStreamSpec extends SparkSpec {
     q.awaitTermination()
 
     def key(r: org.apache.spark.sql.Row) =
-      (r.getAs[String]("sub_id"), r.getAs[Long]("lsn"),
+      (r.getAs[String]("sub_id"), r.getAs[Long]("lsn"), r.getAs[Long]("idx"),
         r.getAs[String]("base"), r.getAs[String]("kind"))
     val streamed = spark.table("fan_stream").collect().map(key).sorted
     val batch = Forwarder.fanout(spark, Sf0001).collect().map(key).sorted
