@@ -153,23 +153,45 @@ object Ngrams {
   // ---- vocab_build --------------------------------------------------------
 
   /** Tokenizer vocabulary: tokens with document frequency ≥ MinVocabDf,
-    * ids assigned by (occurrences desc, token) rank. The global
-    * row_number window is single-partition BY DESIGN: its input is the
-    * already-aggregated vocabulary table (bounded by vocabulary size, not
-    * corpus size — tens of thousands of rows at any corpus scale), so the
-    * sort never sees corpus-cardinality data. The corpus-side work is the
-    * same map-side-combined tf/df aggregation every operator here shares. */
+    * ids assigned by (occurrences desc, token) rank.
+    *
+    * The rank is computed as a TWO-PHASE distributed rank rather than one
+    * global row_number window (whose sort input — the whole vocabulary —
+    * would funnel through a single task): range-partition the vocabulary
+    * on the sort key, row_number locally inside each range, then add the
+    * total count of all preceding ranges from a VocabRankBuckets-row
+    * offset table (broadcast). The global order (n_occ desc, tok) is
+    * total, so the resulting id is the exact global rank and is
+    * deterministic wherever the sampled range boundaries fall; no single
+    * task ever sorts more than ~|vocab|/VocabRankBuckets rows, so the
+    * plan survives a vocabulary that is itself large (open-vocab corpora,
+    * byte-level n-gram vocabularies). */
   val MinVocabDf = 2L
+  val VocabRankBuckets = 32
 
-  def vocabBuild(spark: SparkSession, dir: String): DataFrame =
-    tfFrame(spark, dir)
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = tfFrame(spark, dir)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), sum("tf").as("n_occ"))
       .where(col("df") >= MinVocabDf)
-      .withColumn("vocab_id", row_number().over(
-        Window.orderBy(col("n_occ").desc, col("tok"))).cast("long"))
+    val bucketed = v
+      .repartitionByRange(VocabRankBuckets, col("n_occ").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("n_occ").desc, col("tok"))))
+    // tiny pid-indexed running offset (≤ VocabRankBuckets rows); its
+    // single-partition window is bounded by the bucket count, not data
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("vocab_id", col("offset") + col("local_rn"))
       .select("vocab_id", "tok", "df", "n_occ")
       .orderBy("vocab_id")
+  }
 
   val vocabBuildSql: String =
     s"""WITH $TokenCountsCtes,

@@ -9,6 +9,22 @@ import graft.relational.Queries
   * conservation, balance, and threshold envelopes. */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("vocab_build: ids are the exact dense global rank, ranked distributed") {
+    val v = Ngrams.vocabBuild(spark, Sf0001)
+    val rows = v.collect()
+    // exact dense rank 1..N in (n_occ desc, tok) order
+    assert(rows.map(_.getAs[Long]("vocab_id")).toSeq === (1L to rows.length).toSeq)
+    val sorted = rows.sortBy(r => (-r.getAs[Long]("n_occ"), r.getAs[String]("tok")))
+    assert(sorted.map(_.getAs[Long]("vocab_id")).toSeq === (1L to rows.length).toSeq)
+    // the vocabulary-sized window must ride the range partitioning (local
+    // rank per pid bucket), never a global single-partition sort
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "two-phase rank lost its range exchange")
+    assert("(?s)Window \\[row_number.*partitionBy".r.findFirstIn(plan).isEmpty
+      || plan.contains("pid"), "vocab rank window must be pid-partitioned")
+  }
+
   test("knn_classify: one prediction per query, votes form a kNN majority") {
     val rows = Similarity.knnClassify(spark, Sf0001).collect()
     assert(rows.length == Similarity.NumQueries)
