@@ -203,6 +203,62 @@ case class ShingleHashSetExpr(child: Expression, prime: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** N-token generalization of [[ShingleHashSetExpr]]: the distinct rolling
+  * byte hashes of every window "tokᵢ … tokᵢ₊ₙ₋₁" joined by single spaces,
+  * in first-seen order. The hash of each window is byte-for-byte the
+  * rolling hash of the joined string, so the DuckDB mirror is
+  * `fpSql(tk[i] || ' ' || … || tk[i+n-1])` — the same one-definition-point
+  * contract as the bigram expression. CodegenFallback for the same
+  * once-per-row reason. */
+case class NgramHashSetExpr(child: Expression, n: Int, prime: Long, mod: Long)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, "ngram width must be >= 1")
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_set"
+
+  private def rollBytes(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) { h = (h * prime + (bytes(i) & 0xff)) % mod; i += 1 }
+    h
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+    val toks = Array.tabulate(cnt)(i => arr.getUTF8String(i).getBytes)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= cnt - n) {
+      var h = rollBytes(0L, toks(i))
+      var k = 1
+      while (k < n) {
+        h = (h * prime + 32L) % mod // the ' ' joiner byte
+        h = rollBytes(h, toks(i + k))
+        k += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass SimHash over an int64 array: per bit position, count elements
   * with the bit set; the output bit is 1 when strictly more elements set
   * it than clear it. Replaces `bits` separate interpreted filter passes
@@ -269,6 +325,9 @@ object HashExprs {
 
   def shingleHashSet(toks: Column, prime: Long, mod: Long): Column =
     GraftShim.column(ShingleHashSetExpr(GraftShim.expression(toks), prime, mod))
+
+  def ngramHashSet(toks: Column, n: Int, prime: Long, mod: Long): Column =
+    GraftShim.column(NgramHashSetExpr(GraftShim.expression(toks), n, prime, mod))
 
   def simHash(arr: Column, bits: Int): Column =
     GraftShim.column(SimHashExpr(GraftShim.expression(arr), bits))

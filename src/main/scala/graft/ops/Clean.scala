@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-rewrite cleaning passes: segment-level deduplication (the
+  * CCNet/C4-style "drop repeated paragraphs everywhere" pass) and a PII
+  * count/redaction pass (SURVEY.md §2 rows 83-84). Unlike the dedup
+  * REPORTS in Dedup.scala, these REWRITE the documents and prove the
+  * rewrite byte-identically via a portable fingerprint of the cleaned
+  * text.
+  *
+  * Scale shape (100 TB): segment fingerprints are int64s; the keeper
+  * decision is one row_number window partitioned by fingerprint (the
+  * hash shuffle every distributed dedup pays), and the rebuild is a
+  * per-document sort_array over that document's own bounded segment list
+  * — no global sort, no driver round-trip. Hot boilerplate segments make
+  * skewed fp partitions; the window computes only row_number over them
+  * (no buffering of wide rows) and AQE splits the stragglers. The PII
+  * pass is embarrassingly parallel per-row regex work in whole-stage
+  * codegen.
+  */
+object Clean {
+
+  /** Non-overlapping segment width, in tokens — the "paragraph" surrogate
+    * for a corpus whose documents carry no newlines. */
+  val SegTokens = 8
+
+  private val norm = lower(trim(col("text")))
+
+  // ---- segment_dedup ------------------------------------------------------
+
+  /** Global segment-level dedup: split every document into consecutive
+    * 8-token segments, fingerprint each, keep only the globally FIRST
+    * occurrence of every fingerprint (ordered by doc_id, then position),
+    * and report the rewritten document: segment and token keep-counts
+    * plus the rolling fingerprint of the cleaned text (kept segments
+    * re-joined in document order). An exact copy of an earlier document
+    * cleans to the empty string (fingerprint 0). */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(norm, " ").as("tk"))
+    val segs = toks
+      .withColumn("nsegs", ceil(size(col("tk")) / lit(SegTokens.toDouble)).cast("int"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nsegs") - 1), k =>
+          struct(
+            concat_ws(" ", slice(col("tk"), k * SegTokens + 1, lit(SegTokens))).as("seg"),
+            size(slice(col("tk"), k * SegTokens + 1, lit(SegTokens))).cast("long").as("seg_toks")))))
+      .select(col("doc_id"), col("pos").as("seg_idx"),
+        col("col.seg").as("seg"), col("col.seg_toks").as("seg_toks"))
+      .withColumn("fp", TextStats.fingerprint(col("seg")))
+
+    val kept = segs.withColumn("keep",
+      row_number().over(Window.partitionBy("fp").orderBy("doc_id", "seg_idx")) === 1)
+
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("seg_toks")).otherwise(0L)).as("n_tokens_kept"),
+        TextStats.fingerprint(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("seg_idx"), col("seg"))))),
+              s => s.getField("seg")),
+            " ")).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
+  val segmentDedupSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |segix AS (
+       |  SELECT doc_id, tk,
+       |         unnest(range(0, CAST(ceil(len(tk) / ${SegTokens}.0) AS BIGINT))) AS k
+       |  FROM tk),
+       |segs AS (
+       |  SELECT doc_id, k AS seg_idx,
+       |         array_to_string(tk[k*$SegTokens+1 : k*$SegTokens+$SegTokens], ' ') AS seg,
+       |         CAST(len(tk[k*$SegTokens+1 : k*$SegTokens+$SegTokens]) AS BIGINT) AS seg_toks
+       |  FROM segix),
+       |fps AS (
+       |  SELECT doc_id, seg_idx, seg, seg_toks, ${TextStats.fpSql("seg")} AS fp
+       |  FROM segs),
+       |kept AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) = 1 AS keep
+       |  FROM fps)
+       |SELECT doc_id,
+       |       count(*) AS n_segs,
+       |       CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       |       CAST(coalesce(sum(seg_toks) FILTER (WHERE keep), 0) AS BIGINT) AS n_tokens_kept,
+       |       ${TextStats.fpSql("coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '')")} AS cleaned_fp
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- pii_scrub ----------------------------------------------------------
+
+  /** Portable regex subset: these patterns parse and match identically
+    * under Java regex (Spark) and RE2 (DuckDB) — character classes,
+    * bounded repetition, no backreferences/lookaround. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  val NumRunRe = "[0-9]{5,}"
+
+  /** The corpus text carries no contact strings, so the scrubber would
+    * trivially count zero everywhere; both engines therefore append the
+    * SAME deterministic contact tail (a function of doc_id only) before
+    * scrubbing — the augmentation is part of the operator contract, the
+    * regex machinery under test is real. Mirrors Multimodal's
+    * deterministic-fake-decode convention. */
+  private def augmented: Column =
+    concat(norm,
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example ph 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ref "), (col("doc_id") * 7919).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@corp.example")).otherwise(lit("")),
+      lit(" end"))
+
+  private val augmentedSql: String =
+    """lower(trim(text)) || ' contact user' || CAST(doc_id AS VARCHAR)
+      | || '@mail.example ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      | || ' ref ' || CAST(doc_id * 7919 AS VARCHAR)
+      | || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.example' ELSE '' END)
+      | || ' end'""".stripMargin.replace("\n", "")
+
+  /** Count emails / phone fragments / long digit runs, redact each class
+    * with a typed placeholder (emails first, so their digits never
+    * double-count as runs), and report original vs scrubbed lengths. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), augmented.as("aug"))
+      .withColumn("n_emails", size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("s1", regexp_replace(col("aug"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones", size(regexp_extract_all(col("s1"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("s2", regexp_replace(col("s1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_num_runs", size(regexp_extract_all(col("s2"), lit(NumRunRe), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), NumRunRe, "<NUM>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_num_runs"),
+        length(col("aug")).cast("long").as("orig_len"),
+        length(col("scrubbed")).cast("long").as("scrub_len"),
+        TextStats.fingerprint(col("scrubbed")).as("scrub_fp"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    s"""WITH aug AS (SELECT doc_id, $augmentedSql AS aug FROM documents),
+       |s1 AS (SELECT doc_id, aug,
+       |         CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |         regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g') AS s1 FROM aug),
+       |s2 AS (SELECT doc_id, aug, n_emails,
+       |         CAST(len(regexp_extract_all(s1, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |         regexp_replace(s1, '$PhoneRe', '<PHONE>', 'g') AS s2 FROM s1),
+       |s3 AS (SELECT doc_id, aug, n_emails, n_phones,
+       |         CAST(len(regexp_extract_all(s2, '$NumRunRe')) AS BIGINT) AS n_num_runs,
+       |         regexp_replace(s2, '$NumRunRe', '<NUM>', 'g') AS scrubbed FROM s2)
+       |SELECT doc_id, n_emails, n_phones, n_num_runs,
+       |       CAST(len(aug) AS BIGINT) AS orig_len,
+       |       CAST(len(scrubbed) AS BIGINT) AS scrub_len,
+       |       ${TextStats.fpSql("scrubbed")} AS scrub_fp
+       |FROM s3 ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact set-similarity self-join via document-frequency-ordered prefix
+  * filtering (SURVEY.md §2 row 82) — the EXACT complement to the
+  * recall-bounded MinHash LSH path (Dedup.scala rows 19/21): every pair
+  * with trigram-shingle Jaccard ≥ τ is returned, with zero false
+  * negatives, and still with no all-pairs comparison.
+  *
+  * The algorithm is the published prefix-filter scheme (Chaudhuri/Ganti/
+  * Kaushik SSJoin, ICDE'06; Bayardo/Ma/Srikant "Scaling Up All Pairs
+  * Similarity Search", WWW'07): order every document's shingle set by a
+  * single global total order (ascending corpus document frequency, ties on
+  * the shingle hash), keep only the first p = s − ⌈τ·s⌉ + 1 shingles as
+  * the document's "prefix", and generate a candidate pair only when two
+  * prefixes share a shingle. Any pair with J ≥ τ must overlap in ≥ ⌈τ·s⌉
+  * shingles of either set, so skipping a full prefix would leave fewer
+  * than ⌈τ·s⌉ positions — the candidate set is provably complete
+  * (SetJoinSpec checks this against a brute-force join on the test data).
+  *
+  * Scale shape (100 TB): document frequency is one map-side-combined
+  * groupBy on int64 shingle hashes; the per-document prefix selection is
+  * a window partitioned by doc_id (each partition is one document's
+  * bounded shingle set); and the candidate join keys are, BY CONSTRUCTION,
+  * the globally RAREST shingles in the corpus — the df-ascending order
+  * exists precisely so hot boilerplate shingles never become join keys.
+  * Bucket sizes are therefore small and near-uniform, the opposite of the
+  * skew a naive inverted-index join would hit; AQE absorbs the residue.
+  * Verification re-joins candidate doc ids against the persisted shingle
+  * sets (ids travel, documents don't), exactly the dedup_minhash shape.
+  */
+object SetJoin {
+
+  /** Jaccard threshold in 1e-4 fixed point (0.5). */
+  val TauE4 = 5000L
+
+  /** Shingle width: trigrams, not the dedup path's bigrams — the corpus
+    * vocabulary is small, so bigram df is too flat for a selective prefix;
+    * trigram space is vocab³ and planted near-dups separate cleanly. */
+  val NgramN = 3
+
+  private val norm = lower(trim(col("text")))
+
+  /** doc_id + distinct trigram-shingle hash set, persisted: the frame
+    * feeds the df aggregation, the prefix explode, and both verification
+    * lookups. Hash math is the engine's shared rolling-hash family
+    * (HashExprs.NgramHashSetExpr ≡ TextStats.fpSql of the joined text). */
+  private[graft] def triSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"setjoin.tris:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(norm, " ").as("toks"))
+        .where(size(col("toks")) >= NgramN)
+        .select(col("doc_id"),
+          graft.functions.HashExprs
+            .ngramHashSet(col("toks"), NgramN, TextStats.FpPrime, TextStats.FpMod)
+            .as("sh"))
+    }
+
+  /** All pairs with trigram Jaccard ≥ τ, exactly. */
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sets = triSets(spark, dir)
+    val sized = sets.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+    val ex = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // prefix length p = s − ⌈τ·s⌉ + 1 under the global (df, shingle) order
+    val pref = ex.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .where(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(TauE4 / 10000.0)).cast("long") + 1)
+      .select(col("doc_id"), col("s"))
+
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sized.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")),
+        col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sized.select(col("doc_id"), col("sh").as("sh_b"), col("sz").as("sz_b")),
+        col("doc_b") === col("doc_id"))
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_e4",
+        floor(lit(10000.0) * col("isz") / (col("sz_a") + col("sz_b") - col("isz")))
+          .cast("long"))
+      .where(col("jaccard_e4") >= TauE4)
+      .select("doc_a", "doc_b", "jaccard_e4")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: brute-force ground truth — every pair sharing ≥1 trigram,
+    * exact Jaccard, threshold. The Spark side must reproduce this EXACTLY
+    * (the prefix filter is lossless); a hash mismatch here means a recall
+    * hole, which is the whole claim under test. */
+  val jaccardPrefixSql: String = {
+    val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(tk) - 1), i -> $triExpr),
+       |      g -> ${TextStats.fpSql("g")})) AS sh
+       |  FROM tk WHERE len(tk) >= $NgramN),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM tri),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS isz
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(floor(10000.0 * isz / (sa.sz + sb.sz - isz)) AS BIGINT) AS jaccard_e4
+       |FROM cand
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(floor(10000.0 * isz / (sa.sz + sb.sz - isz)) AS BIGINT) >= $TauE4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
