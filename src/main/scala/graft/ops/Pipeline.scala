@@ -425,4 +425,167 @@ object Pipeline {
        |SELECT doc_id, lang, n_tokens, cum_tokens,
        |       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / $ContextTokens) AS BIGINT) AS bin
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---- mix_temperature: temperature-scaled source mixing ------------------
+
+  /** Temperature-scaled source mixing (α = 0.5): the multilingual-training
+    * recipe that upsamples the tail by sampling source i proportional to
+    * its token share raised to α, instead of equalizing outright like
+    * `source_mix`. Integer-portable math: the per-source temperature
+    * weight is floor(sqrt(tokens)) — an exact BIGINT in both engines
+    * (IEEE sqrt is correctly rounded, inputs ≪ 2^53) — so the weight SUM
+    * is exact integer arithmetic, never an order-dependent float sum.
+    * The per-document sampling rate normalizes the per-doc inclusion
+    * density tokens^(α−1) by the sparsest source: rate_e6 =
+    * floor(1e6 · sqrt(min_tokens / tokens)), one correctly-rounded
+    * double chain both engines share. Corpus-side cost is one map-side
+    * -combined groupBy; everything after runs on #sources rows. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("temp_w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val all = Window.partitionBy()
+    perSrc
+      .withColumn("total_tokens", sum("src_tokens").over(all))
+      .withColumn("total_w", sum("temp_w").over(all))
+      .withColumn("min_tokens", min("src_tokens").over(all))
+      .withColumn("share_e6",
+        floor(lit(1000000.0) * col("src_tokens") / col("total_tokens")).cast("long"))
+      .withColumn("temp_share_e6",
+        floor(lit(1000000.0) * col("temp_w") / col("total_w")).cast("long"))
+      .withColumn("rate_e6",
+        floor(lit(1000000.0)
+          * sqrt(col("min_tokens").cast("double") / col("src_tokens"))).cast("long"))
+      .select("source", "n_docs", "src_tokens", "temp_w",
+        "share_e6", "temp_share_e6", "rate_e6")
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, src_tokens,
+      |         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS temp_w
+      |  FROM agg),
+      |tot AS (
+      |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |         CAST(sum(temp_w) AS BIGINT) AS total_w,
+      |         CAST(min(src_tokens) AS BIGINT) AS min_tokens
+      |  FROM w)
+      |SELECT source, n_docs, src_tokens, temp_w,
+      |  CAST(floor(1000000.0 * src_tokens / total_tokens) AS BIGINT) AS share_e6,
+      |  CAST(floor(1000000.0 * temp_w / total_w) AS BIGINT) AS temp_share_e6,
+      |  CAST(floor(1000000.0 * sqrt(CAST(min_tokens AS DOUBLE) / src_tokens)) AS BIGINT) AS rate_e6
+      |FROM w CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
+  // ---- split_assign: dup-consistent train/val/test split ------------------
+
+  /** Deterministic train/val/test assignment keyed on the CONTENT
+    * fingerprint, not the row id: exact duplicates land in the same split
+    * by construction, so a copy of a training document can never leak
+    * into eval. The audit proves it: `leaked_keys` counts content keys
+    * observed in more than one split — sum of per-split distinct keys
+    * minus global distinct keys — and must be 0. Split thresholds:
+    * bucket < 80 train, < 90 val, else test. At scale this is two
+    * map-side-combined aggregations over (split, key); the distinct is
+    * the same composite-key shuffle as agg_skew_distinct. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextStats.fingerprint(lower(trim(col("text")))).as("ckey"))
+      .withColumn("bucket", col("ckey") % HashModPrime * HashMult % HashModPrime % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+    val perSplit = keyed.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("ckey").as("n_keys"))
+    val leaked = perSplit.agg(sum("n_keys").as("sum_keys"))
+      .crossJoin(keyed.agg(countDistinct("ckey").as("tot_keys")))
+      .select((col("sum_keys") - col("tot_keys")).as("leaked_keys"))
+    perSplit.crossJoin(broadcast(leaked))
+      .select("split", "n_docs", "n_keys", "leaked_keys")
+      .orderBy("split")
+  }
+
+  val splitAssignSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, ${TextStats.fpSql("lower(trim(text))")} AS ckey
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, ckey,
+       |         (ckey % $HashModPrime * $HashMult) % $HashModPrime % 100 AS bucket
+       |  FROM keyed),
+       |s AS (
+       |  SELECT doc_id, ckey,
+       |         CASE WHEN bucket < 80 THEN 'train'
+       |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM b),
+       |per AS (
+       |  SELECT split, count(*) AS n_docs, count(DISTINCT ckey) AS n_keys
+       |  FROM s GROUP BY split),
+       |leak AS (
+       |  SELECT CAST((SELECT sum(n_keys) FROM per) -
+       |              (SELECT count(DISTINCT ckey) FROM s) AS BIGINT) AS leaked_keys)
+       |SELECT split, n_docs, n_keys, leaked_keys
+       |FROM per CROSS JOIN leak
+       |ORDER BY split""".stripMargin
+
+  // ---- epoch_order: deterministic global training order -------------------
+
+  /** Deterministic per-epoch global shuffle order: every document gets an
+    * exact global position in each epoch, ordered by an epoch-specific
+    * multiplicative hash (epoch 0 → Mix2, epoch 1 → Mix3 — fixed
+    * constants, so runs and engines agree). The rank is the vocab_build
+    * TWO-PHASE distributed rank, not a global row_number window: range
+    * -partition on (epoch, h, doc_id), rank locally, add the broadcast
+    * per-(epoch, bucket) running offsets — no single task ever sorts the
+    * corpus. This is the "shuffle the corpus reproducibly per epoch"
+    * step a training loader needs to slice by position range. */
+  val Epochs = 2
+  val OrderRankBuckets = 32
+
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0L), lit((Epochs - 1).toLong))).as("epoch"))
+      .withColumn("h",
+        when(col("epoch") === 0,
+          col("doc_id") % HashModPrime * graft.functions.HashExprs.Mix2 % HashModPrime)
+          .otherwise(
+            col("doc_id") % HashModPrime * graft.functions.HashExprs.Mix3 % HashModPrime))
+    val bucketed = base
+      .repartitionByRange(OrderRankBuckets, col("epoch"), col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("epoch", "pid").orderBy(col("h"), col("doc_id"))))
+    val offsets = bucketed.groupBy("epoch", "pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.partitionBy("epoch").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "pid", "offset")
+    ranked.join(broadcast(offsets), Seq("epoch", "pid"))
+      .withColumn("pos", col("offset") + col("local_rn"))
+      .select("epoch", "pos", "doc_id")
+      .orderBy("epoch", "pos")
+  }
+
+  val epochOrderSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(range(0, $Epochs)) AS epoch FROM documents),
+       |h AS (
+       |  SELECT doc_id, epoch,
+       |         CASE WHEN epoch = 0
+       |              THEN (doc_id % $HashModPrime * ${graft.functions.HashExprs.Mix2}) % $HashModPrime
+       |              ELSE (doc_id % $HashModPrime * ${graft.functions.HashExprs.Mix3}) % $HashModPrime
+       |         END AS h
+       |  FROM e)
+       |SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos,
+       |       doc_id
+       |FROM h ORDER BY epoch, pos""".stripMargin
 }

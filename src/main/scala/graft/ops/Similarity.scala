@@ -614,4 +614,61 @@ object Similarity {
        |SELECT label, n_vecs, n_zero, min_n2, max_n2,
        |       CAST(floor(CAST(sum_n2 AS DOUBLE) / n_vecs) AS BIGINT) AS mean_n2
        |FROM s ORDER BY label""".stripMargin
+
+  // ---- embed_quant: int8 quantization audit -------------------------------
+
+  /** Per-dimension int8 quantization audit: affine min/max quantization of
+    * each embedding dimension to 256 levels, with the reconstruction-error
+    * envelope a pipeline checks BEFORE committing a 4×-smaller quantized
+    * index at scale. All arithmetic is the engine's portable
+    * int64-plus-correctly-rounded-double chain: components are first
+    * quantized to e4 ticks (the similarity family's shared `quant`), the
+    * per-dim (min, max) comes from a 64-row map-side-combined groupBy
+    * that is BROADCAST back (never a window partitioned by dim — at 1e9
+    * vectors a per-dim window partition would funnel 1/64th of the corpus
+    * through one task), q8 = floor((v−min)·255/(max−min)), and the
+    * reconstruction r = min + floor(q8·(max−min)/255). Errors are exact
+    * tick integers; only bounded aggregates leave the executors. */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(quant))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").cast("long").as("v"))
+    val stats = ticks.groupBy("dim")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    ticks.join(broadcast(stats), "dim")
+      .withColumn("q8",
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("rec",
+        col("mn") + floor(col("q8") * (col("mx") - col("mn")) / lit(255.0)).cast("long"))
+      .withColumn("err", abs(col("v") - col("rec")))
+      .groupBy("dim")
+      .agg(min("v").as("min_tick"), max("v").as("max_tick"),
+        max("err").as("max_abs_err"), sum("err").as("sum_abs_err"),
+        floor(lit(100.0) * sum("err") / count(lit(1))).cast("long").as("mean_err_e2"))
+      .orderBy("dim")
+  }
+
+  val embedQuantSql: String =
+    s"""WITH t AS (
+       |  SELECT d.dim AS dim,
+       |         CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d),
+       |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM t GROUP BY dim),
+       |q AS (
+       |  SELECT t.dim, v, mn, mx,
+       |         CASE WHEN mx > mn
+       |              THEN CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT)
+       |              ELSE 0 END AS q8
+       |  FROM t JOIN s ON t.dim = s.dim),
+       |r AS (
+       |  SELECT dim, v, mn + CAST(floor(q8 * (mx - mn) / 255.0) AS BIGINT) AS rec
+       |  FROM q)
+       |SELECT dim, min(v) AS min_tick, max(v) AS max_tick,
+       |       max(abs(v - rec)) AS max_abs_err,
+       |       CAST(sum(abs(v - rec)) AS BIGINT) AS sum_abs_err,
+       |       CAST(floor(100.0 * sum(abs(v - rec)) / count(*)) AS BIGINT) AS mean_err_e2
+       |FROM r GROUP BY dim ORDER BY dim""".stripMargin
 }
