@@ -210,4 +210,56 @@ object Forwarder {
        |$PerBaseCte
        |SELECT base, max_lsn, n_changes
        |FROM per_base ORDER BY base""".stripMargin
+
+  // ---- cdc_scd2: slowly-changing-dimension type-2 history -----------------
+
+  /** SCD type-2 history materialization — the OTHER standard CDC consumer
+    * next to the LWW snapshot: instead of keeping only each entity's
+    * latest state, keep every version with its validity interval. Each
+    * non-delete change of (base, entity) opens a version at its LSN; the
+    * version closes at the LSN of the entity's NEXT change of ANY kind
+    * (a delete closes the open version without opening one — the
+    * tombstone semantics of cdcSnapshot, expressed as intervals).
+    * `valid_to` = −1 marks a still-open version; `is_current` = 1 only
+    * for open versions, so an entity whose history ends in a delete has
+    * none. Version numbers count non-delete changes in write order
+    * (LSN, then statement index within the transaction document).
+    *
+    * Scale shape: one shuffle on (base, entity) shared by both windows
+    * (lead over all changes, row_number over the surviving ones) — the
+    * same per-entity partitioning as the snapshot, history length per
+    * entity bounded by that entity's change count. */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perEnt = Window.partitionBy("base", "uid").orderBy("lsn", "idx")
+    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+      .withColumn("uid", entityCol)
+      .where(col("uid").isNotNull)
+      .withColumn("nxt", lead(col("lsn"), 1).over(perEnt))
+      .where(col("kind") =!= "delete")
+      .withColumn("version", row_number().over(perEnt).cast("long"))
+      .select(col("base"), col("uid"), col("version"),
+        col("lsn").as("valid_from"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
+        col("kind"))
+      .orderBy("base", "uid", "version")
+  }
+
+  val cdcScd2Sql: String =
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte},
+       |led AS (
+       |  SELECT base, user_id AS uid, lsn, idx, kind,
+       |         lead(lsn) OVER (PARTITION BY base, user_id ORDER BY lsn, idx) AS nxt
+       |  FROM routed WHERE user_id IS NOT NULL),
+       |vers AS (
+       |  SELECT base, uid, lsn, kind, nxt,
+       |         CAST(row_number() OVER (PARTITION BY base, uid ORDER BY lsn, idx) AS BIGINT) AS version
+       |  FROM led WHERE kind <> 'delete')
+       |SELECT base, uid, version, lsn AS valid_from,
+       |       CAST(coalesce(nxt, -1) AS BIGINT) AS valid_to,
+       |       CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       |       kind
+       |FROM vers ORDER BY base, uid, version""".stripMargin
 }

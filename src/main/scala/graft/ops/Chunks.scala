@@ -272,4 +272,78 @@ object Chunks {
        |JOIN bits b3 ON p.p3 = b3.bit
        |LEFT JOIN efps e ON p.chunk_fp = e.chunk_fp
        |ORDER BY p.doc_id, p.chunk_idx""".stripMargin
+
+  // ---- content_chunks: content-defined chunking ---------------------------
+
+  /** Content-defined chunking at token granularity: a chunk boundary
+    * falls wherever the TOKEN's own hash lands in a fixed residue class
+    * (1-in-BoundaryMod tokens on average), so boundaries are a function
+    * of CONTENT, not position. That is the property the fixed-stride
+    * chunker above cannot give: insert one token near the front of a
+    * document and every stride window after it shifts (all fingerprints
+    * change), while content-defined boundaries re-synchronize at the
+    * next boundary token and every later chunk fingerprint survives —
+    * the dedup-robustness trick of CDC storage systems (LBFS/rsync
+    * lineage), applied to corpus chunking.
+    *
+    * Scale shape: boundary flags are stateless per-token math in the
+    * scan; the chunk index is a per-document running sum (window
+    * partitioned by doc_id — one document per partition group, the same
+    * shape as sessionize), and chunk assembly is a per-(doc, chunk)
+    * groupBy whose groups are bounded by chunk length. No corpus-global
+    * state anywhere. */
+  val BoundaryMod = 8
+
+  def contentChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = Pipeline.HashModPrime
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val tokFp = graft.functions.HashExprs
+      .byteRollHash(col("tok"), TextStats.FpPrime, TextStats.FpMod)
+    val wex = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("flag",
+        when(tokFp % P * graft.functions.HashExprs.Mix3 % P % BoundaryMod === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum("flag").over(wex), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        min(col("pos")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_toks"),
+        graft.functions.HashExprs.byteRollHash(
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              s => s.getField("tok")), " "),
+          TextStats.FpPrime, TextStats.FpMod).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val contentChunksSql: String = {
+    val P = Pipeline.HashModPrime
+    val mix = graft.functions.HashExprs.Mix3
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |px AS (
+       |  SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM tk),
+       |t AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tk[pos + 1] AS tok FROM px),
+       |f AS (
+       |  SELECT doc_id, pos, tok,
+       |         CASE WHEN (${TextStats.fpSql("tok")} % $P * $mix) % $P % $BoundaryMod = 0
+       |              THEN 1 ELSE 0 END AS flag
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |         CAST(coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+       |  FROM f)
+       |SELECT doc_id, chunk_idx,
+       |       CAST(min(pos) AS BIGINT) AS start_tok,
+       |       count(*) AS n_toks,
+       |       ${TextStats.fpSql("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_fp
+       |FROM c GROUP BY doc_id, chunk_idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

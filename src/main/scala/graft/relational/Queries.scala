@@ -524,4 +524,47 @@ object Queries {
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- join_salted: salted shuffle join under fact-side key skew ----------
+
+  /** Salted fact⋈dim join — the standard mitigation when the dim side is
+    * too large to broadcast AND the fact side's join key is skewed (a
+    * handful of hot entities owning a disproportionate share of events,
+    * exactly this events table's shape): the dim side is replicated once
+    * per salt bucket, the fact side derives a deterministic salt from a
+    * NON-key column, and the join key becomes (key, salt) — a hot key's
+    * rows now land on SaltBuckets reducers instead of one. The `merge`
+    * hint pins the sort-merge shuffle plan the technique exists for (a
+    * broadcast would bypass the skew problem at this SF and silently
+    * un-demonstrate the operator; at 100 TB the optimizer couldn't
+    * broadcast anyway). Dim bloat is bounded by SaltBuckets × |dim| —
+    * chosen, not emergent — and AQE's skew splitting stacks on top for
+    * residual imbalance. The defining invariant: the salted plan's
+    * result is IDENTICAL to the unsalted join, which is exactly what the
+    * oracle states (it knows nothing of salt). */
+  val SaltBuckets = 8
+
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_cents"))
+      .withColumn("salt", col("event_id") % SaltBuckets)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+    fact.join(dim.hint("merge"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("value_cents").as("sum_cents"))
+      .orderBy("nation")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+      |       count(*) AS n_events,
+      |       count(DISTINCT e.user_id) AS n_users,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
