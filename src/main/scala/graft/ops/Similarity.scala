@@ -671,4 +671,181 @@ object Similarity {
        |       CAST(sum(abs(v - rec)) AS BIGINT) AS sum_abs_err,
        |       CAST(floor(100.0 * sum(abs(v - rec)) / count(*)) AS BIGINT) AS mean_err_e2
        |FROM r GROUP BY dim ORDER BY dim""".stripMargin
+
+  // ---- ann_pq: product quantization -------------------------------------
+
+  /** Product quantization (Jégou/Douze/Schmid, PAMI'11): the 64-dim space
+    * splits into PqM = 8 orthogonal 8-dim subspaces, each with its own
+    * PqK = 8-entry codebook, so a vector compresses to 8 3-bit codes
+    * (one int64 `pq_code` here) — the memory layout that makes
+    * billion-vector ANN indexes fit in RAM, with `sq_err` the exact
+    * integer reconstruction error a deployment checks before trusting
+    * ADC distances at scale.
+    *
+    * Codebooks are TRAINED per subspace with the engine's deterministic
+    * one-Lloyd-iteration recipe (the ann_ivf convention): init from the
+    * first PqK vectors' subvectors, assign every subvector by EXACT
+    * int64 squared-L2 on e4 ticks (no float anywhere in assignment —
+    * ties break to the smaller code), update by per-component
+    * floor-quantized mean, then re-assign against the trained books.
+    *
+    * Scale shape: both assignment passes join against a BROADCAST
+    * codebook (PqM·PqK = 64 rows); the per-(vector, subspace) argmin is
+    * a bounded window over PqK candidates; the Lloyd update is a
+    * map-side-combined groupBy over (subspace, code, component) — at
+    * most PqM·PqK·SubDim = 512 cells regardless of N. Empty cells drop
+    * consistently on both sides. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 8
+
+  /** Exact integer squared L2 between two equal-length int64 arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Per-(vector, subspace) rows: subspace id, code-packing multiplier,
+    * and the 8-dim tick subvector. */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
+    val subStructs = array((0 until PqM).map { m =>
+      struct(lit(m.toLong).as("m"), lit(1L << (3 * m)).as("mult"),
+        slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("sv"))
+    }: _*)
+    base.select(col("vec_id"), explode(subStructs).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.mult").as("mult"),
+        col("s.sv").as("sv"))
+  }
+
+  private def pqNearest(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "m")
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d"), col("j"))))
+      .where(col("rn") === 1)
+
+  /** Trained codebooks (m, j, cv), memoized: shared by the code
+    * assignment and the ADC search. */
+  private def pqBooks(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.pqBooks:$dir") {
+      val subs = pqSubs(spark, dir)
+      val init = subs.where(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+      pqNearest(subs, init)
+        .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("pos", "q")))
+        .groupBy("m", "j", "pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+        .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
+        .groupBy("m", "j")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
+        .select(col("m"), col("j"), transform(col("pc"), x => x("cq")).as("cv"))
+    }
+
+  /** Final per-(vector, subspace) code assignment against the trained
+    * books, memoized: the PQ "index" both the code report and the ADC
+    * search read. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.pqCodes:$dir") {
+      pqNearest(pqSubs(spark, dir), pqBooks(spark, dir))
+        .select("vec_id", "m", "mult", "j", "d")
+    }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
+      .groupBy("vec_id")
+      .agg(sum(col("j") * col("mult")).as("pq_code"), sum("d").as("sq_err"))
+      .orderBy("vec_id")
+
+  private def pqL2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain up to the final code assignment `r2`
+    * (mirrors pqSubs → init → one Lloyd round → pqCodes). */
+  private val PqCtes: String =
+    s"""$QvecsCte,
+       |sub AS (
+       |  SELECT vec_id, mm.m AS m,
+       |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
+       |         qv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM qvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+       |init AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < $PqK),
+       |a1 AS (
+       |  SELECT s.vec_id, s.m, s.sv, i.j, ${pqL2Sql("s.sv", "i.cv")} AS d
+       |  FROM sub s JOIN init i ON s.m = i.m),
+       |r1 AS (
+       |  SELECT vec_id, m, sv, j FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM a1) t WHERE rn = 1),
+       |upd AS (
+       |  SELECT m, j, p.pos AS pos,
+       |         CAST(floor(CAST(sum(sv[p.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM r1 CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS pos) p
+       |  GROUP BY m, j, p.pos),
+       |tc AS (SELECT m, j, list(cq ORDER BY pos) AS cv FROM upd GROUP BY m, j),
+       |a2 AS (
+       |  SELECT s.vec_id, s.m, s.mult, t.j, ${pqL2Sql("s.sv", "t.cv")} AS d
+       |  FROM sub s JOIN tc t ON s.m = t.m),
+       |r2 AS (
+       |  SELECT vec_id, m, mult, j, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM a2) t WHERE rn = 1)""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $PqCtes
+       |SELECT vec_id,
+       |       CAST(sum(j * mult) AS BIGINT) AS pq_code,
+       |       CAST(sum(d) AS BIGINT) AS sq_err
+       |FROM r2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- ann_pq_search: asymmetric-distance (ADC) top-k ---------------------
+
+  /** The PQ QUERY path: asymmetric distance computation. Each query keeps
+    * its exact (un-quantized) tick subvectors; every database vector is
+    * represented ONLY by its 8 codes, so a query-vector distance is the
+    * sum over subspaces of ‖q_m − centroid(code_m)‖² — 8 lookups into a
+    * per-query table of PqM·PqK = 64 precomputed partial distances, the
+    * constant-time-per-vector scan that makes PQ indexes fast. Here the
+    * lookup table is the broadcast (books ⋈ query-subvectors) product and
+    * the scan is one co-partitioned join on (m, j) against the memoized
+    * code assignment — no vector data moves, only codes. Top-k per query
+    * by (ADC distance, vec_id), self-match excluded. Exact int64
+    * arithmetic end to end. */
+  val PqTopK = 5
+
+  def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val qsubs = pqSubs(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+    // per-(query, subspace, code) partial distances: the ADC lookup table
+    val lut = qsubs.join(broadcast(pqBooks(spark, dir)), "m")
+      .withColumn("pd", l2sq(col("qsv"), col("cv")))
+      .select("qid", "m", "j", "pd")
+    pqCodes(spark, dir)
+      .join(broadcast(lut), Seq("m", "j"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("pd").as("adc_d"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_d"), col("vec_id"))))
+      .where(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("adc_d"))
+      .orderBy("qid", "rnk")
+  }
+
+  val annPqSearchSql: String =
+    s"""WITH $PqCtes,
+       |qsub AS (
+       |  SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NumQueries),
+       |lut AS (
+       |  SELECT q.qid, q.m, t.j, ${pqL2Sql("q.qsv", "t.cv")} AS pd
+       |  FROM qsub q JOIN tc t ON q.m = t.m),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_d
+       |  FROM r2 c JOIN lut l ON c.m = l.m AND c.j = l.j
+       |  GROUP BY l.qid, c.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc_d,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS BIGINT) AS rnk
+       |  FROM adc WHERE qid <> vec_id)
+       |SELECT qid, rnk, vec_id, adc_d
+       |FROM ranked WHERE rnk <= $PqTopK
+       |ORDER BY qid, rnk""".stripMargin
 }
