@@ -588,4 +588,87 @@ object Pipeline {
        |SELECT epoch, row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos,
        |       doc_id
        |FROM h ORDER BY epoch, pos""".stripMargin
+
+  // ---- quantile_sketch: fixed-memory histogram quantiles ------------------
+
+  /** Fixed-memory approximate quantiles with a measured error bound: a
+    * QSketchBuckets-cell histogram (bucket = n_tokens div QSketchW,
+    * capped) replaces the exact rank sort, the estimate is the upper
+    * edge of the bucket containing the target rank, and BOTH the
+    * estimate and the exact value ship in the output so the error is
+    * visible, not asserted (err ∈ [0, QSketchW−1] whenever the cap is
+    * not hit — the sketch twin of lang_quantiles, completing the
+    * estimate-vs-truth family with hll_distinct / cms_topk /
+    * minhash_est).
+    *
+    * Scale shape: the histogram is one map-side-combined groupBy on
+    * (lang, bucket) — ≤ QSketchBuckets cells per language regardless of
+    * corpus size, the whole point at 100 TB where the exact path's
+    * per-language rank window must shuffle every row. The cumulative
+    * walk and rank pivot run on the tiny histogram frame. The exact
+    * columns reuse the shared rankedByTokens stage (at scale a
+    * deployment would drop them and keep only the sketch — they are the
+    * certification half of this operator, mirroring ann_recall). */
+  val QSketchW = 8L
+  val QSketchBuckets = 256L
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("b", least(lit(QSketchBuckets - 1), expr(s"n_tokens div $QSketchW")))
+      .groupBy("lang", "b").agg(count(lit(1)).as("n_b"))
+    val wCum = Window.partitionBy("lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("lang")
+    val ests = hist
+      .withColumn("cum", sum("n_b").over(wCum))
+      .withColumn("n", sum("n_b").over(wAll))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("b") * QSketchW + (QSketchW - 1)))
+          .as("p50_est"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("b") * QSketchW + (QSketchW - 1)))
+          .as("p90_est"))
+    val exact = rankedByTokens(spark, dir)
+      .groupBy("lang")
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rnk") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_exact"),
+        max(when(col("rnk") === expr("(n * 9 + 9) div 10"), col("n_tokens"))).as("p90_exact"))
+    exact.join(ests, "lang")
+      .select(col("lang"), col("n_docs"),
+        col("p50_exact"), col("p50_est"), (col("p50_est") - col("p50_exact")).as("p50_err"),
+        col("p90_exact"), col("p90_est"), (col("p90_est") - col("p90_exact")).as("p90_err"))
+      .orderBy("lang")
+  }
+
+  val quantileSketchSql: String =
+    s"""WITH $RankedSqlCtes,
+       |hist AS (
+       |  SELECT lang, least(${QSketchBuckets - 1}, n_tokens // $QSketchW) AS b,
+       |         count(*) AS n_b
+       |  FROM t GROUP BY lang, b),
+       |cums AS (
+       |  SELECT lang, b, n_b,
+       |         CAST(sum(n_b) OVER (PARTITION BY lang ORDER BY b
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(n_b) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM hist),
+       |ests AS (
+       |  SELECT lang,
+       |         min(CASE WHEN cum >= (n + 1) // 2
+       |                  THEN b * $QSketchW + ${QSketchW - 1} END) AS p50_est,
+       |         min(CASE WHEN cum >= (n * 9 + 9) // 10
+       |                  THEN b * $QSketchW + ${QSketchW - 1} END) AS p90_est
+       |  FROM cums GROUP BY lang),
+       |exact AS (
+       |  SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       |         max(CASE WHEN rnk = (n + 1) // 2 THEN n_tokens END) AS p50_exact,
+       |         max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_exact
+       |  FROM r GROUP BY lang)
+       |SELECT e.lang, n_docs,
+       |       p50_exact, p50_est, p50_est - p50_exact AS p50_err,
+       |       p90_exact, p90_est, p90_est - p90_exact AS p90_err
+       |FROM exact e JOIN ests s ON e.lang = s.lang
+       |ORDER BY e.lang""".stripMargin
 }

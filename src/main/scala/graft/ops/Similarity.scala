@@ -830,9 +830,11 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  val annPqSearchSql: String =
-    s"""WITH $PqCtes,
-       |qsub AS (
+  /** Shared ADC-retrieval CTEs on top of [[PqCtes]] (`qsub` → `lut` →
+    * `adc` → `ranked`), consumed by both the search and its recall
+    * evaluation. */
+  private val PqSearchCtes: String =
+    s"""qsub AS (
        |  SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NumQueries),
        |lut AS (
        |  SELECT q.qid, q.m, t.j, ${pqL2Sql("q.qsv", "t.cv")} AS pd
@@ -844,8 +846,68 @@ object Similarity {
        |ranked AS (
        |  SELECT qid, vec_id, adc_d,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS BIGINT) AS rnk
-       |  FROM adc WHERE qid <> vec_id)
+       |  FROM adc WHERE qid <> vec_id)""".stripMargin
+
+  val annPqSearchSql: String =
+    s"""WITH $PqCtes,
+       |$PqSearchCtes
        |SELECT qid, rnk, vec_id, adc_d
        |FROM ranked WHERE rnk <= $PqTopK
        |ORDER BY qid, rnk""".stripMargin
+
+  // ---- ann_pq_recall: ADC retrieval vs exact-L2 truth ---------------------
+
+  /** Recall@k of the PQ index against the EXACT full-vector squared-L2
+    * truth — the ann_recall twin for the PQ family, certifying how much
+    * ranking fidelity the 24-bit compression costs before a deployment
+    * trusts ADC ordering at scale. Truth is a bounded broadcast-query
+    * scan (5 × N int64 distance evaluations, the scoredNeighbors shape
+    * with L2 instead of cosine); retrieval is the production
+    * annPqSearch, unchanged. recall_e4 is exact integer arithmetic. */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
+    val qs = base.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val exact = base.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("d",
+        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("vec_id"))))
+      .where(col("rn") <= PqTopK)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val retrieved = annPqSearch(spark, dir)
+      .select(col("qid").as("r_qid"), col("vec_id").as("r_cid"))
+    exact.join(retrieved,
+        col("qid") === col("r_qid") && col("cid") === col("r_cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("r_cid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
+      .orderBy("qid")
+  }
+
+  val annPqRecallSql: String =
+    s"""WITH $PqCtes,
+       |$PqSearchCtes,
+       |truth AS (
+       |  SELECT q.vec_id AS qid, a.vec_id AS cid,
+       |         row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                     i -> (a.qv[i] - q.qv[i]) * (a.qv[i] - q.qv[i])),
+       |                   (x, y) -> x + y), a.vec_id) AS rn
+       |  FROM qvecs a
+       |  CROSS JOIN (SELECT vec_id, qv FROM qvecs WHERE vec_id < $NumQueries) q
+       |  WHERE a.vec_id <> q.vec_id),
+       |ex AS (SELECT qid, cid FROM truth WHERE rn <= $PqTopK),
+       |ret AS (SELECT qid, vec_id AS cid FROM ranked WHERE rnk <= $PqTopK)
+       |SELECT e.qid, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 10000 // count(*) AS recall_e4
+       |FROM ex e
+       |LEFT JOIN ret r ON e.qid = r.qid AND e.cid = r.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 }
