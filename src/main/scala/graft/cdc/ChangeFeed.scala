@@ -351,4 +351,44 @@ object ChangeFeed {
        |FROM feed
        |WHERE ((CASE kind WHEN 'insert' THEN 1 WHEN 'update' THEN 2 ELSE 4 END) & 5) <> 0
        |GROUP BY kind, tbl ORDER BY kind, tbl""".stripMargin
+
+  // ---- cdc_dlq: malformed-payload dead-letter accounting ------------------
+
+  /** Dead-letter accounting for the tolerant decode path: the reference
+    * skips documents it cannot parse instead of aborting the stream
+    * (src/forwarder/mod.rs:82-96 silently drops on decode failure); a
+    * production consumer additionally needs to COUNT what it dropped and
+    * over which LSN range, or corruption goes unnoticed. Every DlqEvery-th
+    * message is deterministically truncated to half length (always
+    * invalid JSON — the closing braces are gone), the REAL `from_json`
+    * decode runs over the damaged stream, and rows are classified by
+    * whether the parse produced a document. The oracle reproduces the
+    * classification arithmetically (it knows which LSNs were damaged);
+    * the Spark side must agree through the actual parser — a decoder
+    * that crashed, or "successfully" parsed garbage, would split the
+    * mirror. Stateless per-row work in the scan; one tiny groupBy. */
+  val DlqEvery = 97L
+
+  def cdcDlq(spark: SparkSession, dir: String): DataFrame = {
+    val damaged = messages(spark, dir)
+      .withColumn("payload",
+        when(col("lsn") % DlqEvery === 0,
+          substring(col("payload"), 1, 40)).otherwise(col("payload")))
+    damaged
+      .withColumn("doc", from_json(col("payload"), ChangeSchema))
+      .withColumn("reason",
+        when(col("doc").isNull || col("doc.change").isNull, "parse_error")
+          .otherwise("ok"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_msgs"),
+        min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
+      .orderBy("reason")
+  }
+
+  val cdcDlqSql: String =
+    s"""SELECT CASE WHEN event_id % $DlqEvery = 0 THEN 'parse_error' ELSE 'ok' END AS reason,
+       |       count(*) AS n_msgs,
+       |       min(event_id) AS min_lsn, max(event_id) AS max_lsn
+       |FROM events
+       |GROUP BY reason ORDER BY reason""".stripMargin
 }
