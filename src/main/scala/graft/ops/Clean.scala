@@ -160,4 +160,82 @@ object Clean {
        |       CAST(len(scrubbed) AS BIGINT) AS scrub_len,
        |       ${TextStats.fpSql("scrubbed")} AS scrub_fp
        |FROM s3 ORDER BY doc_id""".stripMargin
+
+  // ---- corpus_diff --------------------------------------------------------
+
+  /** Differential corpus snapshot: when a training corpus is re-crawled /
+    * re-filtered, the refresh decision needs an added / removed / changed /
+    * unchanged ledger per source BEFORE anything retrains. v2 here is a
+    * deterministic mutation of v1 (both engines construct it identically):
+    * doc_id ≡ 3 (mod 17) rows are dropped, ≡ 5 rows get a text edit, and
+    * ≡ 7 rows also appear cloned under doc_id+10⁷ — so every diff class is
+    * populated and the expected counts are a pure function of the key
+    * space.
+    *
+    * Scale shape: each side reduces to (doc_id, source, fp) — 24 bytes a
+    * row no matter how wide the documents are, because the rolling
+    * fingerprint collapses the text at scan time. The diff is ONE
+    * full-outer sort-merge join on doc_id (high-cardinality, no skew) and
+    * the ledger is a 20-row map-side-combined groupBy on source. Nothing
+    * wider than a fingerprint ever shuffles. */
+  val DiffMod = 17L
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select(col("doc_id"), col("source"),
+      TextStats.fingerprint(col("text")).as("fp"))
+    val v2base = docs
+      .where(col("doc_id") % DiffMod =!= 3)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % DiffMod === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val v2add = docs
+      .where(col("doc_id") % DiffMod === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        col("text"))
+    val v2 = v2base.unionByName(v2add)
+      .select(col("doc_id").as("doc_id2"), col("source").as("source2"),
+        TextStats.fingerprint(col("text")).as("fp2"))
+    v1.join(v2, v1("doc_id") === v2("doc_id2"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source2")).as("src"),
+        when(col("doc_id").isNull, "added")
+          .when(col("doc_id2").isNull, "removed")
+          .when(col("fp") =!= col("fp2"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("src").as("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+      .orderBy("source")
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, source, ${TextStats.fpSql("text")} AS fp FROM documents),
+       |v2raw AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % $DiffMod = 5 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $DiffMod <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, source, text
+       |  FROM documents WHERE doc_id % $DiffMod = 7),
+       |v2 AS (
+       |  SELECT doc_id AS doc_id2, source AS source2,
+       |         ${TextStats.fpSql("text")} AS fp2 FROM v2raw),
+       |j AS (
+       |  SELECT coalesce(v1.source, v2.source2) AS source,
+       |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |              WHEN v2.doc_id2 IS NULL THEN 'removed'
+       |              WHEN v1.fp <> v2.fp2 THEN 'changed'
+       |              ELSE 'same' END AS status
+       |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id2)
+       |SELECT source,
+       |       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |       CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

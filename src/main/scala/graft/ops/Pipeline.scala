@@ -671,4 +671,68 @@ object Pipeline {
        |       p90_exact, p90_est, p90_est - p90_exact AS p90_err
        |FROM exact e JOIN ests s ON e.lang = s.lang
        |ORDER BY e.lang""".stripMargin
+
+  // ---- source_cap: per-source document cap (salted two-phase top-K) -------
+
+  /** Per-source cap: keep at most CapK documents per source, chosen
+    * deterministically as the K smallest (fingerprint, doc_id) — the
+    * C4-lineage "cap any one domain's share of the corpus"
+    * pseudo-random-but-reproducible selection. The SEMANTICS are one
+    * row_number per source (what the oracle states); the PLAN must not
+    * be, because source cardinality is tiny against corpus size — a
+    * window partitioned by source alone funnels a hot source's entire
+    * slice through one task. So selection is two-phase min-K: rank
+    * within (source, salt = fp mod CapSalts) and keep the local top
+    * CapK — sound by pigeonhole, since any global-top-K row is top-K in
+    * its own salt cell — then rank the ≤ CapSalts·CapK survivors per
+    * source. Phase 1's sort key spreads over CapSalts× more reducers
+    * (sized to task granularity at 100 TB, 4 here to demonstrate the
+    * shape); phase 2's window input is bounded by constants, not data.
+    * The ledger proves the selection: fp_sum/fp_threshold pin WHICH
+    * docs were kept, not just how many. */
+  val CapK = 15
+  val CapSalts = 4L
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextStats.fingerprint(col("text")).as("fp"))
+    val local = docs
+      .withColumn("salt", col("fp") % CapSalts)
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy("source", "salt").orderBy("fp", "doc_id")))
+      .where(col("local_rn") <= CapK)
+    val kept = local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("fp", "doc_id")))
+      .where(col("rn") <= CapK)
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("fp").as("kept_fp_sum"),
+        max("fp").as("fp_threshold"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_fp_sum"), col("fp_threshold"))
+      .orderBy("source")
+  }
+
+  val sourceCapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${TextStats.fpSql("text")} AS fp FROM documents),
+       |r AS (
+       |  SELECT source, fp, doc_id,
+       |         row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rn
+       |  FROM d),
+       |k AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(sum(fp) AS BIGINT) AS kept_fp_sum,
+       |         max(fp) AS fp_threshold
+       |  FROM r WHERE rn <= $CapK GROUP BY source),
+       |t AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+       |SELECT t.source, n_docs, n_kept,
+       |       n_docs - n_kept AS n_dropped, kept_fp_sum, fp_threshold
+       |FROM t JOIN k ON t.source = k.source
+       |ORDER BY t.source""".stripMargin
 }

@@ -567,4 +567,93 @@ object Queries {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- events_funnel: strict ordered conversion funnel --------------------
+
+  /** Strict ordered funnel view → click → purchase: a user converts at
+    * step k only with an event of step k's type STRICTLY AFTER their
+    * step-(k−1) conversion instant (first qualifying occurrence wins).
+    * This is the sequential-pattern query every product-analytics engine
+    * ships; the reference's consumers run it over the change-fed events
+    * table.
+    *
+    * Shape: one per-user min per step. Each step is a map-side-combined
+    * groupBy on user_id (million-scale key) joined co-partitioned on
+    * user_id to the previous step's frame — three reuses of the SAME hash
+    * partitioning, never a window over the raw stream, never a
+    * collect_list of a user's full history (a hot user's event list is
+    * unbounded; their MIN is 8 bytes). The per-step count frame is
+    * |steps| = 3 rows, so the final lag/first_value window is bounded by
+    * the funnel definition, not the data. Timestamps are integer µs —
+    * exact on both engines; rates are floored e4 fixed-point. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    // step 1: first 'view' per user; step k: first step-k event after t(k-1)
+    val stepFrames = FunnelSteps.tail.scanLeft(
+      ev.where(col("event_type") === FunnelSteps.head)
+        .groupBy("user_id").agg(min("us").as("t"))) { (prev, typ) =>
+      ev.where(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .where(col("us") > col("t_prev"))
+        .groupBy("user_id").agg(min("us").as("t"))
+    }
+    val counts = stepFrames.zip(FunnelSteps).zipWithIndex.map {
+      case ((f, typ), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"), lit(typ).as("step_name"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    // 3-row frame: the global window is bounded by |FunnelSteps|
+    val byStep = Window.orderBy("step")
+    counts
+      .withColumn("n_prev", lag("n_users", 1).over(byStep))
+      .withColumn("n_first", first("n_users").over(
+        byStep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("conv_prev_e4", when(coalesce(col("n_prev"), col("n_users")) === 0, 0L)
+        .otherwise(expr(
+          "CAST(floor(1.0e4 * n_users / coalesce(n_prev, n_users)) AS BIGINT)")))
+      .withColumn("conv_first_e4", when(col("n_first") === 0, 0L)
+        .otherwise(expr("CAST(floor(1.0e4 * n_users / n_first) AS BIGINT)")))
+      .select("step", "step_name", "n_users", "conv_prev_e4", "conv_first_e4")
+      .orderBy("step")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS t FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(us) AS t FROM e
+      |  JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > s1.t GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(us) AS t FROM e
+      |  JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > s2.t GROUP BY e.user_id),
+      |c AS (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |         count(*) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*) FROM s3),
+      |w AS (
+      |  SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+      |         lag(n_users, 1) OVER (ORDER BY step) AS n_prev,
+      |         first_value(n_users) OVER (ORDER BY step
+      |           ROWS UNBOUNDED PRECEDING) AS n_first
+      |  FROM c)
+      |SELECT step, step_name, n_users,
+      |       CASE WHEN coalesce(n_prev, n_users) = 0 THEN 0
+      |            ELSE CAST(floor(1.0e4 * n_users / coalesce(n_prev, n_users)) AS BIGINT)
+      |       END AS conv_prev_e4,
+      |       CASE WHEN n_first = 0 THEN 0
+      |            ELSE CAST(floor(1.0e4 * n_users / n_first) AS BIGINT)
+      |       END AS conv_first_e4
+      |FROM w ORDER BY step""".stripMargin
 }
