@@ -576,6 +576,61 @@ object Similarity {
        |LEFT JOIN ret l ON e.qid = l.qid AND e.cid = l.cid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  // ---- ann_mrr ------------------------------------------------------------
+
+  /** Mean-reciprocal-rank probe of the LSH index: for each query, WHERE in
+    * the banded retrieval's ranked list the true nearest neighbor lands
+    * (recall says whether the truth set is covered; MRR says whether the
+    * single answer a serving path would return is the right one, and how
+    * far down it sits when it isn't). rank 0 = the true NN was not
+    * retrieved at all. Reuses the production operators unchanged — truth
+    * from the shared scoredNeighbors scan at k=1, retrieval from annLsh
+    * with its own ranking — so the metric certifies the exact frames the
+    * serving queries run, and the reciprocal rank is pure integer
+    * division (1e6 div rank), exact on both engines. */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = scoredNeighbors(spark, dir, 1)
+      .select(col("qid"), col("vec_id").as("nn"))
+    val retrieved = annLsh(spark, dir)
+      .where(col("aid") < NumQueries)
+      .select(col("aid").as("r_qid"), col("bid").as("r_cid"),
+        col("rnk").cast("long").as("lsh_rnk"))
+    truth.join(retrieved,
+        col("qid") === col("r_qid") && col("nn") === col("r_cid"), "left")
+      .select(col("qid"), col("nn"),
+        coalesce(col("lsh_rnk"), lit(0L)).as("lsh_rank"),
+        when(col("lsh_rnk").isNotNull, expr("1000000 div lsh_rnk"))
+          .otherwise(0L).as("rr_e6"))
+      .orderBy("qid")
+  }
+
+  val annMrrSql: String =
+    s"""WITH $VecCte,
+       |$BruteScoredCte,
+       |$ScoredPairsCte,
+       |truth AS (
+       |  SELECT qid, cid AS nn FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM bscored) r WHERE rnk = 1),
+       |lscored AS (
+       |  SELECT aid AS qid, bid AS cid, cos FROM spaired
+       |  UNION ALL
+       |  SELECT bid AS qid, aid AS cid, cos FROM spaired),
+       |ret AS (
+       |  SELECT qid, cid, rnk FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM lscored WHERE qid < $NumQueries) r
+       |  WHERE rnk <= $LshK)
+       |SELECT t.qid, t.nn,
+       |       CAST(coalesce(l.rnk, 0) AS BIGINT) AS lsh_rank,
+       |       CAST(CASE WHEN l.rnk IS NOT NULL THEN 1000000 // l.rnk
+       |                 ELSE 0 END AS BIGINT) AS rr_e6
+       |FROM truth t
+       |LEFT JOIN ret l ON t.qid = l.qid AND t.nn = l.cid
+       |ORDER BY t.qid""".stripMargin
+
   // ---- embed_norm_audit ---------------------------------------------------
 
   /** Per-label vector hygiene report: counts, zero-norm (direction-less)
