@@ -276,6 +276,55 @@ object ChangeFeed {
       .orderBy("lsn", "idx")
   }
 
+  // ---- cdc_schema_drift ---------------------------------------------------
+
+  /** Schema-drift ledger over the live feed: wal2json declares each
+    * change's columns per STATEMENT (`columnnames`), so a consumer's
+    * registered schema can silently diverge from what the stream actually
+    * carries — new columns appear mid-stream the moment a producer runs
+    * ALTER TABLE. The reference walks columnnames per change and would
+    * simply start forwarding the new column (src/forwarder/mod.rs:96-126);
+    * a production consumer needs the drift surfaced, not absorbed. Per
+    * (table, kind, exact column signature): how many changes carry it and
+    * which of its columns are outside the registered set (here the
+    * event-row schema, so the purchase transaction's `balance_cents`
+    * update is the planted drift). One narrow map-side-combined groupBy
+    * on a signature whose cardinality is bounded by the schema history,
+    * not the stream: drift detection costs nothing extra at 100 TB/day. */
+  val RegisteredCols = Seq("event_id", "user_id", "event_type", "value_cents", "k")
+
+  def cdcSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val reg = typedLit(RegisteredCols)
+    decoded(spark, dir)
+      .select(col("tbl"), col("kind"),
+        array_join(col("columnnames"), "|").as("signature"),
+        array_join(filter(col("columnnames"),
+          n => !array_contains(reg, n)), "|").as("new_cols"))
+      .groupBy("tbl", "kind", "signature", "new_cols")
+      .agg(count(lit(1)).as("n_changes"))
+      .withColumn("n_new_cols",
+        when(col("new_cols") === "", 0L)
+          .otherwise(size(split(col("new_cols"), "\\|")).cast("long")))
+      .select("tbl", "kind", "signature", "new_cols", "n_changes", "n_new_cols")
+      .orderBy("tbl", "kind", "signature")
+  }
+
+  // def, not val: FeedCte is declared below (object init order)
+  def cdcSchemaDriftSql: String =
+    s"""WITH $FeedCte
+       |SELECT tbl, kind,
+       |  CASE WHEN kind = 'delete' THEN ''
+       |       WHEN idx = 1 THEN 'user_id|balance_cents'
+       |       ELSE 'event_id|user_id|event_type|value_cents|k' END AS signature,
+       |  CASE WHEN kind <> 'delete' AND idx = 1 THEN 'balance_cents'
+       |       ELSE '' END AS new_cols,
+       |  count(*) AS n_changes,
+       |  CAST(CASE WHEN kind <> 'delete' AND idx = 1 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS n_new_cols
+       |FROM feed
+       |GROUP BY tbl, kind, signature, new_cols, n_new_cols
+       |ORDER BY tbl, kind, signature""".stripMargin
+
   // ---- oracle -------------------------------------------------------------
 
   /** Relational mirror of the feed synthesis, shared by every CDC oracle:

@@ -40,6 +40,37 @@ object ChangeFeedStream {
        |GROUP BY win_start_us, event_type
        |ORDER BY win_start_us, event_type""".stripMargin
 
+  // ---- events_hopping: sliding-window counts ------------------------------
+
+  /** Hopping (sliding) 1-hour windows every 30 minutes, via Spark's native
+    * `window(col, duration, slide)` — the overlapping-window shape trend
+    * dashboards ask of the change feed (each event lands in
+    * duration/slide = 2 windows). The native operator expands the slide
+    * memberships BEFORE the aggregation, so the shuffle carries
+    * (window, type) partial counts, never duplicated events; the oracle
+    * states the same expansion arithmetically (window starts are
+    * epoch-aligned slide multiples, exact integer µs on both engines).
+    * Unmodified, this frame also runs under readStream + watermark — the
+    * streaming twin of the tumbling path above. */
+  val SlideUs: Long = 1800L * 1000 * 1000 // 30 min in microseconds
+
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("et"), col("event_type"))
+      .groupBy(window(col("et"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("win_start_us", "event_type")
+
+  val eventsHoppingSql: String =
+    s"""SELECT ((epoch_us(ts) // $SlideUs) - j) * $SlideUs AS win_start_us,
+       |       event_type, count(*) AS n
+       |FROM events
+       |CROSS JOIN (SELECT unnest(range(0, ${WindowUs / SlideUs})) AS j) js
+       |GROUP BY win_start_us, event_type
+       |ORDER BY win_start_us, event_type""".stripMargin
+
   // ---- streaming path -----------------------------------------------------
 
   /** Streaming read of an events-parquet directory. The schema is pinned
