@@ -572,4 +572,62 @@ object Dedup {
     s"""WITH $SimhashCtes
        |SELECT doc_id, simhash, bucket
        |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---- dedup_agreement ----------------------------------------------------
+
+  /** Method-agreement matrix between the two near-dup detectors: the
+    * MinHash-LSH candidate pairs (with exact Jaccard) full-outer-joined
+    * against the SimHash Hamming pairs, bucketed into both /
+    * minhash_only / simhash_only — the cross-check a pipeline runs
+    * before trusting either detector alone, since the two families miss
+    * DIFFERENT pairs (shingle-set resemblance vs bit-level token
+    * distribution). Reuses both production pair frames unchanged (the
+    * memoized verifiedPairs cache and the banded simhash join), so the
+    * report certifies exactly what the dedup passes emit. The agreement
+    * join is co-partitioned on (doc_a, doc_b) — both inputs are already
+    * bounded by their banded candidate generation, never all-pairs. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val mh = verifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e4"))
+    val sh = dedupSimhashPairs(spark, dir)
+      .select(col("doc_a").as("s_a"), col("doc_b").as("s_b"), col("hamming"))
+    mh.join(sh,
+        col("doc_a") === col("s_a") && col("doc_b") === col("s_b"),
+        "full_outer")
+      .select(
+        when(col("doc_a").isNotNull && col("s_a").isNotNull, "both")
+          .when(col("doc_a").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("method"),
+        coalesce(col("jaccard_e4"), lit(0L)).as("j"),
+        coalesce(col("hamming"), lit(0L)).as("h"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("j").as("sum_jaccard_e4"),
+        sum("h").as("sum_hamming"))
+      .orderBy("method")
+  }
+
+  def dedupAgreementSql: String =
+    s"""WITH $CandSqlCtes,
+       |$SimhashCtes,
+       |mhp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
+       |  FROM csized),
+       |shp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming),
+       |agr AS (
+       |  SELECT CASE WHEN m.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 'both'
+       |              WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+       |              ELSE 'simhash_only' END AS method,
+       |         coalesce(m.jaccard_e4, 0) AS j, coalesce(p.hamming, 0) AS h
+       |  FROM mhp m FULL OUTER JOIN shp p
+       |    ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b)
+       |SELECT method, count(*) AS n_pairs,
+       |       CAST(sum(j) AS BIGINT) AS sum_jaccard_e4,
+       |       CAST(sum(h) AS BIGINT) AS sum_hamming
+       |FROM agr GROUP BY method ORDER BY method""".stripMargin
 }

@@ -568,6 +568,37 @@ object Queries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- events_props_stats: JSON-path property aggregation -----------------
+
+  /** Typed aggregation over a JSON property column: `props` is a free-form
+    * JSON payload (the reference forwards such payloads opaquely; its
+    * consumers chart them), and the `$.k` property is extracted with the
+    * engine's native JSON path machinery — Spark's codegen'd
+    * get_json_object against DuckDB's json_extract_string — NOT a regex,
+    * so quoting/nesting/escape rules are the JSON standard's on both
+    * sides. Missing/non-numeric properties fall out as NULLs and are
+    * counted, not silently dropped. One narrow map-side-combined groupBy
+    * on the 5-value type key; pure int64 aggregates. */
+  def eventsPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsStatsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- events_funnel: strict ordered conversion funnel --------------------
 
   /** Strict ordered funnel view → click → purchase: a user converts at
