@@ -223,4 +223,66 @@ object Ngrams {
        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
        |FROM ranked WHERE rnk <= $TfidfTopK
        |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- ngram_pmi: collocation mining by integer lift ----------------------
+
+  /** Collocation strength of adjacent token pairs, scored by LIFT —
+    * n_ab·N / (n_a·n_b), the monotone core of PMI without its log(): a
+    * float ln() is not bit-portable across engines, and ranking only
+    * needs monotonicity (the tfidf integer-idf trick applied to pair
+    * association). Counts are occurrences, not document frequencies;
+    * the score is ONE textually identical double chain floored to e6 on
+    * both sides. Plan: bigram explode → pair groupBy (map-side combined,
+    * MinPairCount floor ahead of the joins) → two co-partitioned unigram
+    * joins on the token key → 1-row total broadcast → TakeOrdered(K) —
+    * bounded K rows per partition to the driver, no global sort. */
+  val PmiTopK = 20
+  val MinPairCount = 5L
+
+  def ngramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(split(lower(trim(col("text"))), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val bg = tk.select(explode(expr(
+      "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n_tok"))
+    val tot = bg.agg(count(lit(1)).as("n_big"))
+    bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= MinPairCount)
+      .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e6", expr(
+        "CAST(floor(1.0e6 * n_ab * n_big / n_a / n_b) AS BIGINT)"))
+      .select("a", "b", "n_ab", "n_a", "n_b", "lift_e6")
+      .orderBy(col("lift_e6").desc, col("a"), col("b"))
+      .limit(PmiTopK)
+  }
+
+  val ngramPmiSql: String =
+    s"""WITH tk AS (
+       |  SELECT string_split(lower(trim(text)), ' ') AS tk FROM documents
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+       |bgidx AS (
+       |  SELECT tk, unnest(range(1, len(tk))) AS i FROM tk),
+       |bg AS (SELECT tk[i] AS a, tk[i+1] AS b FROM bgidx),
+       |-- unigram counts are CORPUS-wide (the Spark side's tf frame spans
+       |-- every document), not restricted to bigram-eligible docs
+       |ex AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |       FROM documents),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM ex GROUP BY tok),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg),
+       |pairs AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM bg GROUP BY a, b HAVING count(*) >= $MinPairCount)
+       |SELECT p.a, p.b, p.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+       |       CAST(floor(1.0e6 * n_ab * n_big / ua.n_tok / ub.n_tok) AS BIGINT)
+       |         AS lift_e6
+       |FROM pairs p
+       |JOIN uni ua ON p.a = ua.tok
+       |JOIN uni ub ON p.b = ub.tok
+       |CROSS JOIN nb
+       |ORDER BY lift_e6 DESC, p.a, p.b
+       |LIMIT $PmiTopK""".stripMargin
 }

@@ -672,6 +672,57 @@ object Pipeline {
        |FROM exact e JOIN ests s ON e.lang = s.lang
        |ORDER BY e.lang""".stripMargin
 
+  // ---- padding_waste: length-bucketed batch padding planner ---------------
+
+  /** Pad-to-multiple batching efficiency: when sequences are batched by
+    * length bucket (pad every doc up to the next PadMultiple tokens,
+    * truncate at PadMax), how many padding tokens does each bucket burn
+    * and how much text falls off the end — the planner a training stack
+    * consults BEFORE fixing its bucket boundaries (the complement of
+    * pack_sequences, which eliminates padding by packing; this measures
+    * what NOT packing costs). Pure integer arithmetic end-to-end; one
+    * map-side-combined groupBy on ≤ PadMax/PadMultiple bucket keys. */
+  val PadMultiple = 16L
+  val PadMax = 512L
+
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("padded_len", expr(
+        s"least($PadMax, ((n_tokens + ${PadMultiple - 1}) div $PadMultiple) * $PadMultiple)"))
+      .withColumn("kept", least(col("n_tokens"), lit(PadMax)))
+      .groupBy("padded_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("sum_tokens"),
+        sum(col("n_tokens") - col("kept")).as("sum_truncated"))
+      .withColumn("sum_padded", col("padded_len") * col("n_docs"))
+      .withColumn("waste_e4", expr(
+        "CAST(floor(1.0e4 * (sum_padded - sum_tokens) / sum_padded) AS BIGINT)"))
+      .select("padded_len", "n_docs", "sum_tokens", "sum_padded",
+        "sum_truncated", "waste_e4")
+      .orderBy("padded_len")
+
+  val paddingWasteSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT least($PadMax, ((n_tokens + ${PadMultiple - 1}) // $PadMultiple) * $PadMultiple)
+       |           AS padded_len,
+       |         least(n_tokens, $PadMax) AS kept,
+       |         n_tokens - least(n_tokens, $PadMax) AS trunc
+       |  FROM t),
+       |g AS (
+       |  SELECT padded_len, count(*) AS n_docs,
+       |         CAST(sum(kept) AS BIGINT) AS sum_tokens,
+       |         CAST(sum(trunc) AS BIGINT) AS sum_truncated
+       |  FROM b GROUP BY padded_len)
+       |SELECT padded_len, n_docs, sum_tokens,
+       |       padded_len * n_docs AS sum_padded, sum_truncated,
+       |       CAST(floor(1.0e4 * (padded_len * n_docs - sum_tokens)
+       |            / (padded_len * n_docs)) AS BIGINT) AS waste_e4
+       |FROM g ORDER BY padded_len""".stripMargin
+
   // ---- source_cap: per-source document cap (salted two-phase top-K) -------
 
   /** Per-source cap: keep at most CapK documents per source, chosen
