@@ -672,6 +672,44 @@ object Pipeline {
        |FROM exact e JOIN ests s ON e.lang = s.lang
        |ORDER BY e.lang""".stripMargin
 
+  // ---- source_lang_gini: per-source language diversity --------------------
+
+  /** Language diversity per source, scored by Gini impurity — 1 − Σpᵢ²,
+    * the log-free diversity measure (a Shannon entropy would drag a
+    * non-bit-portable ln() across the oracle boundary; Gini is a pure
+    * ratio of integer moments and ranks the same way). The mixing-QA
+    * twin of mix_temperature: before reweighting sources, know which
+    * ones are monolingual and which are genuinely mixed. Two
+    * map-side-combined groupBys — (source, lang) then source — with the
+    * squared count accumulating in DECIMAL(38,0) (a Long n² wraps past
+    * ~3e9 docs per language at corpus scale); only per-source scalars
+    * leave the executors. */
+  def sourceLangGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"))
+      .withColumn("gini_e6", expr(
+        """CAST(floor(1.0e6 * (CAST(n_docs AS DOUBLE) * n_docs - CAST(s2 AS DOUBLE))
+          | / (CAST(n_docs AS DOUBLE) * n_docs)) AS BIGINT)""".stripMargin))
+      .select("source", "n_docs", "n_langs", "gini_e6")
+      .orderBy("source")
+
+  val sourceLangGiniSql: String =
+    """WITH g AS (
+      |  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+      |s AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_langs,
+      |         sum(CAST(n AS HUGEINT) * n) AS s2
+      |  FROM g GROUP BY source)
+      |SELECT source, n_docs, n_langs,
+      |       CAST(floor(1.0e6 * (CAST(n_docs AS DOUBLE) * n_docs - CAST(s2 AS DOUBLE))
+      |        / (CAST(n_docs AS DOUBLE) * n_docs)) AS BIGINT) AS gini_e6
+      |FROM s ORDER BY source""".stripMargin
+
   // ---- padding_waste: length-bucketed batch padding planner ---------------
 
   /** Pad-to-multiple batching efficiency: when sequences are batched by
