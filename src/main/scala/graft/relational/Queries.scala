@@ -619,11 +619,14 @@ object Queries {
     * exact on both engines; rates are floored e4 fixed-point. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-step conversion frames (user_id, t) — shared by the funnel count
+    * report and the step-latency report so the strict-ordering rule
+    * cannot diverge between them. */
+  private def funnelStepFrames(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
     // step 1: first 'view' per user; step k: first step-k event after t(k-1)
-    val stepFrames = FunnelSteps.tail.scanLeft(
+    FunnelSteps.tail.scanLeft(
       ev.where(col("event_type") === FunnelSteps.head)
         .groupBy("user_id").agg(min("us").as("t"))) { (prev, typ) =>
       ev.where(col("event_type") === typ)
@@ -631,6 +634,10 @@ object Queries {
         .where(col("us") > col("t_prev"))
         .groupBy("user_id").agg(min("us").as("t"))
     }
+  }
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stepFrames = funnelStepFrames(spark, dir)
     val counts = stepFrames.zip(FunnelSteps).zipWithIndex.map {
       case ((f, typ), i) =>
         f.agg(count(lit(1)).as("n_users"))
@@ -652,8 +659,10 @@ object Queries {
       .orderBy("step")
   }
 
-  val eventsFunnelSql: String =
-    """WITH e AS (
+  /** Shared oracle CTE chain for the funnel step frames s1/s2/s3 — ONE
+    * definition of the strict-ordering rule for both funnel reports. */
+  val FunnelStepsCte: String =
+    """e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
       |s1 AS (
       |  SELECT user_id, min(us) AS t FROM e
@@ -665,7 +674,10 @@ object Queries {
       |s3 AS (
       |  SELECT e.user_id, min(us) AS t FROM e
       |  JOIN s2 USING (user_id)
-      |  WHERE event_type = 'purchase' AND us > s2.t GROUP BY e.user_id),
+      |  WHERE event_type = 'purchase' AND us > s2.t GROUP BY e.user_id)""".stripMargin
+
+  val eventsFunnelSql: String =
+    s"""WITH $FunnelStepsCte,
       |c AS (
       |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
       |         count(*) AS n_users FROM s1
@@ -687,4 +699,95 @@ object Queries {
       |            ELSE CAST(floor(1.0e4 * n_users / n_first) AS BIGINT)
       |       END AS conv_first_e4
       |FROM w ORDER BY step""".stripMargin
+
+  // ---- funnel_latency: time-between-steps report --------------------------
+
+  /** How long converting users take between funnel steps: per adjacent
+    * step pair, the count and the min / max / floored-mean microsecond
+    * delay — the "where does the funnel stall" companion to the count
+    * report. Reuses the SAME step frames (and oracle CTEs) as
+    * events_funnel, so the strict-ordering rule is defined once. Each
+    * delay is one integer subtraction on a co-partitioned user_id join;
+    * the mean is an integer division of exact sums — no window, no
+    * per-user history, nothing non-portable. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val frames = funnelStepFrames(spark, dir)
+    val pairs = frames.sliding(2).toSeq.zip(FunnelSteps.sliding(2).toSeq).map {
+      case (Seq(a, b), Seq(na, nb)) =>
+        b.join(a.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          .select(lit(s"${na}_to_$nb").as("step_pair"),
+            (col("t") - col("t_prev")).as("d"))
+    }
+    pairs.reduce(_ unionByName _)
+      .groupBy("step_pair")
+      .agg(count(lit(1)).as("n_users"),
+        min("d").as("min_us"), max("d").as("max_us"), sum("d").as("sum_d"))
+      .withColumn("avg_us", expr("sum_d div n_users"))
+      .select("step_pair", "n_users", "min_us", "max_us", "avg_us")
+      .orderBy("step_pair")
+  }
+
+  val funnelLatencySql: String =
+    s"""WITH $FunnelStepsCte,
+       |d AS (
+       |  SELECT 'view_to_click' AS step_pair, s2.t - s1.t AS d
+       |  FROM s2 JOIN s1 USING (user_id)
+       |  UNION ALL
+       |  SELECT 'click_to_purchase', s3.t - s2.t
+       |  FROM s3 JOIN s2 USING (user_id))
+       |SELECT step_pair, count(*) AS n_users,
+       |       min(d) AS min_us, max(d) AS max_us,
+       |       CAST(sum(d) AS BIGINT) // count(*) AS avg_us
+       |FROM d GROUP BY step_pair ORDER BY step_pair""".stripMargin
+
+  // ---- user_spend_decile: distributed decile assignment -------------------
+
+  /** Exact spend deciles over all purchasing users: rank by (spend desc,
+    * user_id) and cut into tenths — the segmentation every LTV/cohort
+    * report starts from. The SEMANTICS are one global row_number (the
+    * oracle's form); the PLAN is the two-phase distributed rank
+    * (epoch_order's machinery re-derived here): a rangepartitioning
+    * exchange on the DESCENDING sort key gives each task a disjoint
+    * spend slice, ranks are bucket-local row_numbers plus a broadcast
+    * ≤-bucket-count offset table, and the decile is pure integer
+    * arithmetic on (rank, N) — no single-partition sort at any width. */
+  val DecileRankBuckets = 8
+
+  def userSpendDecile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(cents(col("value"))).as("spend_cents"))
+    val bucketed = spend
+      .repartitionByRange(DecileRankBuckets, col("spend_cents").desc, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("spend_cents").desc, col("user_id"))))
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum("n_in_bucket").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "n_total")
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("rnk", col("offset") + col("local_rn"))
+      .withColumn("decile", expr("(rnk - 1) * 10 div n_total + 1"))
+      .select("user_id", "spend_cents", "rnk", "decile")
+      .orderBy("rnk")
+  }
+
+  val userSpendDecileSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, spend_cents,
+      |         CAST(row_number() OVER (ORDER BY spend_cents DESC, user_id) AS BIGINT) AS rnk,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_total
+      |  FROM s)
+      |SELECT user_id, spend_cents, rnk,
+      |       (rnk - 1) * 10 // n_total + 1 AS decile
+      |FROM r ORDER BY rnk""".stripMargin
 }
