@@ -573,6 +573,87 @@ object Dedup {
        |SELECT doc_id, simhash, bucket
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---- shingle_df_hist ----------------------------------------------------
+
+  /** Document-frequency histogram of the shingle space, in power-of-two
+    * buckets — the statistic that SIZES every df-gated knob in this
+    * engine (decontaminate's hot-shingle cap, jaccard_prefix's
+    * df-ascending prefix order, bloom sizing): how much of the shingle
+    * mass is singleton vs boilerplate. The log2 bucket is derived by
+    * integer CASE ranges, not floor(log2(·)) — a float log at bucket
+    * boundaries is exactly the kind of cross-engine coin-flip the
+    * portability contract bans. One map-side-combined groupBy on the
+    * int64 shingle, one on the ≤16 bucket keys. */
+  val DfHistBuckets = 16
+
+  private def dfBucketCase(dfCol: String): String =
+    (0 until DfHistBuckets).map { k =>
+      val hi = (1L << (k + 1)) - 1
+      if (k == DfHistBuckets - 1) s"ELSE $k"
+      else s"WHEN $dfCol <= $hi THEN $k"
+    }.mkString("CASE ", " ", " END")
+
+  def shingleDfHist(spark: SparkSession, dir: String): DataFrame = {
+    val df = shingleSets(spark, dir)
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    df.withColumn("bucket", expr(dfBucketCase("df")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+      .orderBy("bucket")
+  }
+
+  def shingleDfHistSql: String =
+    s"""WITH $ShSqlCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+       |dfs AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
+       |SELECT CAST(${dfBucketCase("df")} AS BIGINT) AS bucket,
+       |       count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS sum_df
+       |FROM dfs GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---- dedup_threshold_sweep ----------------------------------------------
+
+  /** Dedup yield as a function of the Jaccard threshold: for each
+    * candidate τ, how many verified pairs qualify and how many distinct
+    * documents they touch — the tuning curve consulted BEFORE fixing the
+    * threshold that decides what fraction of a 100 TB corpus gets
+    * dropped. Reuses the memoized verifiedPairs frame (no new candidate
+    * generation); the sweep is a ≤|taus|-fold conditional aggregation
+    * plus one distinct-doc reduction per τ over the bounded pair set. */
+  val SweepTausE4 = Seq(5000L, 7000L, 8000L, 9000L)
+
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir)
+    val taus = SweepTausE4.map { tau =>
+      val p = pairs.where(col("jaccard_e4") >= tau)
+      val docs = p.select(col("doc_a").as("d"))
+        .unionByName(p.select(col("doc_b").as("d"))).distinct()
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs_touched")))
+        .select(lit(tau).as("tau_e4"), col("n_pairs"), col("n_docs_touched"))
+    }
+    taus.reduce(_ unionByName _).orderBy("tau_e4")
+  }
+
+  def dedupThresholdSweepSql: String = {
+    val arms = SweepTausE4.map { tau =>
+      s"""SELECT $tau AS tau_e4,
+         |  (SELECT count(*) FROM jp WHERE jaccard_e4 >= $tau) AS n_pairs,
+         |  (SELECT count(*) FROM (
+         |     SELECT doc_a AS d FROM jp WHERE jaccard_e4 >= $tau
+         |     UNION
+         |     SELECT doc_b FROM jp WHERE jaccard_e4 >= $tau)) AS n_docs_touched"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $CandSqlCtes,
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
+       |  FROM csized)
+       |$arms
+       |ORDER BY tau_e4""".stripMargin
+  }
+
   // ---- dedup_agreement ----------------------------------------------------
 
   /** Method-agreement matrix between the two near-dup detectors: the
