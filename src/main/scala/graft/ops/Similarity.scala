@@ -44,8 +44,12 @@ import graft.Tables
 object Similarity {
 
   val Dim = 64
-  val PlanesPerTable = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
-  val NumTables = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
+  // defs, not vals: a re-configured environment must never be pinned by a
+  // stale object initialization (the knobs are still env-stable within one
+  // JVM — the memo keys below carry their values so cached frames can't
+  // outlive a setting)
+  def PlanesPerTable: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
+  def NumTables: Int = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
 
   /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63: the sign
     * bit of a splitmix64 finalizer over the (plane, component) pair. The
@@ -79,7 +83,7 @@ object Similarity {
     * products per row are the dominant per-vector cost — the
     * materialize-signatures step of distributed ANN. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.vectors:$dir") {
+    Tables.memoPersist(spark, s"sim.vectors:$PlanesPerTable:$NumTables:$dir") {
       val base = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"), quant.as("qv"))
         .withColumn("n2", dot(col("qv"), col("qv")))
@@ -152,7 +156,7 @@ object Similarity {
     * Persisted: annLsh ranks it directed, embedCosineDup thresholds it,
     * annRecall re-reads it through annLsh. */
   private def scoredPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.scoredPairs:$dir") {
+    Tables.memoPersist(spark, s"sim.scoredPairs:$PlanesPerTable:$NumTables:$dir") {
       val v = vectors(spark, dir)
       val s = v.select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
@@ -209,45 +213,83 @@ object Similarity {
     * vectors; the Lloyd update is one map-side-combined groupBy over
     * cells×Dim rows per partition however big N gets); override via
     * GRAFT_IVF_CELLS, read by both the Spark plan and the oracle SQL. */
-  val NumCells = sys.env.getOrElse("GRAFT_IVF_CELLS", "8").toInt
+  def NumCells: Int = sys.env.getOrElse("GRAFT_IVF_CELLS", "8").toInt
   val NProbe = 2
 
-  /** One Lloyd iteration over the deterministic init: (seed_id, sv, sn2)
-    * per surviving cell. The per-dim mean is rebuilt into a vector with
-    * collect_list of (pos, mean) structs sorted by pos — per-cell rows
-    * are exactly Dim wide, so the rebuild never concentrates more than
-    * cells×Dim rows regardless of corpus size. A cell whose trained
-    * centroid quantizes to the zero vector is dropped (no direction —
-    * same guard as the vectors frame). */
-  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.centroids:$dir") {
+  /** Lloyd iteration count for the IVF coarse quantizer (and GRAFT_PQ_ITERS
+    * for the PQ codebooks below). One iteration is the engine's historical
+    * convention; more iterations tighten the cells/codebooks at the price
+    * of one extra broadcast-assign + map-side-combined mean pass each —
+    * per-iteration cost is flat in N, so the knob is a pure quality dial
+    * at 100 TB. LloydSpec pins the k-means objective monotone in this knob
+    * on the test corpus; both the Spark plans and the generated oracle SQL
+    * read it, so the mirror never splits. */
+  def IvfIters: Int = sys.env.getOrElse("GRAFT_IVF_ITERS", "1").toInt
+
+  /** One Lloyd step: assign every vector to its nearest (by cosine) seed,
+    * then rebuild each cell's centroid as the per-dim floor-quantized mean.
+    * The per-dim mean is rebuilt into a vector with collect_list of
+    * (pos, mean) structs sorted by pos — per-cell rows are exactly Dim
+    * wide, so the rebuild never concentrates more than cells×Dim rows
+    * regardless of corpus size. A cell whose trained centroid quantizes to
+    * the zero vector is dropped (no direction — same guard as the vectors
+    * frame). */
+  private def lloydStep(v: DataFrame, seeds: DataFrame): DataFrame = {
+    val members = v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
+      .where(col("rnk") === 1)
+      .select(col("avid"), col("seed_id").as("cell"))
+    members.join(v, col("avid") === col("vec_id"))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
+      .select(col("cell").as("seed_id"),
+        transform(col("pc"), x => x("cq")).as("sv"))
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .where(col("sn2") > 0)
+  }
+
+  /** `iters` Lloyd steps over the deterministic init (the first NumCells
+    * vectors): (seed_id, sv, sn2) per surviving cell. The loop is
+    * plan-build-time only — `iters` is small and each step's output is a
+    * bounded NumCells-row frame, so the lineage stays shallow. */
+  private def trainedCentroidsIter(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    Tables.memoPersist(spark, s"sim.centroids:$NumCells:$iters:$dir") {
       val v = vectors(spark, dir)
-      val init = v.where(col("vec_id") < NumCells)
+      var seeds = v.where(col("vec_id") < NumCells)
         .select(col("vec_id").as("seed_id"), col("qv").as("sv"), col("n2").as("sn2"))
-      val members = v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
-        .crossJoin(broadcast(init))
-        .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
-        .where(col("rnk") === 1)
-        .select(col("avid"), col("seed_id").as("cell"))
-      members.join(v, col("avid") === col("vec_id"))
-        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
-        .groupBy("cell", "pos")
-        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
-        .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
-        .select(col("cell").as("seed_id"),
-          transform(col("pc"), x => x("cq")).as("sv"))
-        .withColumn("sn2", dot(col("sv"), col("sv")))
-        .where(col("sn2") > 0)
+      for (_ <- 1 to iters) seeds = lloydStep(v, seeds)
+      seeds
     }
+
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    trainedCentroidsIter(spark, dir, IvfIters)
+
+  /** Test probe (LloydSpec): the spherical-k-means objective after `iters`
+    * training steps — Σ_v floor(1e6 · cos(v, nearest trained centroid)).
+    * Lloyd's assign/mean alternation is non-decreasing in this objective;
+    * the spec pins that it survives the engine's floor quantization. */
+  def ivfTrainCostProbe(spark: SparkSession, dir: String, iters: Int): Long = {
+    val v = vectors(spark, dir)
+    val seeds = trainedCentroidsIter(spark, dir, iters)
+    v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
+      .groupBy("avid").agg(max("cos").as("best"))
+      .agg(sum(floor(col("best") * lit(1000000.0)).cast("long")).as("cost"))
+      .head.getLong(0)
+  }
 
   private def cellAssignments(spark: SparkSession, dir: String): DataFrame =
     // referenced by both the cells and the probes branch — materialize
     // the k×NumCells assignment once (one small row per vector×seed)
-    Tables.memoPersist(spark, s"sim.cellAssignments:$dir") {
+    Tables.memoPersist(spark, s"sim.cellAssignments:$NumCells:$IvfIters:$dir") {
       val v = vectors(spark, dir)
       val seeds = trainedCentroids(spark, dir)
       v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
@@ -340,7 +382,7 @@ object Similarity {
   /** Shared CTE: quantized vectors + norms + one hyperplane signature
     * column per LSH table (bucket0..bucket{L-1}), mirroring the Spark
     * `buckets` array element-for-element. */
-  private val VecCte: String = {
+  private def VecCte: String = {
     def bucketTerms(t: Int): String = (0 until PlanesPerTable).map { p =>
       val w = wVec(t * PlanesPerTable + p).mkString("[", ", ", "]")
       s"""CASE WHEN list_reduce(list_transform(range(1, ${Dim + 1}),
@@ -361,7 +403,7 @@ object Similarity {
 
   /** Narrow signature frame: one (vec_id, tbl, bucket) row per table —
     * the oracle twin of the Spark posexplode. */
-  private val SigsCte: String =
+  private def SigsCte: String =
     "sigs AS (\n  " + (0 until NumTables).map { t =>
       s"SELECT vec_id, $t AS tbl, bucket$t AS bucket FROM vecs"
     }.mkString("\n  UNION ALL\n  ") + ")"
@@ -394,13 +436,13 @@ object Similarity {
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
 
   /** Shared brute-force truth CTE (`bscored`): query set × all vectors. */
-  private val BruteScoredCte =
+  private def BruteScoredCte =
     s"""bscored AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
        |         $CosSql AS cos
        |  FROM vecs a JOIN vecs b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id)""".stripMargin
 
-  val annTopkSql: String =
+  def annTopkSql: String =
     s"""WITH $VecCte,
        |$BruteScoredCte,
        |ranked AS (
@@ -411,7 +453,7 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY qid, rnk""".stripMargin
 
-  val annLshSql: String =
+  def annLshSql: String =
     s"""WITH $VecCte,
        |$ScoredPairsCte,
        |directed AS (
@@ -427,37 +469,53 @@ object Similarity {
        |FROM ranked WHERE rnk <= $LshK
        |ORDER BY aid, rnk""".stripMargin
 
-  val annIvfSql: String =
-    s"""WITH $VecCte,
-       |init AS (
-       |  SELECT vec_id AS seed_id, qv AS sv, n2 AS sn2 FROM vecs WHERE vec_id < $NumCells),
-       |members AS (
-       |  SELECT avid, seed_id AS cell FROM (
-       |    SELECT a.vec_id AS avid, s.seed_id,
-       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |             CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * s.sv[i]), (x, y) -> x + y) AS DOUBLE)
-       |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(s.sn2 AS DOUBLE))) DESC,
-       |             s.seed_id) AS rnk
-       |    FROM vecs a CROSS JOIN init s) r WHERE rnk = 1),
-       |upd AS (
-       |  SELECT m.cell, d.dim, count(*) AS n, sum(v.qv[d.dim]) AS sum_q
-       |  FROM members m JOIN vecs v ON m.avid = v.vec_id
-       |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
-       |  GROUP BY m.cell, d.dim),
-       |cent AS (
-       |  SELECT cell AS seed_id,
-       |         array_agg(CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS sv
-       |  FROM upd GROUP BY cell),
-       |seeds AS (
-       |  SELECT seed_id, sv,
-       |         list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) AS sn2
-       |  FROM cent
-       |  WHERE list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) > 0),
-       |assign AS (
+  /** Oracle cosine between `vecs` alias `$a` (qv, n2) and a seeds alias
+    * `$s` (sv, sn2) — one definition for every training/assignment CTE. */
+  private def cosToSeedSql(a: String, s: String): String =
+    s"""CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a.qv[i] * $s.sv[i]), (x, y) -> x + y) AS DOUBLE)
+       |             / (sqrt(CAST($a.n2 AS DOUBLE)) * sqrt(CAST($s.sn2 AS DOUBLE)))""".stripMargin
+
+  /** Oracle twin of [[trainedCentroidsIter]]: iv_seeds0 (deterministic
+    * init) → IvfIters × (rank-1 assign → floor-quantized mean) →
+    * `seeds`. Generated per-iteration so the knob and the SQL cannot
+    * drift. */
+  private def IvfTrainCtes: String = {
+    val init =
+      s"""iv_seeds0 AS (
+         |  SELECT vec_id AS seed_id, qv AS sv, n2 AS sn2 FROM vecs WHERE vec_id < $NumCells)""".stripMargin
+    val steps = (1 to IvfIters).map { it =>
+      s"""iv_mem$it AS (
+         |  SELECT avid, seed_id AS cell FROM (
+         |    SELECT a.vec_id AS avid, s.seed_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             ${cosToSeedSql("a", "s")} DESC,
+         |             s.seed_id) AS rnk
+         |    FROM vecs a CROSS JOIN iv_seeds${it - 1} s) r WHERE rnk = 1),
+         |iv_upd$it AS (
+         |  SELECT m.cell, d.dim, count(*) AS n, sum(v.qv[d.dim]) AS sum_q
+         |  FROM iv_mem$it m JOIN vecs v ON m.avid = v.vec_id
+         |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
+         |  GROUP BY m.cell, d.dim),
+         |iv_seeds$it AS (
+         |  SELECT seed_id, sv,
+         |         list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) AS sn2
+         |  FROM (
+         |    SELECT cell AS seed_id,
+         |           array_agg(CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS sv
+         |    FROM iv_upd$it GROUP BY cell) c
+         |  WHERE list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) > 0)""".stripMargin
+    }
+    val fin = s"seeds AS (SELECT * FROM iv_seeds$IvfIters)"
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
+  /** Oracle twin of [[cellAssignments]] + the cells / probes split —
+    * shared by ann_ivf and the IVFADC pair. */
+  private def IvfAssignCtes: String =
+    s"""assign AS (
        |  SELECT a.vec_id AS avid, s.seed_id,
        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |           CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.qv[i] * s.sv[i]), (x, y) -> x + y) AS DOUBLE)
-       |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(s.sn2 AS DOUBLE))) DESC,
+       |           ${cosToSeedSql("a", "s")} DESC,
        |           s.seed_id) AS rnk
        |  FROM vecs a CROSS JOIN seeds s),
        |cells AS (
@@ -466,7 +524,12 @@ object Similarity {
        |  WHERE a.rnk = 1),
        |probes AS (
        |  SELECT avid AS qid, seed_id AS pcell FROM assign
-       |  WHERE avid < $NumQueries AND rnk <= $NProbe),
+       |  WHERE avid < $NumQueries AND rnk <= $NProbe)""".stripMargin
+
+  def annIvfSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
        |scored AS (
        |  SELECT p.qid, c.cid, c.cell,
        |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> q.qv[i] * c.cv[i]), (x, y) -> x + y) AS DOUBLE)
@@ -482,7 +545,7 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY qid, rnk""".stripMargin
 
-  val knnClassifySql: String =
+  def knnClassifySql: String =
     s"""WITH $VecCte,
        |scored AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS label,
@@ -505,7 +568,7 @@ object Similarity {
        |WHERE p.vr = 1
        |ORDER BY p.qid""".stripMargin
 
-  val embedCentroidsSql: String =
+  def embedCentroidsSql: String =
     s"""WITH $VecCte
        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
        |       CAST(sum(qv[dim]) AS BIGINT) AS sum_q,
@@ -514,7 +577,7 @@ object Similarity {
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
-  val embedCosineDupSql: String =
+  def embedCosineDupSql: String =
     s"""WITH $VecCte,
        |$ScoredPairsCte
        |SELECT aid, bid, CAST(n_tbl AS BIGINT) AS n_tbl,
@@ -549,7 +612,7 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val annRecallSql: String =
+  def annRecallSql: String =
     s"""WITH $VecCte,
        |$BruteScoredCte,
        |$ScoredPairsCte,
@@ -604,7 +667,7 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val annMrrSql: String =
+  def annMrrSql: String =
     s"""WITH $VecCte,
        |$BruteScoredCte,
        |$ScoredPairsCte,
@@ -754,6 +817,9 @@ object Similarity {
   val PqSubDim = 8
   val PqK = 8
 
+  /** Lloyd iteration count for the PQ codebooks — see [[IvfIters]]. */
+  def PqIters: Int = sys.env.getOrElse("GRAFT_PQ_ITERS", "1").toInt
+
   /** Exact integer squared L2 between two equal-length int64 arrays. */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
@@ -778,28 +844,45 @@ object Similarity {
         Window.partitionBy("vec_id", "m").orderBy(col("d"), col("j"))))
       .where(col("rn") === 1)
 
-  /** Trained codebooks (m, j, cv), memoized: shared by the code
-    * assignment and the ADC search. */
-  private def pqBooks(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.pqBooks:$dir") {
+  /** One PQ Lloyd step: assign every subvector to its nearest codeword by
+    * exact int64 squared-L2, rebuild each codeword as the per-component
+    * floor-quantized mean. At most PqM·PqK·SubDim = 512 update cells
+    * regardless of N; empty codewords drop consistently on both engines. */
+  private def pqLloydStep(subs: DataFrame, books: DataFrame): DataFrame =
+    pqNearest(subs, books)
+      .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("pos", "q")))
+      .groupBy("m", "j", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .groupBy("m", "j")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
+      .select(col("m"), col("j"), transform(col("pc"), x => x("cq")).as("cv"))
+
+  /** Codebooks after `iters` Lloyd steps (m, j, cv), memoized: shared by
+    * the code assignment and both ADC search paths. */
+  private def pqBooksIter(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    Tables.memoPersist(spark, s"sim.pqBooks:$iters:$dir") {
       val subs = pqSubs(spark, dir)
-      val init = subs.where(col("vec_id") < PqK)
+      var books = subs.where(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
-      pqNearest(subs, init)
-        .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("pos", "q")))
-        .groupBy("m", "j", "pos")
-        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
-        .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
-        .groupBy("m", "j")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
-        .select(col("m"), col("j"), transform(col("pc"), x => x("cq")).as("cv"))
+      for (_ <- 1 to iters) books = pqLloydStep(subs, books)
+      books
     }
+
+  private def pqBooks(spark: SparkSession, dir: String): DataFrame =
+    pqBooksIter(spark, dir, PqIters)
+
+  /** Test probe (LloydSpec): total quantization error Σ d (exact int64
+    * squared-L2 to the assigned codeword) after `iters` training steps. */
+  def pqTrainCostProbe(spark: SparkSession, dir: String, iters: Int): Long =
+    pqNearest(pqSubs(spark, dir), pqBooksIter(spark, dir, iters))
+      .agg(sum("d").as("cost")).head.getLong(0)
 
   /** Final per-(vector, subspace) code assignment against the trained
     * books, memoized: the PQ "index" both the code report and the ADC
     * search read. */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.pqCodes:$dir") {
+    Tables.memoPersist(spark, s"sim.pqCodes:$PqIters:$dir") {
       pqNearest(pqSubs(spark, dir), pqBooks(spark, dir))
         .select("vec_id", "m", "mult", "j", "d")
     }
@@ -814,37 +897,48 @@ object Similarity {
     s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
 
   /** Shared oracle CTE chain up to the final code assignment `r2`
-    * (mirrors pqSubs → init → one Lloyd round → pqCodes). */
-  private val PqCtes: String =
-    s"""$QvecsCte,
-       |sub AS (
-       |  SELECT vec_id, mm.m AS m,
-       |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
-       |         qv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
-       |  FROM qvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
-       |init AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < $PqK),
-       |a1 AS (
-       |  SELECT s.vec_id, s.m, s.sv, i.j, ${pqL2Sql("s.sv", "i.cv")} AS d
-       |  FROM sub s JOIN init i ON s.m = i.m),
-       |r1 AS (
-       |  SELECT vec_id, m, sv, j FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-       |    FROM a1) t WHERE rn = 1),
-       |upd AS (
-       |  SELECT m, j, p.pos AS pos,
-       |         CAST(floor(CAST(sum(sv[p.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
-       |  FROM r1 CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS pos) p
-       |  GROUP BY m, j, p.pos),
-       |tc AS (SELECT m, j, list(cq ORDER BY pos) AS cv FROM upd GROUP BY m, j),
-       |a2 AS (
-       |  SELECT s.vec_id, s.m, s.mult, t.j, ${pqL2Sql("s.sv", "t.cv")} AS d
-       |  FROM sub s JOIN tc t ON s.m = t.m),
-       |r2 AS (
-       |  SELECT vec_id, m, mult, j, d FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-       |    FROM a2) t WHERE rn = 1)""".stripMargin
+    * (mirrors pqSubs → init → PqIters Lloyd rounds → pqCodes), WITHOUT
+    * the leading qvecs CTE — composable after [[VecCte]] (which already
+    * brings qvecs) for the IVFADC queries. Generated per-iteration so the
+    * GRAFT_PQ_ITERS knob and the SQL cannot drift. */
+  private def PqCtesBody: String = {
+    val head =
+      s"""sub AS (
+         |  SELECT vec_id, mm.m AS m,
+         |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
+         |         qv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
+         |  FROM qvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+         |pq_bk0 AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < $PqK)""".stripMargin
+    val steps = (1 to PqIters).map { it =>
+      s"""pq_a$it AS (
+         |  SELECT s.vec_id, s.m, s.sv, b.j, ${pqL2Sql("s.sv", "b.cv")} AS d
+         |  FROM sub s JOIN pq_bk${it - 1} b ON s.m = b.m),
+         |pq_r$it AS (
+         |  SELECT vec_id, m, sv, j FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM pq_a$it) t WHERE rn = 1),
+         |pq_u$it AS (
+         |  SELECT m, j, p.pos AS pos,
+         |         CAST(floor(CAST(sum(sv[p.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |  FROM pq_r$it CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS pos) p
+         |  GROUP BY m, j, p.pos),
+         |pq_bk$it AS (SELECT m, j, list(cq ORDER BY pos) AS cv FROM pq_u$it GROUP BY m, j)""".stripMargin
+    }
+    val fin =
+      s"""tc AS (SELECT * FROM pq_bk$PqIters),
+         |a2 AS (
+         |  SELECT s.vec_id, s.m, s.mult, t.j, ${pqL2Sql("s.sv", "t.cv")} AS d
+         |  FROM sub s JOIN tc t ON s.m = t.m),
+         |r2 AS (
+         |  SELECT vec_id, m, mult, j, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |    FROM a2) t WHERE rn = 1)""".stripMargin
+    (head +: steps :+ fin).mkString(",\n")
+  }
 
-  val annPqSql: String =
+  private def PqCtes: String = s"$QvecsCte,\n$PqCtesBody"
+
+  def annPqSql: String =
     s"""WITH $PqCtes
        |SELECT vec_id,
        |       CAST(sum(j * mult) AS BIGINT) AS pq_code,
@@ -888,7 +982,7 @@ object Similarity {
   /** Shared ADC-retrieval CTEs on top of [[PqCtes]] (`qsub` → `lut` →
     * `adc` → `ranked`), consumed by both the search and its recall
     * evaluation. */
-  private val PqSearchCtes: String =
+  private def PqSearchCtes: String =
     s"""qsub AS (
        |  SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NumQueries),
        |lut AS (
@@ -903,7 +997,7 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS BIGINT) AS rnk
        |  FROM adc WHERE qid <> vec_id)""".stripMargin
 
-  val annPqSearchSql: String =
+  def annPqSearchSql: String =
     s"""WITH $PqCtes,
        |$PqSearchCtes
        |SELECT qid, rnk, vec_id, adc_d
@@ -919,11 +1013,16 @@ object Similarity {
     * scan (5 × N int64 distance evaluations, the scoredNeighbors shape
     * with L2 instead of cosine); retrieval is the production
     * annPqSearch, unchanged. recall_e4 is exact integer arithmetic. */
-  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared exact-L2 truth set for the PQ recall family: per query the
+    * PqTopK nearest vectors by exact full-vector int64 squared L2 (the
+    * scoredNeighbors shape with L2 instead of cosine) — ONE definition so
+    * ann_pq_recall and ann_ivfpq_recall certify against the same truth
+    * and their recall delta isolates the IVF cell-miss loss. */
+  private def exactL2TopK(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
     val qs = base.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
-    val exact = base.crossJoin(broadcast(qs))
+    base.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("d",
         aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
@@ -932,21 +1031,28 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("d"), col("vec_id"))))
       .where(col("rn") <= PqTopK)
       .select(col("qid"), col("vec_id").as("cid"))
-    val retrieved = annPqSearch(spark, dir)
-      .select(col("qid").as("r_qid"), col("vec_id").as("r_cid"))
-    exact.join(retrieved,
+  }
+
+  /** Recall@k join shared by the PQ recall family: exact truth set LEFT
+    * JOIN a (qid, cid) retrieval, integer recall_e4 per query. */
+  private def recallAgainstTruth(truth: DataFrame, retrieved: DataFrame): DataFrame =
+    truth.join(
+        retrieved.select(col("qid").as("r_qid"), col("cid").as("r_cid")),
         col("qid") === col("r_qid") && col("cid") === col("r_cid"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("r_cid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
       .orderBy("qid")
-  }
 
-  val annPqRecallSql: String =
-    s"""WITH $PqCtes,
-       |$PqSearchCtes,
-       |truth AS (
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstTruth(exactL2TopK(spark, dir),
+      annPqSearch(spark, dir).select(col("qid"), col("vec_id").as("cid")))
+
+  /** Oracle twin of [[exactL2TopK]] (`truth` → `ex`), plus the recall
+    * SELECT over an already-defined `ret(qid, cid)` CTE. */
+  private def PqTruthCtes: String =
+    s"""truth AS (
        |  SELECT q.vec_id AS qid, a.vec_id AS cid,
        |         row_number() OVER (
        |           PARTITION BY q.vec_id
@@ -956,13 +1062,123 @@ object Similarity {
        |  FROM qvecs a
        |  CROSS JOIN (SELECT vec_id, qv FROM qvecs WHERE vec_id < $NumQueries) q
        |  WHERE a.vec_id <> q.vec_id),
-       |ex AS (SELECT qid, cid FROM truth WHERE rn <= $PqTopK),
-       |ret AS (SELECT qid, vec_id AS cid FROM ranked WHERE rnk <= $PqTopK)
-       |SELECT e.qid, count(*) AS n_exact,
+       |ex AS (SELECT qid, cid FROM truth WHERE rn <= $PqTopK)""".stripMargin
+
+  private def RecallSelectSql: String =
+    s"""SELECT e.qid, count(*) AS n_exact,
        |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |         * 10000 // count(*) AS recall_e4
        |FROM ex e
        |LEFT JOIN ret r ON e.qid = r.qid AND e.cid = r.cid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  def annPqRecallSql: String =
+    s"""WITH $PqCtes,
+       |$PqSearchCtes,
+       |$PqTruthCtes,
+       |ret AS (SELECT qid, vec_id AS cid FROM ranked WHERE rnk <= $PqTopK)
+       |$RecallSelectSql""".stripMargin
+
+  // ---- ann_ivfpq_search: IVF-routed ADC (IVFADC) ---------------------------
+
+  /** IVFADC composition (Jégou/Douze/Schmid PAMI'11 §IV-B): the IVF coarse
+    * quantizer routes each query to its NProbe nearest cells, and the ADC
+    * scan runs ONLY over the PQ codes of vectors assigned to those cells —
+    * the standard composition that turns the exhaustive ann_pq_search scan
+    * (every code row, per query) into an N·NProbe/NumCells-row scan. This
+    * is the residual-free variant: codes are the GLOBAL PQ codes (no
+    * per-cell re-encoding), so the memoized code index is shared verbatim
+    * with ann_pq / ann_pq_search and the recall delta between
+    * ann_pq_recall and ann_ivfpq_recall isolates pure cell-miss loss.
+    *
+    * Scale shape: the routed lookup table (query × probed cell ×
+    * PqM·PqK partial distances) is a bounded broadcast build — queries ×
+    * NProbe·64 rows; the scan side is ONE broadcast hash join against the
+    * memoized (vector, cell) + code index, so codes never shuffle and
+    * full vectors never move. At 1e9 vectors with √N cells and nprobe=2
+    * the per-query candidate set is ~2√N ≈ 64k code rows vs 1e9 — the
+    * 100 TB gap VERDICT r7 flagged against the exhaustive ADC scan. */
+  def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val assign = cellAssignments(spark, dir)
+    val members = assign.where(col("rnk") === 1)
+      .select(col("avid").as("vec_id"), col("seed_id").as("cell"))
+    val probes = assign.where(col("avid") < NumQueries && col("rnk") <= NProbe)
+      .select(col("avid").as("qid"), col("seed_id").as("pcell"))
+    val qsubs = pqSubs(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+    // per-(query, subspace, code) ADC partial distances, routed to the
+    // query's probed cells — the broadcast side of the scan join
+    val lut = qsubs.join(pqBooks(spark, dir), "m")
+      .withColumn("pd", l2sq(col("qsv"), col("cv")))
+      .select(col("qid"), col("m"), col("j"), col("pd"))
+    val routedLut = probes.join(lut, "qid")
+      .select(col("qid"), col("pcell"), col("m").as("lm"), col("j").as("lj"), col("pd"))
+    pqCodes(spark, dir)
+      .join(members, "vec_id")
+      .join(broadcast(routedLut),
+        col("cell") === col("pcell") && col("m") === col("lm") && col("j") === col("lj"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id", "cell")
+      .agg(sum("pd").as("adc_d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_d"), col("vec_id"))))
+      .where(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("cell"), col("adc_d"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Shared IVFADC retrieval CTEs: requires [[VecCte]] + [[IvfTrainCtes]]
+    * + [[IvfAssignCtes]] + [[PqCtesBody]] in scope; defines `ivranked`
+    * (qid, vec_id, cell, adc_d, rnk) over the probed cells only. */
+  private def IvfPqRetrievalCtes: String =
+    s"""ivqsub AS (
+       |  SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NumQueries),
+       |ivlut AS (
+       |  SELECT q.qid, q.m, t.j, ${pqL2Sql("q.qsv", "t.cv")} AS pd
+       |  FROM ivqsub q JOIN tc t ON q.m = t.m),
+       |ivadc AS (
+       |  SELECT l.qid, c.vec_id, cl.cell, CAST(sum(l.pd) AS BIGINT) AS adc_d
+       |  FROM r2 c
+       |  JOIN cells cl ON c.vec_id = cl.cid
+       |  JOIN probes p ON cl.cell = p.pcell
+       |  JOIN ivlut l ON l.qid = p.qid AND c.m = l.m AND c.j = l.j
+       |  WHERE p.qid <> c.vec_id
+       |  GROUP BY 1, 2, 3),
+       |ivranked AS (
+       |  SELECT qid, vec_id, cell, adc_d,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS BIGINT) AS rnk
+       |  FROM ivadc)""".stripMargin
+
+  def annIvfPqSearchSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$IvfPqRetrievalCtes
+       |SELECT qid, rnk, vec_id, cell, adc_d
+       |FROM ivranked WHERE rnk <= $PqTopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---- ann_ivfpq_recall: IVFADC retrieval vs exact-L2 truth ----------------
+
+  /** Recall@k of the composed IVFADC retrieval against the same exact-L2
+    * truth ann_pq_recall certifies against — the acceptance gate for the
+    * nprobe/NumCells setting: recall here < recall there is pure coarse-
+    * quantizer miss (the true neighbor's cell was not probed), the cost a
+    * deployment tunes NProbe against before shipping the routed index. */
+  def annIvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstTruth(exactL2TopK(spark, dir),
+      annIvfPqSearch(spark, dir).select(col("qid"), col("vec_id").as("cid")))
+
+  def annIvfPqRecallSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$IvfPqRetrievalCtes,
+       |$PqTruthCtes,
+       |ret AS (SELECT qid, vec_id AS cid FROM ivranked WHERE rnk <= $PqTopK)
+       |$RecallSelectSql""".stripMargin
 }
