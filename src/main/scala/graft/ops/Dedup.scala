@@ -356,6 +356,23 @@ object Dedup {
       .where(col("jaccard_e4") >= ClusterMinJaccardE4)
       .select(col("doc_a"), col("doc_b"))
 
+  /** doc_id → representative (group min doc_id) over groups of IDENTICAL
+    * shingle sets, memoized. Identical sets ⇒ identical minhash rows ⇒
+    * same key in every band ⇒ the pair is always an LSH candidate, and
+    * its Jaccard is exactly 1 — so each group is a CLIQUE of the verified
+    * graph and contracting it to its min member preserves both the
+    * component structure and the min-label itself. The group key is the
+    * sorted set (no fingerprint: a hash collision would merge distinct
+    * components). */
+  private def repMembers(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.repMembers:$dir") {
+      import org.apache.spark.sql.expressions.Window
+      shingleSets(spark, dir)
+        .select(col("doc_id"), array_sort(col("sh")).as("key"))
+        .withColumn("rep", min("doc_id").over(Window.partitionBy("key")))
+        .select(col("doc_id"), col("rep"))
+    }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // verifiedPairs is memoized+persisted (shared with dedup_minhash), but
     // the loop would still re-scan that full candidate cache (≥40× larger
@@ -364,8 +381,27 @@ object Dedup {
     // loop-local persist, released on exit
     val edges0 = thresholdedPairs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = edges0.union(
-      edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // exact-duplicate contraction (round-8 scale fix): on copy-heavy
+    // corpora the verified edge set is QUADRATIC in duplicate multiplicity
+    // (an M-copy clique is M(M−1)/2 edges), and the propagation loop used
+    // to re-join that whole set every round. Projecting each edge onto
+    // the endpoints' group representatives collapses every clique to one
+    // node, so the loop runs on the contracted graph — whose size tracks
+    // DISTINCT content, not copy count — and members take their rep's
+    // converged label afterwards (min-reachable is preserved because each
+    // rep IS its group's min). The quadratic frame is scanned a bounded
+    // number of times (contract + output-domain), never per-round.
+    val members = repMembers(spark, dir)
+    val contracted = edges0
+      .join(members.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(members.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+      .where(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("doc_a"),
+        greatest(col("ra"), col("rb")).as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = contracted.union(
+      contracted.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .withColumn("lbl", col("doc_id"))
@@ -410,11 +446,21 @@ object Dedup {
       relabeled.unpersist(blocking = false)
       labels = next
     }
-    // labels is a checkpoint leaf by now — the final sort plans against it
-    // alone, so the loop-local edge cache can be released immediately
+    // expand: the output domain is every doc incident to a verified edge
+    // (unchanged contract); each member takes its representative's
+    // converged label, falling back to the rep itself for groups whose
+    // every edge was within-clique (their rep never entered the loop).
+    val outDocs = edges0.select(col("doc_a").as("doc_id"))
+      .union(edges0.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val result = outDocs.join(members, "doc_id")
+      .join(labels.select(col("doc_id").as("rep"), col("lbl")), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
+      .localCheckpoint(eager = true)
+    // result is a checkpoint leaf — both loop-local caches can go now
     edges0.unpersist(blocking = false)
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    contracted.unpersist(blocking = false)
+    result.orderBy("doc_id")
   }
 
   /** Shared oracle chain: banding → candidate pairs → exact-jaccard

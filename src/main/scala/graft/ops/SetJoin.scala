@@ -60,9 +60,25 @@ object SetJoin {
             .as("sh"))
     }
 
-  /** All pairs with trigram Jaccard ≥ τ, exactly. */
-  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val sets = triSets(spark, dir)
+  /** doc_id → representative (the group's min doc_id) for groups of
+    * IDENTICAL shingle sets, memoized: the exact-duplicate collapse that
+    * bounds the prefix join's duplicate-multiplicity blow-up. The group
+    * key is the sorted set itself (no fingerprint — a hash collision here
+    * would silently merge distinct sets and break the exactness
+    * contract); one shuffle of (doc_id, sorted set) rows. */
+  private[graft] def repMembers(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"setjoin.members:$dir") {
+      triSets(spark, dir)
+        .select(col("doc_id"), array_sort(col("sh")).as("key"))
+        .withColumn("rep", min("doc_id").over(Window.partitionBy("key")))
+        .select(col("doc_id"), col("rep"))
+    }
+
+  /** Prefix-filter τ-join over a set frame (doc_id, sh): the published
+    * machinery, unchanged — df-ascending global order, prefix length
+    * p = s − ⌈τ·s⌉ + 1, candidates only from shared prefix shingles,
+    * exact-Jaccard verification by id-rejoin. */
+  private def prefixJoin(sets: DataFrame): DataFrame = {
     val sized = sets.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
     val ex = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -93,7 +109,50 @@ object SetJoin {
           .cast("long"))
       .where(col("jaccard_e4") >= TauE4)
       .select("doc_a", "doc_b", "jaccard_e4")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** All pairs with trigram Jaccard ≥ τ, exactly.
+    *
+    * Exact-duplicate collapse (the round-7 VERDICT's scale fix): docs
+    * with IDENTICAL shingle sets collapse to one representative, the
+    * expensive prefix join runs over representatives only, and the full
+    * pair set is re-expanded arithmetically —
+    *   - within a group every pair has J = 1 (jaccard_e4 = 10000);
+    *   - across groups J(a, b) = J(rep(a), rep(b)) because Jaccard is a
+    *     set function and group members ARE the same set.
+    * The output is byte-identical to the naive join (SetJoinSpec pins it
+    * against in-engine brute force; the oracle IS brute force), but the
+    * quadratic-in-multiplicity cost moves from the candidate join +
+    * per-pair array intersections to plain id-pair emission: on a corpus
+    * where the hottest doc has M copies, the join side shrinks by M×
+    * and only the contractually-quadratic OUTPUT remains quadratic.
+    * Completeness note: the df order is now computed over representatives
+    * — the prefix theorem holds for ANY consistent global order, and
+    * rep-df is the better order anyway (copy counts no longer inflate a
+    * shingle's frequency rank). */
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sets = triSets(spark, dir)
+    val members = repMembers(spark, dir)
+    val repSets = sets.join(members, "doc_id")
+      .where(col("doc_id") === col("rep"))
+      .select("doc_id", "sh")
+
+    val repPairs = prefixJoin(repSets)
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
+
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(10000L).as("jaccard_e4"))
+
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard_e4"))
+
+    within.union(cross).orderBy("doc_a", "doc_b")
   }
 
   /** Oracle: brute-force ground truth — every pair sharing ≥1 trigram,
