@@ -6,9 +6,15 @@ import scala.collection.immutable.ListMap
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Failures are surfaced
   * per-query in an "errors" map (a crashing query must not masquerade as a
   * fast one). A single cheap warmup action runs first so the JVM/codegen
-  * startup cost is not billed to the first query. */
+  * startup cost is not billed to the first query. Extra args select a
+  * query subset (fail-loud on unknown names) for targeted stress points —
+  * the driver passes none and times the full registry. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -27,7 +33,9 @@ object Bench {
     }
 
     var errors = ListMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

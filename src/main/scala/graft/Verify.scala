@@ -24,12 +24,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,5 +39,12 @@ object Verify {
       .map { case (k, v) => s"${JsonUtil.q(k)}: ${JsonUtil.q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // still degrade per-query (every healthy result is dumped and the
+    // driver's compare records the broken ones as missing), but make the
+    // process exit non-zero so local CI can't read a partial run as green
+    if (failures > 0) {
+      System.err.println(s"[verify] $failures quer${if (failures == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -73,36 +73,46 @@ object Dedup {
 
   /** doc_id + 16-element minhash signature array (one codegen'd pass over
     * the shingle set instead of 16 interpreted transform+min passes). */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir).select(col("doc_id"),
+  private def minhashesOf(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
       graft.functions.HashExprs.minHash(col("sh"), PermA, PermB, P).as("mh"))
+
+  private def minhashes(spark: SparkSession, dir: String): DataFrame =
+    minhashesOf(shingleSets(spark, dir))
 
   /** (doc_id, band_id, band_key): 8 bands of 2 minhash rows packed into one
     * int64 key (< P^2 < 2^63). */
-  private def bands(spark: SparkSession, dir: String): DataFrame = {
+  private def bandsOf(sets: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         (element_at(col("mh"), 2 * b + 1) * P + element_at(col("mh"), 2 * b + 2))
           .as("band_key"))
     }
-    minhashes(spark, dir)
+    minhashesOf(sets)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bnd"))
       .select(col("doc_id"), col("bnd.band_id").as("band_id"),
         col("bnd.band_key").as("band_key"))
   }
 
+  private def bands(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(shingleSets(spark, dir))
+
   /** LSH candidate pairs (same key in ≥1 band) + exact shingle-set Jaccard
-    * in 1e-4 fixed point. Pairs are formed per bucket, never all-pairs.
-    * Memoized + persisted: the verification join (candidate pairs × two
-    * shingle-set lookups × per-pair intersection) is the dominant dedup
-    * cost and is consumed by BOTH the pair report (dedup_minhash) and the
-    * cluster builder (dedup_clusters). The union size is derived as
-    * |A|+|B|−|A∩B| (the sets are distinct by construction) — one hash
-    * probe pass per pair instead of two. */
-  private[ops] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"dedup.pairs:$dir") {
-      val sets = shingleSets(spark, dir)
-      val b = bands(spark, dir)
+    * in 1e-4 fixed point, at REP level: banding, candidate generation,
+    * and verification over ONE representative per identical-set group
+    * (see [[repMembers]]). Pairs are formed per bucket, never all-pairs;
+    * the union size is derived as |A|+|B|−|A∩B| (the sets are distinct by
+    * construction) — one hash probe pass per pair instead of two. The
+    * expensive work — signature joins and per-pair array intersections —
+    * scales with DISTINCT content however many copies the corpus
+    * carries. Memoized + persisted: consumed by the expanded pair frame,
+    * the cluster builder, and the degree report. */
+  private[ops] def repVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.repPairs:$dir") {
+      val members = repMembers(spark, dir)
+      val sets = shingleSets(spark, dir).join(members, "doc_id")
+        .where(col("doc_id") === col("rep")).select("doc_id", "sh")
+      val b = bandsOf(sets)
       val pairs = b.as("a")
         .join(b.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -119,6 +129,32 @@ object Dedup {
           floor(lit(10000.0) * col("isz")
             / (size(col("sh_a")) + size(col("sh_b")) - col("isz")))
             .cast("long").as("jaccard_e4"))
+    }
+
+  /** Full candidate-pair frame, EXACTLY what direct all-doc banding would
+    * emit — re-expanded from the rep-level pipeline instead of computed
+    * per copy: identical sets share minhash rows, hence band keys, hence
+    * candidacy; so (a, b) is a candidate iff (rep(a), rep(b)) is (or
+    * a ≡ b, which collides in every band at J = 1). The intersections
+    * are computed once per DISTINCT pair; the expansion emits only id
+    * arithmetic. The frame itself stays quadratic in multiplicity —
+    * that's the pair-report CONTRACT — but building it no longer is. */
+  private[ops] def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.pairs:$dir") {
+      val members = repMembers(spark, dir)
+      val within = members.as("a")
+        .join(members.as("b"),
+          col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(10000L).as("jaccard_e4"))
+      val cross = repVerifiedPairs(spark, dir)
+        .join(members.select(col("rep").as("ra"), col("doc_id").as("da")),
+          col("doc_a") === col("ra"))
+        .join(members.select(col("rep").as("rb"), col("doc_id").as("db")),
+          col("doc_b") === col("rb"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard_e4"))
+      within.unionByName(cross)
     }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -347,12 +383,12 @@ object Dedup {
     * iterated plan from growing unboundedly. */
   val ClusterMinJaccardE4 = 5000L
 
-  /** Spark twin of the oracle's `verified` CTE: candidate pairs surviving
-    * the cluster threshold. ONE definition for the closure and the degree
-    * report — mirroring [[VerifiedEdgesCtes]] on the SQL side — so the
-    * edge threshold cannot drift between them on either engine. */
-  private def thresholdedPairs(spark: SparkSession, dir: String): DataFrame =
-    verifiedPairs(spark, dir)
+  /** Spark twin of the oracle's `verified` CTE at REP level: rep pairs
+    * surviving the cluster threshold. ONE definition for the closure and
+    * the degree report — mirroring [[VerifiedEdgesCtes]] on the SQL side —
+    * so the edge threshold cannot drift between them on either engine. */
+  private def thresholdedRepPairs(spark: SparkSession, dir: String): DataFrame =
+    repVerifiedPairs(spark, dir)
       .where(col("jaccard_e4") >= ClusterMinJaccardE4)
       .select(col("doc_a"), col("doc_b"))
 
@@ -374,31 +410,17 @@ object Dedup {
     }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // verifiedPairs is memoized+persisted (shared with dedup_minhash), but
-    // the loop would still re-scan that full candidate cache (≥40× larger
-    // than the thresholded survivors on copy-heavy corpora) on every
-    // round's union branches — so the small filtered edge set gets its own
-    // loop-local persist, released on exit
-    val edges0 = thresholdedPairs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-duplicate contraction (round-8 scale fix): on copy-heavy
     // corpora the verified edge set is QUADRATIC in duplicate multiplicity
     // (an M-copy clique is M(M−1)/2 edges), and the propagation loop used
-    // to re-join that whole set every round. Projecting each edge onto
-    // the endpoints' group representatives collapses every clique to one
-    // node, so the loop runs on the contracted graph — whose size tracks
-    // DISTINCT content, not copy count — and members take their rep's
-    // converged label afterwards (min-reachable is preserved because each
-    // rep IS its group's min). The quadratic frame is scanned a bounded
-    // number of times (contract + output-domain), never per-round.
+    // to re-join that whole set every round. Each identical-set group is
+    // a clique of the verified graph, so the loop runs directly on the
+    // rep-level edge set — whose size tracks DISTINCT content, not copy
+    // count — and members take their rep's converged label afterwards
+    // (min-reachable is preserved because each rep IS its group's min).
+    // The quadratic expanded frame is never touched at all.
     val members = repMembers(spark, dir)
-    val contracted = edges0
-      .join(members.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
-      .join(members.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
-      .where(col("ra") =!= col("rb"))
-      .select(least(col("ra"), col("rb")).as("doc_a"),
-        greatest(col("ra"), col("rb")).as("doc_b"))
-      .distinct()
+    val contracted = thresholdedRepPairs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = contracted.union(
       contracted.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -447,18 +469,21 @@ object Dedup {
       labels = next
     }
     // expand: the output domain is every doc incident to a verified edge
-    // (unchanged contract); each member takes its representative's
+    // (unchanged contract) = members of any ≥2-member group (within-clique
+    // edges always clear the threshold at J = 1) plus members of groups
+    // whose rep carries a cross edge; each member takes its rep's
     // converged label, falling back to the rep itself for groups whose
     // every edge was within-clique (their rep never entered the loop).
-    val outDocs = edges0.select(col("doc_a").as("doc_id"))
-      .union(edges0.select(col("doc_b").as("doc_id")))
+    val gsz = members.groupBy("rep").agg(count(lit(1)).as("gsz"))
+    val outReps = gsz.where(col("gsz") >= 2).select("rep")
+      .union(contracted.select(col("doc_a").as("rep")))
+      .union(contracted.select(col("doc_b").as("rep")))
       .distinct()
-    val result = outDocs.join(members, "doc_id")
+    val result = members.join(outReps, "rep")
       .join(labels.select(col("doc_id").as("rep"), col("lbl")), Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
       .localCheckpoint(eager = true)
-    // result is a checkpoint leaf — both loop-local caches can go now
-    edges0.unpersist(blocking = false)
+    // result is a checkpoint leaf — the loop-local edge cache can go now
     contracted.unpersist(blocking = false)
     result.orderBy("doc_id")
   }
@@ -486,11 +511,27 @@ object Dedup {
     * carry. Rides the same memoized verified-pair cache; two keyed
     * groupBys, output bounded by the max degree. */
   def graphDegree(spark: SparkSession, dir: String): DataFrame = {
-    val v = thresholdedPairs(spark, dir)
-    v.select(col("doc_a").as("doc_id"))
-      .union(v.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-      .groupBy("degree").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+    // rep-level arithmetic (round-8 scale fix): every member of an
+    // identical-set group has the same degree — (group size − 1)
+    // within-clique edges plus, per thresholded rep edge, the whole
+    // neighbor group's size — so the histogram needs only the rep edge
+    // list and the group sizes, never the expanded quadratic edge set.
+    // min_doc per degree is a min over group reps (each rep IS its
+    // group's min member).
+    val members = repMembers(spark, dir)
+    val gsz = members.groupBy("rep").agg(count(lit(1)).as("gsz"))
+    val re = thresholdedRepPairs(spark, dir)
+    val contrib = re
+      .join(gsz.select(col("rep").as("doc_b"), col("gsz").as("nsz")), "doc_b")
+      .select(col("doc_a").as("rep"), col("nsz"))
+      .union(re
+        .join(gsz.select(col("rep").as("doc_a"), col("gsz").as("nsz")), "doc_a")
+        .select(col("doc_b").as("rep"), col("nsz")))
+    val crossDeg = contrib.groupBy("rep").agg(sum("nsz").as("cd"))
+    gsz.join(crossDeg, Seq("rep"), "left")
+      .withColumn("degree", col("gsz") - 1 + coalesce(col("cd"), lit(0L)))
+      .where(col("degree") > 0)
+      .groupBy("degree").agg(sum("gsz").as("n_docs"), min("rep").as("min_doc"))
       .orderBy("degree")
   }
 
