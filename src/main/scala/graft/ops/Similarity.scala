@@ -896,45 +896,58 @@ object Similarity {
   private def pqL2Sql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
 
-  /** Shared oracle CTE chain up to the final code assignment `r2`
-    * (mirrors pqSubs → init → PqIters Lloyd rounds → pqCodes), WITHOUT
-    * the leading qvecs CTE — composable after [[VecCte]] (which already
-    * brings qvecs) for the IVFADC queries. Generated per-iteration so the
-    * GRAFT_PQ_ITERS knob and the SQL cannot drift. */
-  private def PqCtesBody: String = {
+  /** Generated oracle CTE chain for PQ codebook training + final code
+    * assignment over any subvector CTE `sub` (vec_id, m, mult, sv, …):
+    * init from the first PqK vectors → PqIters Lloyd rounds → books CTE
+    * `${p}tc` → final assignment CTE `${p}r2` (vec_id, m, mult, j, d,
+    * plus `extraCols` carried through from `sub`). Generated
+    * per-iteration so the GRAFT_PQ_ITERS knob and the SQL cannot drift;
+    * `p` prefixes every CTE name so two trainings (raw + residual)
+    * compose in one query. */
+  private def pqTrainSql(sub: String, p: String, extraCols: Seq[String] = Nil): String = {
+    val extraSel = extraCols.map(c => s", s.$c").mkString
+    val extraOut = extraCols.map(c => s", $c").mkString
     val head =
-      s"""sub AS (
-         |  SELECT vec_id, mm.m AS m,
-         |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
-         |         qv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
-         |  FROM qvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
-         |pq_bk0 AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < $PqK)""".stripMargin
+      s"""${p}bk0 AS (SELECT m, vec_id AS j, sv AS cv FROM $sub WHERE vec_id < $PqK)""".stripMargin
     val steps = (1 to PqIters).map { it =>
-      s"""pq_a$it AS (
+      s"""${p}a$it AS (
          |  SELECT s.vec_id, s.m, s.sv, b.j, ${pqL2Sql("s.sv", "b.cv")} AS d
-         |  FROM sub s JOIN pq_bk${it - 1} b ON s.m = b.m),
-         |pq_r$it AS (
+         |  FROM $sub s JOIN ${p}bk${it - 1} b ON s.m = b.m),
+         |${p}r$it AS (
          |  SELECT vec_id, m, sv, j FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-         |    FROM pq_a$it) t WHERE rn = 1),
-         |pq_u$it AS (
+         |    FROM ${p}a$it) t WHERE rn = 1),
+         |${p}u$it AS (
          |  SELECT m, j, p.pos AS pos,
          |         CAST(floor(CAST(sum(sv[p.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
-         |  FROM pq_r$it CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS pos) p
+         |  FROM ${p}r$it CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS pos) p
          |  GROUP BY m, j, p.pos),
-         |pq_bk$it AS (SELECT m, j, list(cq ORDER BY pos) AS cv FROM pq_u$it GROUP BY m, j)""".stripMargin
+         |${p}bk$it AS (SELECT m, j, list(cq ORDER BY pos) AS cv FROM ${p}u$it GROUP BY m, j)""".stripMargin
     }
     val fin =
-      s"""tc AS (SELECT * FROM pq_bk$PqIters),
-         |a2 AS (
-         |  SELECT s.vec_id, s.m, s.mult, t.j, ${pqL2Sql("s.sv", "t.cv")} AS d
-         |  FROM sub s JOIN tc t ON s.m = t.m),
-         |r2 AS (
-         |  SELECT vec_id, m, mult, j, d FROM (
+      s"""${p}tc AS (SELECT * FROM ${p}bk$PqIters),
+         |${p}af AS (
+         |  SELECT s.vec_id, s.m, s.mult$extraSel, t.j, ${pqL2Sql("s.sv", "t.cv")} AS d
+         |  FROM $sub s JOIN ${p}tc t ON s.m = t.m),
+         |${p}r2 AS (
+         |  SELECT vec_id, m, mult$extraOut, j, d FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-         |    FROM a2) t WHERE rn = 1)""".stripMargin
+         |    FROM ${p}af) t WHERE rn = 1)""".stripMargin
     (head +: steps :+ fin).mkString(",\n")
   }
+
+  /** Raw-subvector PQ chain with the historical CTE names (`sub`, `tc`,
+    * `r2`), WITHOUT the leading qvecs CTE — composable after [[VecCte]]
+    * (which already brings qvecs) for the IVFADC queries. */
+  private def PqCtesBody: String =
+    s"""sub AS (
+       |  SELECT vec_id, mm.m AS m,
+       |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
+       |         qv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
+       |  FROM qvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+       |${pqTrainSql("sub", "pq_")},
+       |tc AS (SELECT * FROM pq_tc),
+       |r2 AS (SELECT * FROM pq_r2)""".stripMargin
 
   private def PqCtes: String = s"$QvecsCte,\n$PqCtesBody"
 
@@ -1180,5 +1193,158 @@ object Similarity {
        |$IvfPqRetrievalCtes,
        |$PqTruthCtes,
        |ret AS (SELECT qid, vec_id AS cid FROM ivranked WHERE rnk <= $PqTopK)
+       |$RecallSelectSql""".stripMargin
+
+  // ---- ann_ivfpq_res_search: residual-encoding IVFADC ----------------------
+
+  /** Residual per-(vector, subspace) rows: each indexed vector's offset
+    * from its OWN cell centroid, split into PQ subspaces — the encoding
+    * the canonical IVFADC quantizes (Jégou/Douze/Schmid PAMI'11 §IV-A).
+    * Residuals are far more concentrated than raw vectors (the coarse
+    * quantizer has already explained the cell-level structure), so the
+    * same 3-bit-per-subspace budget buys strictly more precision; the
+    * ADC estimate ‖(q−c) − (v−c)‖² cancels the cell centroid and
+    * approximates the TRUE inter-vector distance, not distance-to-code.
+    * All arithmetic stays int64 tick-exact (residual = qv − sv,
+    * component-wise). Restricted to vectors with a cell (n2 > 0), like
+    * every IVF path. */
+  private def residualSubs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.resSubs:$NumCells:$IvfIters:$dir") {
+      val v = vectors(spark, dir)
+      val cells1 = cellAssignments(spark, dir).where(col("rnk") === 1)
+        .select(col("avid"), col("seed_id"))
+      val seeds = trainedCentroids(spark, dir)
+        .select(col("seed_id"), col("sv").as("csv"))
+      val res = v.join(cells1, col("vec_id") === col("avid"))
+        .join(broadcast(seeds), "seed_id")
+        .select(col("vec_id"), col("seed_id").as("cell"),
+          zip_with(col("qv"), col("csv"), (x, y) => x - y).as("rv"))
+      val subStructs = array((0 until PqM).map { m =>
+        struct(lit(m.toLong).as("m"), lit(1L << (3 * m)).as("mult"),
+          slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("sv"))
+      }: _*)
+      res.select(col("vec_id"), col("cell"), explode(subStructs).as("s"))
+        .select(col("vec_id"), col("cell"), col("s.m").as("m"),
+          col("s.mult").as("mult"), col("s.sv").as("sv"))
+    }
+
+  /** Residual codebooks: the same deterministic init + Lloyd convention
+    * as [[pqBooksIter]], trained on residual subvectors. */
+  private def resBooks(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.resBooks:$NumCells:$IvfIters:$PqIters:$dir") {
+      val subs = residualSubs(spark, dir)
+      var books = subs.where(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+      for (_ <- 1 to PqIters) books = pqLloydStep(subs, books)
+      books
+    }
+
+  /** Residual code index (vec_id, cell, m, mult, j, d), memoized. */
+  private def resCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.resCodes:$NumCells:$IvfIters:$PqIters:$dir") {
+      pqNearest(residualSubs(spark, dir), resBooks(spark, dir))
+        .select("vec_id", "cell", "m", "mult", "j", "d")
+    }
+
+  /** Canonical (residual-encoding) IVFADC search: identical routing to
+    * [[annIvfPqSearch]], but the query's lookup table is built per
+    * PROBED CELL from the query's own residual against that cell —
+    * ‖(q−c)_m − codeword‖² — so the broadcast stays queries × nprobe ×
+    * PqM·PqK rows and the scan side is still one broadcast hash join
+    * against the memoized code index. */
+  def annIvfPqResSearch(spark: SparkSession, dir: String): DataFrame = {
+    val assign = cellAssignments(spark, dir)
+    val probes = assign.where(col("avid") < NumQueries && col("rnk") <= NProbe)
+      .select(col("avid").as("qid"), col("seed_id").as("pcell"))
+    val seeds = trainedCentroids(spark, dir)
+      .select(col("seed_id"), col("sv").as("csv"))
+    val q = vectors(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv"))
+    // per-(query, probed cell) residual, split into subspaces
+    val qres = probes.join(q, "qid")
+      .join(broadcast(seeds), col("pcell") === col("seed_id"))
+      .select(col("qid"), col("pcell"),
+        zip_with(col("qv"), col("csv"), (x, y) => x - y).as("rv"))
+    val qsubStructs = array((0 until PqM).map { m =>
+      struct(lit(m.toLong).as("m"), slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("qsv"))
+    }: _*)
+    val lut = qres.select(col("qid"), col("pcell"), explode(qsubStructs).as("s"))
+      .select(col("qid"), col("pcell"), col("s.m").as("m"), col("s.qsv").as("qsv"))
+      .join(resBooks(spark, dir), "m")
+      .withColumn("pd", l2sq(col("qsv"), col("cv")))
+      .select(col("qid"), col("pcell"), col("m").as("lm"), col("j").as("lj"), col("pd"))
+    resCodes(spark, dir)
+      .join(broadcast(lut),
+        col("cell") === col("pcell") && col("m") === col("lm") && col("j") === col("lj"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id", "cell")
+      .agg(sum("pd").as("adc_d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_d"), col("vec_id"))))
+      .where(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("cell"), col("adc_d"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall@k of the residual IVFADC retrieval against the shared
+    * exact-L2 truth: with identical routing, recall here minus
+    * ann_ivfpq_recall isolates what residual encoding buys back of the
+    * quantization loss — the acceptance comparison a deployment runs
+    * before choosing which code layout to build at 1e9 vectors. */
+  def annIvfPqResRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstTruth(exactL2TopK(spark, dir),
+      annIvfPqResSearch(spark, dir).select(col("qid"), col("vec_id").as("cid")))
+
+  /** Shared residual-IVFADC oracle CTEs: residual subvectors off the
+    * `cells`/`seeds` chain, PQ training over them (prefix `rq_`), the
+    * per-(query, probed-cell) residual LUT, and the ranked retrieval. */
+  private def IvfPqResRetrievalCtes: String =
+    s"""rsub AS (
+       |  SELECT cl.cid AS vec_id, cl.cell AS cell, mm.m AS m,
+       |         CAST(1 AS BIGINT) << (3 * mm.m) AS mult,
+       |         list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> cl.cv[mm.m * $PqSubDim + i] - s.sv[mm.m * $PqSubDim + i]) AS sv
+       |  FROM cells cl JOIN seeds s ON cl.cell = s.seed_id
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+       |${pqTrainSql("rsub", "rq_", Seq("cell"))},
+       |rqres AS (
+       |  SELECT p.qid, p.pcell, mm.m AS m,
+       |         list_transform(range(1, ${PqSubDim + 1}),
+       |           i -> q.qv[mm.m * $PqSubDim + i] - s.sv[mm.m * $PqSubDim + i]) AS qsv
+       |  FROM probes p
+       |  JOIN vecs q ON p.qid = q.vec_id
+       |  JOIN seeds s ON p.pcell = s.seed_id
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+       |rlut AS (
+       |  SELECT r.qid, r.pcell, r.m, t.j, ${pqL2Sql("r.qsv", "t.cv")} AS pd
+       |  FROM rqres r JOIN rq_tc t ON r.m = t.m),
+       |radc AS (
+       |  SELECT l.qid, c.vec_id, c.cell, CAST(sum(l.pd) AS BIGINT) AS adc_d
+       |  FROM rq_r2 c
+       |  JOIN rlut l ON c.cell = l.pcell AND c.m = l.m AND c.j = l.j
+       |  WHERE l.qid <> c.vec_id
+       |  GROUP BY 1, 2, 3),
+       |rranked AS (
+       |  SELECT qid, vec_id, cell, adc_d,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS BIGINT) AS rnk
+       |  FROM radc)""".stripMargin
+
+  def annIvfPqResSearchSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$IvfPqResRetrievalCtes
+       |SELECT qid, rnk, vec_id, cell, adc_d
+       |FROM rranked WHERE rnk <= $PqTopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  def annIvfPqResRecallSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$IvfPqResRetrievalCtes,
+       |$PqTruthCtes,
+       |ret AS (SELECT qid, vec_id AS cid FROM rranked WHERE rnk <= $PqTopK)
        |$RecallSelectSql""".stripMargin
 }
