@@ -107,28 +107,36 @@ object Dedup {
     * scales with DISTINCT content however many copies the corpus
     * carries. Memoized + persisted: consumed by the expanded pair frame,
     * the cluster builder, and the degree report. */
+  /** The LSH candidate + verification chain over any (doc_id, sh) frame:
+    * banding, same-bucket candidate equi-join, exact-Jaccard verification
+    * by id-rejoin. One definition shared by the shingle-rep pipeline and
+    * the agreement matrix's text-rep pipeline. */
+  private def lshVerifyChain(sets: DataFrame): DataFrame = {
+    val b = bandsOf(sets)
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(10000.0) * col("isz")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("isz")))
+          .cast("long").as("jaccard_e4"))
+  }
+
   private[ops] def repVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"dedup.repPairs:$dir") {
       val members = repMembers(spark, dir)
       val sets = shingleSets(spark, dir).join(members, "doc_id")
         .where(col("doc_id") === col("rep")).select("doc_id", "sh")
-      val b = bandsOf(sets)
-      val pairs = b.as("a")
-        .join(b.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      pairs
-        .join(sets.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(sets.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-        .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .select(col("doc_a"), col("doc_b"),
-          floor(lit(10000.0) * col("isz")
-            / (size(col("sh_a")) + size(col("sh_b")) - col("isz")))
-            .cast("long").as("jaccard_e4"))
+      lshVerifyChain(sets)
     }
 
   /** Full candidate-pair frame, EXACTLY what direct all-doc banding would
@@ -616,19 +624,23 @@ object Dedup {
     * so bits above 30 derive from a second affine mix of the token hash. */
   val SimhashBits = 63
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash + bucket over any frame carrying (doc_id, text) — shared by
+    * the fingerprint report and the agreement matrix's text-rep path. */
+  private def simhashOf(docs: DataFrame): DataFrame = {
     val th = transform(split(norm, " "), t => charHash(t))
     // widen each 31-bit token hash to 62 bits: low half the hash itself,
     // high half an affine remix (same int64 math on both engines)
     val wide = transform(col("th"), x => x + (x * 1103515245L + 12345L) % P * P)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), wide.as("tw"))
       .select(col("doc_id"),
         graft.functions.HashExprs.simHash(col("tw"), SimhashBits).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 47))
-      .orderBy("doc_id")
   }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Shared oracle CTEs: token hashes → widened hashes → 63-bit simhash →
     * bucket (mirrors dedupSimhash exactly). */
@@ -754,12 +766,44 @@ object Dedup {
     * report certifies exactly what the dedup passes emit. The agreement
     * join is co-partitioned on (doc_a, doc_b) — both inputs are already
     * bounded by their banded candidate generation, never all-pairs. */
+  /** doc_id → representative (group min doc_id) over groups of IDENTICAL
+    * normalized text — the finest collapse both detectors respect:
+    * minhash AND simhash are pure functions of the normalized text, so
+    * every member pair of two text groups lands in the same agreement
+    * bucket with the same (jaccard, hamming) as the rep pair. */
+  private def textGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.textGroups:$dir") {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), norm.as("tnorm"))
+        .withColumn("trep", min("doc_id").over(Window.partitionBy("tnorm")))
+        .select(col("doc_id"), col("trep"))
+    }
+
   def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val mh = verifiedPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"), col("jaccard_e4"))
-    val sh = dedupSimhashPairs(spark, dir)
+    // rep-level rewrite (round-8 scale fix): the expanded pair frames are
+    // quadratic in duplicate multiplicity BY CONTRACT, and full-outer-
+    // joining them at 100x duplication OOMed a 124M x 124M sort join.
+    // Both detectors are deterministic in the normalized text, so the
+    // matrix is computable over text-group reps with each rep pair
+    // weighted by |G_a|*|G_b| member pairs, plus the within-group pairs:
+    // C(g,2) per group, always a simhash pair (hamming 0), a minhash
+    // pair iff the group's text has >= 2 tokens (the shingle domain).
+    val tg = textGroups(spark, dir)
+    val gsz = tg.groupBy("trep").agg(count(lit(1)).as("gsz"))
+    val reps = tg.where(col("doc_id") === col("trep")).select("doc_id")
+    // minhash side over text reps: same LSH chain, restricted domain
+    val mhp = lshVerifyChain(shingleSets(spark, dir).join(reps, "doc_id"))
+    // simhash side over text reps: same bucket join + Hamming filter
+    val s = simhashOf(Tables.documents(spark, dir).join(reps, "doc_id"))
+    val shp = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
+      .join(s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("bucket").as("bucket_b")),
+        col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= MaxHamming)
       .select(col("doc_a").as("s_a"), col("doc_b").as("s_b"), col("hamming"))
-    mh.join(sh,
+    val cross = mhp.join(shp,
         col("doc_a") === col("s_a") && col("doc_b") === col("s_b"),
         "full_outer")
       .select(
@@ -767,11 +811,29 @@ object Dedup {
           .when(col("doc_a").isNotNull, "minhash_only")
           .otherwise("simhash_only").as("method"),
         coalesce(col("jaccard_e4"), lit(0L)).as("j"),
-        coalesce(col("hamming"), lit(0L)).as("h"))
+        coalesce(col("hamming"), lit(0L)).as("h"),
+        coalesce(col("doc_a"), col("s_a")).as("ra"),
+        coalesce(col("doc_b"), col("s_b")).as("rb"))
+      .join(gsz.select(col("trep").as("ra"), col("gsz").as("ga")), "ra")
+      .join(gsz.select(col("trep").as("rb"), col("gsz").as("gb")), "rb")
+      .select(col("method"), (col("ga") * col("gb")).as("w"), col("j"), col("h"))
+    // within-group member pairs: C(g,2) each, hamming 0; minhash pair
+    // (J = 1) only when the group is in the shingle domain
+    val within = gsz.where(col("gsz") >= 2)
+      .join(shingleSets(spark, dir).select(col("doc_id").as("trep")), Seq("trep"), "left_semi")
+      .select(lit("both").as("method"),
+        (col("gsz") * (col("gsz") - 1) / 2).cast("long").as("w"),
+        lit(10000L).as("j"), lit(0L).as("h"))
+      .unionByName(gsz.where(col("gsz") >= 2)
+        .join(shingleSets(spark, dir).select(col("doc_id").as("trep")), Seq("trep"), "left_anti")
+        .select(lit("simhash_only").as("method"),
+          (col("gsz") * (col("gsz") - 1) / 2).cast("long").as("w"),
+          lit(0L).as("j"), lit(0L).as("h")))
+    cross.unionByName(within)
       .groupBy("method")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum("j").as("sum_jaccard_e4"),
-        sum("h").as("sum_hamming"))
+      .agg(sum("w").as("n_pairs"),
+        sum(col("w") * col("j")).as("sum_jaccard_e4"),
+        sum(col("w") * col("h")).as("sum_hamming"))
       .orderBy("method")
   }
 

@@ -1347,4 +1347,105 @@ object Similarity {
        |$PqTruthCtes,
        |ret AS (SELECT qid, vec_id AS cid FROM rranked WHERE rnk <= $PqTopK)
        |$RecallSelectSql""".stripMargin
+
+  // ---- ann_agreement: retrieval method-agreement matrix --------------------
+
+  /** Top-k agreement matrix across the engine's four retrieval paths —
+    * exact cosine, banded LSH, exhaustive ADC, and IVFADC — the retrieval
+    * twin of dedup_agreement: before trusting a cheaper index at scale, a
+    * deployment reads how much of each method's answer set the others
+    * reproduce ON ITS OWN CORPUS (recall certs score against one truth;
+    * this scores every pair of paths against each other, which also
+    * exposes when two approximations agree with each other but not with
+    * the truth — correlated error that recall alone can't separate).
+    * All four lists reuse the production operators unchanged at a common
+    * k = LshK; n_common/n_a/n_b are exact integers and the overlap is
+    * integer fixed-point against the smaller list. Each source frame is
+    * queries×k rows, so every join here is broadcast-trivial however big
+    * the corpus — the cost is building the four retrievals, each already
+    * audited. */
+  def annAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val k = LshK
+    // each list is materialized EAGERLY and in sequence (queries×k rows
+    // apiece): one union plan over all four families would build every
+    // memoized index frame inside a single job, and at heavy duplication
+    // the combined storage+execution footprint OOMs a task — sequential
+    // checkpoints bound the peak to one family at a time, exactly what
+    // running the four retrievals as separate queries would cost
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("qid"), col("cid"))
+        .localCheckpoint(true)
+    val lists = tag("exact",
+        annTopk(spark, dir).where(col("rnk") <= k)
+          .select(col("qid"), col("cid")))
+      .unionByName(tag("lsh",
+        annLsh(spark, dir).where(col("aid") < NumQueries && col("rnk") <= k)
+          .select(col("aid").as("qid"), col("bid").as("cid"))))
+      .unionByName(tag("pq_adc",
+        annPqSearch(spark, dir).where(col("rnk") <= k)
+          .select(col("qid"), col("vec_id").as("cid"))))
+      .unionByName(tag("ivfpq",
+        annIvfPqSearch(spark, dir).where(col("rnk") <= k)
+          .select(col("qid"), col("vec_id").as("cid"))))
+    val sizes = lists.groupBy("method").agg(count(lit(1)).as("n"))
+    val common = lists.as("a")
+      .join(lists.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
+          col("a.method") < col("b.method"))
+      .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // every ordered method pair appears even at zero overlap
+    val pairs = sizes.select(col("method").as("method_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("method").as("method_b"), col("n").as("n_b")))
+      .where(col("method_a") < col("method_b"))
+    pairs.join(common, Seq("method_a", "method_b"), "left")
+      .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(n_common, 0) * 10000 div least(n_a, n_b)").as("overlap_e4"))
+      .orderBy("method_a", "method_b")
+  }
+
+  def annAgreementSql: String =
+    s"""WITH $VecCte,
+       |$BruteScoredCte,
+       |$ScoredPairsCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$PqSearchCtes,
+       |$IvfPqRetrievalCtes,
+       |exact_l AS (
+       |  SELECT 'exact' AS method, qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM bscored) r WHERE rnk <= $LshK),
+       |lsh_l AS (
+       |  SELECT 'lsh' AS method, qid, cid FROM (
+       |    SELECT aid AS qid, bid AS cid,
+       |           row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rnk
+       |    FROM (SELECT aid, bid, cos FROM spaired
+       |          UNION ALL
+       |          SELECT bid, aid, cos FROM spaired) d
+       |    WHERE aid < $NumQueries) r WHERE rnk <= $LshK),
+       |pq_l AS (
+       |  SELECT 'pq_adc' AS method, qid, vec_id AS cid FROM ranked WHERE rnk <= $LshK),
+       |ivf_l AS (
+       |  SELECT 'ivfpq' AS method, qid, vec_id AS cid FROM ivranked WHERE rnk <= $LshK),
+       |lists AS (
+       |  SELECT * FROM exact_l UNION ALL SELECT * FROM lsh_l
+       |  UNION ALL SELECT * FROM pq_l UNION ALL SELECT * FROM ivf_l),
+       |sizes AS (SELECT method, count(*) AS n FROM lists GROUP BY method),
+       |common AS (
+       |  SELECT a.method AS method_a, b.method AS method_b, count(*) AS n_common
+       |  FROM lists a JOIN lists b
+       |    ON a.qid = b.qid AND a.cid = b.cid AND a.method < b.method
+       |  GROUP BY 1, 2)
+       |SELECT sa.method AS method_a, sb.method AS method_b,
+       |       sa.n AS n_a, sb.n AS n_b,
+       |       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       |       CAST(coalesce(c.n_common, 0) AS BIGINT) * 10000
+       |         // least(sa.n, sb.n) AS overlap_e4
+       |FROM sizes sa JOIN sizes sb ON sa.method < sb.method
+       |LEFT JOIN common c ON c.method_a = sa.method AND c.method_b = sb.method
+       |ORDER BY method_a, method_b""".stripMargin
 }
