@@ -382,7 +382,7 @@ object Similarity {
   /** Shared CTE: quantized vectors + norms + one hyperplane signature
     * column per LSH table (bucket0..bucket{L-1}), mirroring the Spark
     * `buckets` array element-for-element. */
-  private def VecCte: String = {
+  private[ops] def VecCte: String = {
     def bucketTerms(t: Int): String = (0 until PlanesPerTable).map { p =>
       val w = wVec(t * PlanesPerTable + p).mkString("[", ", ", "]")
       s"""CASE WHEN list_reduce(list_transform(range(1, ${Dim + 1}),
@@ -436,7 +436,7 @@ object Similarity {
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
 
   /** Shared brute-force truth CTE (`bscored`): query set × all vectors. */
-  private def BruteScoredCte =
+  private[ops] def BruteScoredCte =
     s"""bscored AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
        |         $CosSql AS cos
@@ -1112,7 +1112,9 @@ object Similarity {
     * full vectors never move. At 1e9 vectors with √N cells and nprobe=2
     * the per-query candidate set is ~2√N ≈ 64k code rows vs 1e9 — the
     * 100 TB gap VERDICT r7 flagged against the exhaustive ADC scan. */
-  def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** Full IVFADC ranking (no top-k cut): shared by the production cut
+    * (annIvfPqSearch) and the exact re-rank's wider shortlist. */
+  private def ivfPqRankedAll(spark: SparkSession, dir: String): DataFrame = {
     val assign = cellAssignments(spark, dir)
     val members = assign.where(col("rnk") === 1)
       .select(col("avid").as("vec_id"), col("seed_id").as("cell"))
@@ -1136,11 +1138,14 @@ object Similarity {
       .agg(sum("pd").as("adc_d"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc_d"), col("vec_id"))))
+  }
+
+  def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRankedAll(spark, dir)
       .where(col("rnk") <= PqTopK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
         col("cell"), col("adc_d"))
       .orderBy("qid", "rnk")
-  }
 
   /** Shared IVFADC retrieval CTEs: requires [[VecCte]] + [[IvfTrainCtes]]
     * + [[IvfAssignCtes]] + [[PqCtesBody]] in scope; defines `ivranked`
@@ -1173,6 +1178,94 @@ object Similarity {
        |SELECT qid, rnk, vec_id, cell, adc_d
        |FROM ivranked WHERE rnk <= $PqTopK
        |ORDER BY qid, rnk""".stripMargin
+
+  // ---- ann_ivfpq_rerank: IVFADC shortlist + exact re-rank ------------------
+
+  /** Shortlist width for the exact re-rank stage (R in Jégou §VII's
+    * "re-ranking with source coding" recipe): the ADC pass keeps R ≫ k
+    * candidates, the exact pass re-scores only those R. */
+  val PqShortR = 20
+
+  /** The composition a production deployment actually ships: IVFADC
+    * produces a cheap R-candidate shortlist from codes alone, then the
+    * exact full-vector distance re-ranks just those R rows — ADC
+    * quantization error can reorder or drop true neighbors near the cut,
+    * and the re-rank recovers every case where the true neighbor made the
+    * shortlist (certified by ann_ivfpq_rerank_recall vs the same exact-L2
+    * truth the whole recall family shares; the residual gap vs 10000 is
+    * pure shortlist miss — tune PqShortR/NProbe against it).
+    *
+    * Scale shape: the shortlist (queries × R ids) is an explicit
+    * `broadcast()` against the vector table, so fetching candidate
+    * payloads is a broadcast hash join touching R·queries full vectors —
+    * the corpus never shuffles and the exhaustive-scan cost the ADC stage
+    * avoided is not reintroduced. The re-rank itself is queries × R
+    * arithmetic. */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = ivfPqRankedAll(spark, dir)
+      .where(col("rnk") <= PqShortR)
+      .select(col("qid"), col("vec_id"))
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
+    val qs = base.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    base.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs), "qid")
+      .withColumn("l2_d",
+        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("l2_d"), col("vec_id"))))
+      .where(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("l2_d"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Oracle re-rank CTEs over an in-scope `ivranked` + `qvecs`; defines
+    * `ivrranked` (qid, vec_id, l2_d, rnk). */
+  private def IvfPqRerankCtes: String =
+    s"""ivshort AS (SELECT qid, vec_id FROM ivranked WHERE rnk <= $PqShortR),
+       |ivrr AS (
+       |  SELECT s.qid, s.vec_id,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |                i -> (b.qv[i] - q.qv[i]) * (b.qv[i] - q.qv[i])),
+       |              (x, y) -> x + y) AS BIGINT) AS l2_d
+       |  FROM ivshort s
+       |  JOIN qvecs b ON b.vec_id = s.vec_id
+       |  JOIN qvecs q ON q.vec_id = s.qid),
+       |ivrranked AS (
+       |  SELECT qid, vec_id, l2_d,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY l2_d, vec_id) AS BIGINT) AS rnk
+       |  FROM ivrr)""".stripMargin
+
+  def annIvfPqRerankSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$IvfPqRetrievalCtes,
+       |$IvfPqRerankCtes
+       |SELECT qid, rnk, vec_id, l2_d
+       |FROM ivrranked WHERE rnk <= $PqTopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** Recall@k of the re-ranked retrieval vs the shared exact-L2 truth:
+    * read against ann_ivfpq_recall, the delta is what exact re-ranking
+    * buys back at the same NProbe/NumCells routing. */
+  def annIvfPqRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstTruth(exactL2TopK(spark, dir),
+      annIvfPqRerank(spark, dir).select(col("qid"), col("vec_id").as("cid")))
+
+  def annIvfPqRerankRecallSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$IvfPqRetrievalCtes,
+       |$IvfPqRerankCtes,
+       |$PqTruthCtes,
+       |ret AS (SELECT qid, vec_id AS cid FROM ivrranked WHERE rnk <= $PqTopK)
+       |$RecallSelectSql""".stripMargin
 
   // ---- ann_ivfpq_recall: IVFADC retrieval vs exact-L2 truth ----------------
 
