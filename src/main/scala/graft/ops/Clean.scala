@@ -238,4 +238,82 @@ object Clean {
        |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
        |       CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
        |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- substring_dup ------------------------------------------------------
+
+  /** Sliding-window width in tokens: any exact duplicated substring of
+    * ≥ SubstrW tokens contains at least one duplicated window, so the
+    * report is complete at that granularity (the window surrogate for
+    * Lee et al.'s suffix-array exact-substring dedup, which is not a
+    * distributed-join shape). */
+  val SubstrW = 10
+
+  /** Exact substring-duplication report (the "dedup repeated substrings,
+    * not just whole documents" pass of Lee et al., Deduplicating Training
+    * Data Makes Language Models Better, ACL 2022): every OVERLAPPING
+    * SubstrW-token window is fingerprinted; a window whose fingerprint
+    * occurs ≥ 2 times anywhere in the corpus (other documents or a
+    * repeat within its own) is duplicated; per document the report gives
+    * the duplicated-window fraction — the signal a rewrite pass cuts
+    * spans by, complementing segment_dedup's non-overlapping segments
+    * which miss duplicates straddling segment boundaries.
+    *
+    * Scale shape (100 TB): windows are tokens-linear per document (one
+    * per position), each fingerprinted to an int64 — the only corpus-
+    * sized shuffles are the fp groupBy and the fp-co-partitioned
+    * occurrence join, both map-side combined / count-only, so hot
+    * boilerplate windows cost a skewed count, never wide rows (AQE
+    * splits the stragglers). The W× byte blow-up of materializing each
+    * window before hashing is a bounded constant (a rolling polynomial
+    * hash would remove it at the price of a non-portable two-engine
+    * prefix recurrence). */
+  def substringDup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(norm, " ").as("tk"))
+    val wins = toks
+      .withColumn("nw", (size(col("tk")) - SubstrW + 1).cast("long"))
+      .where(col("nw") >= 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("nw")), i =>
+          TextStats.fingerprint(
+            concat_ws(" ", slice(col("tk"), i, lit(SubstrW)))))).as("fp"))
+    val occ = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+    val per = wins.join(occ, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac_e4",
+        when(col("n_windows") === 0, 0L)
+          .otherwise(expr("n_dup_windows * 10000 div n_windows")))
+      .orderBy("doc_id")
+  }
+
+  val substringDupSql: String = {
+    val winFp = TextStats.fpSql(
+      s"array_to_string(list_slice(tk, i, i + ${SubstrW - 1}), ' ')")
+    s"""WITH tks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(tk) - ${SubstrW - 2}),
+       |           i -> $winFp)) AS fp
+       |  FROM tks WHERE len(tk) >= $SubstrW),
+       |occ AS (SELECT fp, count(*) AS n_occ FROM wins GROUP BY fp),
+       |per AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |         CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM wins w JOIN occ o ON w.fp = o.fp GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+       |       ELSE p.n_dup_windows * 10000 // p.n_windows END AS BIGINT) AS dup_frac_e4
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }
