@@ -285,4 +285,100 @@ object Ngrams {
        |CROSS JOIN nb
        |ORDER BY lift_e6 DESC, p.a, p.b
        |LIMIT $PmiTopK""".stripMargin
+
+  // ---- bpe_merges: byte-pair-encoding merge-rule induction ----------------
+
+  /** Number of merge rounds induced (each round = one vocabulary pass). */
+  val BpeRounds = 5
+
+  /** BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016): induce
+    * the first BpeRounds merge rules over the corpus vocabulary — each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * picks the most frequent pair (ties to the lexicographically
+    * smaller), and rewrites every word with that pair merged. Words
+    * start as character sequences; the output is the ordered rule list
+    * (round, pair, merged, freq) a tokenizer ships as its merges file.
+    *
+    * Two deliberate deviations, both part of the operator contract:
+    * self-pairs (a, a) are excluded from rule candidacy — with a ≠ b
+    * guaranteed, no two merge sites can overlap, so the simultaneous
+    * rewrite IS canonical greedy left-to-right BPE (run-merging of
+    * repeated symbols is the one case where greedy order matters, and
+    * it is degenerate for natural text); and the rewrite applies the
+    * space-delimited string replacement twice per round, because a
+    * single leftmost-scan replace consumes the delimiter shared by two
+    * adjacent merge sites ("a b a b") — with a ≠ b the second pass
+    * provably reaches the all-sites fixpoint. Both engines' replace()
+    * are leftmost-non-overlapping with identical resume semantics, and
+    * the oracle gate enforces that bit-for-bit.
+    *
+    * Scale shape (100 TB): every frame here is VOCABULARY-sized, not
+    * corpus-sized — the corpus is read once through the memoized tf
+    * frame; pair counting is a map-side-combined groupBy on short-string
+    * keys; the winning rule is a 1-row TakeOrdered broadcast back over
+    * the vocabulary; the rewrite is per-word string work inside
+    * whole-stage codegen. K rounds cost K vocabulary passes, flat in
+    * corpus size. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    var words = tokenCounts(spark, dir)
+      .select(expr(
+        "array_join(transform(sequence(1, length(tok)), i -> substr(tok, i, 1)), ' ')")
+        .as("sym"), col("n"))
+    val rules = (1 to BpeRounds).map { r =>
+      val pairs = words
+        .where(expr("size(split(sym, ' ')) >= 2"))
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(split(sym, ' ')) - 1)," +
+            " i -> concat(element_at(split(sym, ' '), i), ' '," +
+            " element_at(split(sym, ' '), i + 1)))")).as("pair"))
+        .where(expr("element_at(split(pair, ' '), 1) <> element_at(split(pair, ' '), 2)"))
+        .groupBy("pair").agg(sum("n").as("freq"))
+      // both frames are materialized EAGERLY per round (the rule is 1 row,
+      // the vocabulary a few 100k rows): without the checkpoint, round r's
+      // lineage re-derives every earlier round's rewrite on each of its
+      // two consumers — quadratic recompute in BpeRounds
+      val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
+        .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"), col("freq"))
+        .localCheckpoint(true)
+      words = words.crossJoin(broadcast(
+          best.select(col("pair").as("bp"), col("merged").as("bm"))))
+        .select(expr(
+          "trim(replace(replace(concat(' ', sym, ' ')," +
+            " concat(' ', bp, ' '), concat(' ', bm, ' '))," +
+            " concat(' ', bp, ' '), concat(' ', bm, ' ')))").as("sym"), col("n"))
+        .localCheckpoint(true)
+      best.select(lit(r.toLong).as("round"), col("pair"), col("merged"), col("freq"))
+    }
+    rules.reduce(_ unionByName _).orderBy("round")
+  }
+
+  val bpeMergesSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+         |      i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i + 1])) AS pr
+         |    FROM w${r - 1} WHERE len(string_split(sym, ' ')) >= 2)
+         |  WHERE string_split(pr, ' ')[1] <> string_split(pr, ' ')[2]
+         |  GROUP BY pr),
+         |b$r AS (SELECT pr AS pair, replace(pr, ' ', '') AS merged, freq
+         |  FROM p$r ORDER BY freq DESC, pr LIMIT 1),
+         |w$r AS (
+         |  SELECT trim(replace(replace(concat(' ', sym, ' '),
+         |      concat(' ', b.pair, ' '), concat(' ', b.merged, ' ')),
+         |      concat(' ', b.pair, ' '), concat(' ', b.merged, ' '))) AS sym, n
+         |  FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pair, merged, freq FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $TokenCountsCtes,
+       |w0 AS (
+       |  SELECT array_to_string(list_transform(range(1, length(tok) + 1),
+       |    i -> substr(tok, i, 1)), ' ') AS sym, n
+       |  FROM tn),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
 }
