@@ -820,9 +820,13 @@ object Similarity {
   /** Lloyd iteration count for the PQ codebooks — see [[IvfIters]]. */
   def PqIters: Int = sys.env.getOrElse("GRAFT_PQ_ITERS", "1").toInt
 
-  /** Exact integer squared L2 between two equal-length int64 arrays. */
+  /** Exact integer squared L2 between two equal-length int64 arrays —
+    * the codegen'd expression (HashExprs.LongL2Expr), not the interpreted
+    * aggregate/zip_with lambda pair: this sits inside the N·queries truth
+    * scans and every ADC LUT build, where a per-row lambda interpreter is
+    * the hot-path cost at scale. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.HashExprs.longL2(a, b)
 
   /** Per-(vector, subspace) rows: subspace id, code-packing multiplier,
     * and the 8-dim tick subvector. */
@@ -1037,9 +1041,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     base.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("d",
-        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("d", l2sq(col("qv"), col("qqv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("d"), col("vec_id"))))
       .where(col("rn") <= PqTopK)
@@ -1210,9 +1212,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     base.join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "qid")
-      .withColumn("l2_d",
-        aggregate(zip_with(col("qv"), col("qqv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("l2_d", l2sq(col("qv"), col("qqv")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("l2_d"), col("vec_id"))))
       .where(col("rnk") <= PqTopK)
