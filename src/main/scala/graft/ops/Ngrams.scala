@@ -319,9 +319,18 @@ object Ngrams {
     * the vocabulary; the rewrite is per-word string work inside
     * whole-stage codegen. K rounds cost K vocabulary passes, flat in
     * corpus size. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** Runs the BpeRounds training loop once: returns (rules, final
+    * vocabulary) where the vocabulary keeps the original token beside its
+    * merged symbol sequence — consumed by bpe_merges (rules) and
+    * bpe_compression (final segmentation). */
+  private def bpeLoop(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    // the empty token (whitespace-degenerate documents) is excluded up
+    // front: sequence(1, 0) is DESCENDING in Spark but empty in DuckDB's
+    // range(1, 1), so '' is the one token whose character split the two
+    // engines disagree on — and it carries no pairs anyway
     var words = tokenCounts(spark, dir)
-      .select(expr(
+      .where(length(col("tok")) >= 1)
+      .select(col("tok"), expr(
         "array_join(transform(sequence(1, length(tok)), i -> substr(tok, i, 1)), ' ')")
         .as("sym"), col("n"))
     val rules = (1 to BpeRounds).map { r =>
@@ -342,17 +351,23 @@ object Ngrams {
         .localCheckpoint(true)
       words = words.crossJoin(broadcast(
           best.select(col("pair").as("bp"), col("merged").as("bm"))))
-        .select(expr(
+        .select(col("tok"), expr(
           "trim(replace(replace(concat(' ', sym, ' ')," +
             " concat(' ', bp, ' '), concat(' ', bm, ' '))," +
             " concat(' ', bp, ' '), concat(' ', bm, ' ')))").as("sym"), col("n"))
         .localCheckpoint(true)
       best.select(lit(r.toLong).as("round"), col("pair"), col("merged"), col("freq"))
     }
-    rules.reduce(_ unionByName _).orderBy("round")
+    (rules, words)
   }
 
-  val bpeMergesSql: String = {
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeLoop(spark, dir)._1.reduce(_ unionByName _).orderBy("round")
+
+  /** Shared oracle CTE chain: w0 (character-split vocabulary, empty token
+    * excluded) through w{BpeRounds}, with b1..b{BpeRounds} the per-round
+    * winning rules. Mirrors [[bpeLoop]] round for round. */
+  private val BpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT pr, CAST(sum(n) AS BIGINT) AS freq FROM (
@@ -364,21 +379,70 @@ object Ngrams {
          |b$r AS (SELECT pr AS pair, replace(pr, ' ', '') AS merged, freq
          |  FROM p$r ORDER BY freq DESC, pr LIMIT 1),
          |w$r AS (
-         |  SELECT trim(replace(replace(concat(' ', sym, ' '),
+         |  SELECT tok, trim(replace(replace(concat(' ', sym, ' '),
          |      concat(' ', b.pair, ' '), concat(' ', b.merged, ' ')),
          |      concat(' ', b.pair, ' '), concat(' ', b.merged, ' '))) AS sym, n
          |  FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT tok, array_to_string(list_transform(range(1, length(tok) + 1),
+       |    i -> substr(tok, i, 1)), ' ') AS sym, n
+       |  FROM tn WHERE length(tok) >= 1),
+       |$rounds""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
     val sel = (1 to BpeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, pair, merged, freq FROM b$r"
     }.mkString("\nUNION ALL\n")
     s"""WITH $TokenCountsCtes,
-       |w0 AS (
-       |  SELECT array_to_string(list_transform(range(1, length(tok) + 1),
-       |    i -> substr(tok, i, 1)), ' ') AS sym, n
-       |  FROM tn),
-       |$rounds
+       |$BpeCtes
        |$sel
        |ORDER BY round""".stripMargin
   }
+
+  // ---- bpe_compression: apply the learned merges, report per source -------
+
+  /** Applies the trained segmentation back to the corpus and reports, per
+    * source, the whitespace-token count, character count, BPE-token count,
+    * and characters-per-BPE-token (e4 fixed-point) — the compression /
+    * fertility read a tokenizer ships with and the per-source drift
+    * monitor for "this source tokenizes badly" (code vs prose, wrong
+    * language). The corpus side is the memoized tf frame joined to the
+    * final vocabulary segmentation on the token key (both vocabulary-
+    * partitioned); aggregation is map-side combined on the handful of
+    * sources. Whitespace-degenerate empty tokens are excluded (the
+    * operator contract — see bpeLoop). */
+  def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeLoop(spark, dir)._2
+      .select(col("tok"), expr("size(split(sym, ' '))").cast("long").as("n_sym"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    tfFrame(spark, dir)
+      .join(docs, "doc_id")
+      .join(vocab, "tok")
+      .groupBy("source")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * length(col("tok"))).as("n_chars"),
+        sum(col("tf") * col("n_sym")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        expr("n_chars * 10000 div n_bpe_tokens").as("chars_per_bpe_e4"))
+      .orderBy("source")
+  }
+
+  val bpeCompressionSql: String =
+    s"""WITH $TokenCountsCtes,
+       |$BpeCtes,
+       |v AS (SELECT tok, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
+       |  FROM w$BpeRounds)
+       |SELECT d.source,
+       |  CAST(sum(t.tf) AS BIGINT) AS n_words,
+       |  CAST(sum(t.tf * length(t.tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(t.tf * v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(t.tf * length(t.tok)) * 10000 // sum(t.tf * v.n_sym) AS BIGINT)
+       |    AS chars_per_bpe_e4
+       |FROM tf t
+       |JOIN documents d ON d.doc_id = t.doc_id
+       |JOIN v ON v.tok = t.tok
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 }
