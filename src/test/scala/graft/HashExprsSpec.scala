@@ -25,6 +25,23 @@ class HashExprsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("long_l2 matches a plain Scala squared L2 distance") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-2L, 7L), Array(3L, -3L)),
+      (Array(10000L, -10000L), Array(-10000L, 10000L)),
+      (Array.empty[Long], Array.empty[Long]))
+    val got = rows.toDF("a", "b")
+      .select(HashExprs.longL2(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    assert(got === want)
+  }
+
   test("byte_roll_hash matches the per-char fold for ASCII") {
     val s = spark
     import s.implicits._
