@@ -97,6 +97,18 @@ object Dedup {
   private def bands(spark: SparkSession, dir: String): DataFrame =
     bandsOf(shingleSets(spark, dir))
 
+  /** Banding over an arbitrary (doc_id, text) frame — batch or streaming
+    * (no memoization, no table read): the shingle → minhash → band chain
+    * shared with the corpus pipeline, exposed for the streaming near-dup
+    * twin so its buckets are bit-identical to the batch index. */
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame =
+    bandsOf(docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.HashExprs.shingleHashSet(col("toks"), TextStats.FpPrime, P)
+          .as("sh")))
+
   /** LSH candidate pairs (same key in ≥1 band) + exact shingle-set Jaccard
     * in 1e-4 fixed point, at REP level: banding, candidate generation,
     * and verification over ONE representative per identical-set group
