@@ -288,8 +288,12 @@ object Ngrams {
 
   // ---- bpe_merges: byte-pair-encoding merge-rule induction ----------------
 
-  /** Number of merge rounds induced (each round = one vocabulary pass). */
-  val BpeRounds = 5
+  /** Number of merge rounds induced (each round = one vocabulary pass) —
+    * env-dialed like GRAFT_IVF_ITERS/GRAFT_PQ_ITERS; the oracle CTE chain
+    * is generated from the same value, so Spark and DuckDB always train
+    * the same number of rounds. A def (not an init-time val) so a
+    * re-configured JVM cannot pin a stale count. */
+  def BpeRounds: Int = sys.env.getOrElse("GRAFT_BPE_ROUNDS", "5").toInt
 
   /** BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016): induce
     * the first BpeRounds merge rules over the corpus vocabulary — each
@@ -367,7 +371,7 @@ object Ngrams {
   /** Shared oracle CTE chain: w0 (character-split vocabulary, empty token
     * excluded) through w{BpeRounds}, with b1..b{BpeRounds} the per-round
     * winning rules. Mirrors [[bpeLoop]] round for round. */
-  private val BpeCtes: String = {
+  private def BpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
          |  SELECT pr, CAST(sum(n) AS BIGINT) AS freq FROM (
@@ -391,7 +395,7 @@ object Ngrams {
        |$rounds""".stripMargin
   }
 
-  val bpeMergesSql: String = {
+  def bpeMergesSql: String = {
     val sel = (1 to BpeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, pair, merged, freq FROM b$r"
     }.mkString("\nUNION ALL\n")
@@ -429,7 +433,7 @@ object Ngrams {
       .orderBy("source")
   }
 
-  val bpeCompressionSql: String =
+  def bpeCompressionSql: String =
     s"""WITH $TokenCountsCtes,
        |$BpeCtes,
        |v AS (SELECT tok, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym
