@@ -43,6 +43,9 @@ object GraftExtensions {
     (FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - int64 dot product of two long arrays"),
       arity("long_dot", "long_dot(a, b)", 2)(args => LongDotExpr(args(0), args(1)))),
+    (FunctionIdentifier("long_l2"),
+      info("long_l2", "long_l2(a, b) - int64 squared L2 distance of two long arrays"),
+      arity("long_l2", "long_l2(a, b)", 2)(args => LongL2Expr(args(0), args(1)))),
     (FunctionIdentifier("byte_roll_hash"),
       info("byte_roll_hash", "byte_roll_hash(s) - rolling polynomial hash of s's bytes"),
       arity("byte_roll_hash", "byte_roll_hash(s)", 1)(args =>

@@ -11,6 +11,10 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(dot === 32L)
 
+    val l2 = spark.sql("SELECT long_l2(array(1L,2L,3L), array(4L,6L,3L))")
+      .head().getLong(0)
+    assert(l2 === 9L + 16L + 0L)
+
     val h = spark.sql("SELECT byte_roll_hash('ab')").head().getLong(0)
     assert(h === (97L * 1000003L + 98L) % 2147483647L)
 
