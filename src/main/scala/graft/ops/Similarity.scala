@@ -363,6 +363,70 @@ object Similarity {
       .select("label", "dim", "n", "sum_q", "centroid_q")
       .orderBy("label", "dim")
 
+  // ---- embed_drift: per-label centroid shift between corpus halves --------
+
+  /** Embedding-space drift per label between the even/odd vec_id halves
+    * (token_drift's snapshot convention, applied to vectors): each
+    * half's vector count and the L2 distance between the two half
+    * centroids, in 1e-4 tick units scaled e4 — the monitor that catches
+    * an embedding model change or a source shift moving a class's
+    * centroid between corpus snapshots. Only labels present in both
+    * halves are comparable (and reported). Exactness: per-dim sums are
+    * int64; the per-dim centroid difference is formed as the INTEGER
+    * cross product sum_a·n_b − sum_b·n_a (exact under 2^53), squared and
+    * folded in FIXED dim order into a double (both engines fold the
+    * identical sequence; sqrt is IEEE-correctly-rounded), so the e4
+    * output is bit-identical.
+    *
+    * Scale shape: posexplode → map-side-combined (label, half, dim) sums
+    * — labels × 2 × Dim rows cross the shuffle regardless of corpus
+    * size; everything downstream is labels × Dim arithmetic. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sums = vectors(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("label", "half", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"))
+    val a = sums.where(col("half") === 0)
+      .select(col("label"), col("pos"), col("n").as("n_a"), col("s").as("s_a"))
+    val b = sums.where(col("half") === 1)
+      .select(col("label"), col("pos"), col("n").as("n_b"), col("s").as("s_b"))
+    a.join(b, Seq("label", "pos"))
+      .withColumn("diff", col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sort_array(collect_list(struct(col("pos"), col("diff")))).as("ds"))
+      .select(col("label"), col("n_a"), col("n_b"), expr(
+        "CAST(floor(sqrt(aggregate(ds, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x.diff AS DOUBLE) * CAST(x.diff AS DOUBLE)))" +
+          " * 10000.0 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)")
+        .as("shift_ticks_e4"))
+      .orderBy("label")
+  }
+
+  def embedDriftSql: String =
+    s"""WITH $VecCte,
+       |esums AS (
+       |  SELECT label, vec_id % 2 AS half, dim, count(*) AS n,
+       |         CAST(sum(qv[dim]) AS BIGINT) AS s
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
+       |  GROUP BY label, half, dim),
+       |ej AS (
+       |  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+       |         a.s * b.n - b.s * a.n AS diff
+       |  FROM esums a JOIN esums b ON a.label = b.label AND a.dim = b.dim
+       |  WHERE a.half = 0 AND b.half = 1),
+       |eg AS (
+       |  SELECT label, CAST(max(n_a) AS BIGINT) AS n_a,
+       |         CAST(max(n_b) AS BIGINT) AS n_b,
+       |         list(CAST(diff AS DOUBLE) ORDER BY dim) AS ds
+       |  FROM ej GROUP BY label)
+       |SELECT label, n_a, n_b,
+       |  CAST(floor(sqrt(list_reduce(list_transform(ds, x -> x * x), (x, y) -> x + y))
+       |       * 10000.0 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
+       |    AS shift_ticks_e4
+       |FROM eg ORDER BY label""".stripMargin
+
   // ---- oracle -------------------------------------------------------------
 
   /** ONE definition of the oracle's 1e-4 quantization (CTE `qvecs`) and
