@@ -363,6 +363,71 @@ object Similarity {
       .select("label", "dim", "n", "sum_q", "centroid_q")
       .orderBy("label", "dim")
 
+  // ---- ann_hard_negatives: contrastive pair mining -------------------------
+
+  /** Hard-negative mining for contrastive embedding training: per query,
+    * the nearest SAME-label vector (the positive) and the nearest
+    * DIFFERENT-label vector (the hard negative), with the cosine margin
+    * between them — the standard triplet-construction pass run over a
+    * labeled corpus before fine-tuning (hard negatives are the
+    * highest-cosine wrong-label items, exactly what a random negative
+    * sampler misses). A query label absent from the rest of the corpus
+    * yields NULL positive columns (no pair to form — both engines agree).
+    *
+    * Scale shape: identical to the brute-force truth scans — the bounded
+    * query set rides a broadcast over the vector table, and the per-query
+    * top-1 per (same/different) partition is a window over the scan's
+    * local rows. At production scale the same mining runs over the
+    * IVFADC shortlist instead of the full scan; the exact pass is the
+    * acceptance baseline. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qv").as("qa"), col("n2").as("qn2"))
+    v.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
+      .withColumn("same", (col("label") === col("qlabel")).cast("int"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid", "same").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rnk") === 1)
+      .groupBy("qid")
+      .agg(max("qlabel").as("label"),
+        max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("same") === 1, cosE6(col("cos")))).as("pos_cos_e6"),
+        max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("same") === 0, cosE6(col("cos")))).as("neg_cos_e6"))
+      .withColumn("margin_e6", col("pos_cos_e6") - col("neg_cos_e6"))
+      .orderBy("qid")
+  }
+
+  def annHardNegativesSql: String =
+    s"""WITH $VecCte,
+       |hn AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid,
+       |         CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS same,
+       |         $CosSql AS cos
+       |  FROM vecs a JOIN vecs b
+       |    ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |hr AS (
+       |  SELECT qid, qlabel, cid, same, cos,
+       |         row_number() OVER (PARTITION BY qid, same
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM hn)
+       |SELECT qid, CAST(max(qlabel) AS BIGINT) AS label,
+       |  CAST(max(CASE WHEN same = 1 THEN cid END) AS BIGINT) AS pos_id,
+       |  max(CASE WHEN same = 1
+       |      THEN CAST(floor(cos * 1000000.0) AS BIGINT) END) AS pos_cos_e6,
+       |  CAST(max(CASE WHEN same = 0 THEN cid END) AS BIGINT) AS neg_id,
+       |  max(CASE WHEN same = 0
+       |      THEN CAST(floor(cos * 1000000.0) AS BIGINT) END) AS neg_cos_e6,
+       |  max(CASE WHEN same = 1 THEN CAST(floor(cos * 1000000.0) AS BIGINT) END)
+       |    - max(CASE WHEN same = 0 THEN CAST(floor(cos * 1000000.0) AS BIGINT) END)
+       |    AS margin_e6
+       |FROM hr WHERE rnk = 1
+       |GROUP BY qid ORDER BY qid""".stripMargin
+
   // ---- embed_drift: per-label centroid shift between corpus halves --------
 
   /** Embedding-space drift per label between the even/odd vec_id halves
