@@ -1670,4 +1670,224 @@ object Similarity {
        |FROM sizes sa JOIN sizes sb ON sa.method < sb.method
        |LEFT JOIN common c ON c.method_a = sa.method AND c.method_b = sb.method
        |ORDER BY method_a, method_b""".stripMargin
+
+  // ---- dedup_semantic: cluster-scoped semantic dedup (SemDeDup) ------------
+
+  /** Semantic deduplication in embedding space, cluster-then-dedup shape
+    * (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 — public): vectors are
+    * first routed to their IVF cell (the trained coarse quantizer the whole
+    * ANN family shares), then exact cosine runs ONLY within each cell; a
+    * vector is dropped when a smaller-id cell-mate scores >= the corpus
+    * near-dup threshold (DupThresholdE6 — same τ as embed_cosine_dup, so
+    * the two monitors agree on what "near-dup" means), reporting the
+    * highest-cosine such keeper as dup_of (ties to the smaller keeper id).
+    *
+    * vs embed_cosine_dup: that pass finds pairs the LSH index surfaces
+    * (probabilistic recall, global scope); this pass is exhaustive WITHIN a
+    * cell and blind across cells — the SemDeDup trade: candidate cost drops
+    * from LSH-bucket collisions to cell-bounded all-pairs, and cross-cell
+    * near-dups (rare by construction: near-dups co-assign under the same
+    * quantizer) are the accepted miss.
+    *
+    * Scale shape: members shuffle ONCE on cell id; the self-join is
+    * cell-co-partitioned so no second exchange, and the pair space is
+    * Σ_c |cell_c|² — at 100 TB NumCells scales as N/k (fixed target cell
+    * size k, the published SemDeDup operating point), keeping per-cell
+    * pairs flat while the cells themselves stay an embarrassingly parallel
+    * scan. The keeper window partitions by the dropped id, whose candidate
+    * rows are bounded by its own cell population. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val members = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid"), col("seed_id").as("cell"))
+      .join(v, col("avid") === col("vec_id"))
+      .select(col("cell"), col("vec_id"), col("qv"), col("n2"))
+    val a = members.select(col("cell"), col("vec_id").as("aid"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = members.select(col("cell").as("cell_b"), col("vec_id").as("bid"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    a.join(b, col("cell") === col("cell_b") && col("aid") < col("bid"))
+      .withColumn("cos_e6", cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
+      .where(col("cos_e6") >= DupThresholdE6)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("bid").orderBy(col("cos_e6").desc, col("aid"))))
+      .where(col("rnk") === 1)
+      .select(col("cell"), col("bid").as("vec_id"), col("aid").as("dup_of"), col("cos_e6"))
+      .orderBy("vec_id")
+  }
+
+  def dedupSemanticSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |sdp AS (
+       |  SELECT a.cell, a.cid AS aid, b.cid AS bid,
+       |         CAST(floor(
+       |           CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.cv[i] * b.cv[i]), (x, y) -> x + y) AS DOUBLE)
+       |             / (sqrt(CAST(a.cn2 AS DOUBLE)) * sqrt(CAST(b.cn2 AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.cid < b.cid),
+       |sdr AS (
+       |  SELECT cell, aid, bid, cos_e6,
+       |         row_number() OVER (PARTITION BY bid ORDER BY cos_e6 DESC, aid) AS rnk
+       |  FROM sdp WHERE cos_e6 >= $DupThresholdE6)
+       |SELECT cell, bid AS vec_id, aid AS dup_of, cos_e6
+       |FROM sdr WHERE rnk = 1
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- embed_prune: prototypicality-ranked data pruning --------------------
+
+  /** Keep-hard data pruning by cluster prototypicality (Sorscher et al.
+    * 2022, "Beyond neural scaling laws", arXiv:2206.14486 — public): within
+    * each trained IVF cell, members rank by cosine to their OWN cell
+    * centroid (most prototypical = most redundant first), and the top
+    * PruneNum/PruneDen fraction is marked pruned — the abundant-data
+    * regime's selection rule, where dropping the easiest/most-typical
+    * examples beats random subsampling. Emits the per-cell audit a curation
+    * run reviews before committing the cut: population, pruned count, and
+    * the cosine at the keep boundary on each side (cut_cos_e6 = last pruned
+    * row, keep_max_cos_e6 = first kept row).
+    *
+    * Scale shape: the centroid table is a NumCells-row broadcast; ranking
+    * is one window partitioned by cell over the single cell-routed shuffle
+    * the dedup pass already pays; output is NumCells rows. */
+  val PruneNum = 1
+  val PruneDen = 4
+
+  def embedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val seeds = trainedCentroids(spark, dir)
+    val ranked = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid"), col("seed_id").as("cell"))
+      .join(v, col("avid") === col("vec_id"))
+      .join(broadcast(seeds), col("cell") === col("seed_id"))
+      .withColumn("cos_e6", cosE6(cosine(dot(col("qv"), col("sv")), col("n2"), col("sn2"))))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("cos_e6").desc, col("vec_id"))))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("pruned",
+        (col("prnk") <= expr(s"(n_members * $PruneNum) div $PruneDen")).cast("long"))
+    ranked.groupBy("cell")
+      .agg(max("n_members").as("n_members"),
+        sum("pruned").as("n_pruned"),
+        min(when(col("pruned") === 1, col("cos_e6"))).as("cut_cos_e6"),
+        max(when(col("pruned") === 0, col("cos_e6"))).as("keep_max_cos_e6"))
+      .orderBy("cell")
+  }
+
+  def embedPruneSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |epr AS (
+       |  SELECT a.seed_id AS cell, v.vec_id,
+       |         CAST(floor(${cosToSeedSql("v", "s")} * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM assign a
+       |  JOIN vecs v ON a.avid = v.vec_id
+       |  JOIN seeds s ON a.seed_id = s.seed_id
+       |  WHERE a.rnk = 1),
+       |epw AS (
+       |  SELECT cell, vec_id, cos_e6,
+       |         row_number() OVER (PARTITION BY cell ORDER BY cos_e6 DESC, vec_id) AS prnk,
+       |         count(*) OVER (PARTITION BY cell) AS n_members
+       |  FROM epr),
+       |epm AS (
+       |  SELECT cell, cos_e6, n_members,
+       |         CASE WHEN prnk <= (n_members * $PruneNum) // $PruneDen
+       |              THEN 1 ELSE 0 END AS pruned
+       |  FROM epw)
+       |SELECT cell, CAST(max(n_members) AS BIGINT) AS n_members,
+       |       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+       |       min(CASE WHEN pruned = 1 THEN cos_e6 END) AS cut_cos_e6,
+       |       max(CASE WHEN pruned = 0 THEN cos_e6 END) AS keep_max_cos_e6
+       |FROM epm GROUP BY cell ORDER BY cell""".stripMargin
+
+  // ---- ann_hard_neg_shortlist: shortlist-mined hard negatives --------------
+
+  /** The production variant ann_hard_negatives' doc promises: hard
+    * negatives mined from the IVFADC retrieval shortlist instead of the
+    * exhaustive scan, certified row-by-row against the exact pass. Per
+    * query: the highest-exact-cosine WRONG-label vector among its PqShortR
+    * ADC-shortlisted candidates (re-scored with the exact cosine, so ADC
+    * quantization error cannot reorder the final pick), beside the exact
+    * scan's negative and an agree flag. A query whose shortlist holds no
+    * wrong-label candidate keeps NULL mined columns and agree=0 — the miss
+    * a deployment widens PqShortR/NProbe against.
+    *
+    * Scale shape: mining cost drops from queries × N (exact scan) to the
+    * IVFADC retrieval the index already serves plus queries × PqShortR
+    * exact re-scores on broadcast-fetched payloads; the exact side here is
+    * the acceptance baseline, priced only at certification time (same
+    * contract as the recall certs). */
+  def annHardNegShortlist(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qv").as("qa"), col("n2").as("qn2"))
+    val mined = ivfPqRankedAll(spark, dir).where(col("rnk") <= PqShortR)
+      .select(col("qid").as("sqid"), col("vec_id"))
+      .join(v, "vec_id")
+      .join(broadcast(q), col("sqid") === col("qid"))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
+      .withColumn("mrnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("mrnk") === 1)
+      .select(col("qid"), col("vec_id").as("neg_id"), cosE6(col("cos")).as("neg_cos_e6"))
+    val exact = v.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
+      .withColumn("ernk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("ernk") === 1)
+      .select(col("qid"), col("qlabel").as("label"),
+        col("vec_id").as("exact_neg_id"), cosE6(col("cos")).as("exact_neg_cos_e6"))
+    exact.join(mined, Seq("qid"), "left")
+      .withColumn("agree",
+        when(col("neg_id") === col("exact_neg_id"), 1L).otherwise(0L))
+      .select("qid", "label", "neg_id", "neg_cos_e6",
+        "exact_neg_id", "exact_neg_cos_e6", "agree")
+      .orderBy("qid")
+  }
+
+  def annHardNegShortlistSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$PqCtesBody,
+       |$IvfPqRetrievalCtes,
+       |hsl AS (SELECT qid, vec_id FROM ivranked WHERE rnk <= $PqShortR),
+       |hm0 AS (
+       |  SELECT s.qid, b.vec_id AS cid,
+       |         $CosSql AS cos
+       |  FROM hsl s
+       |  JOIN vecs b ON s.vec_id = b.vec_id
+       |  JOIN vecs a ON s.qid = a.vec_id
+       |  WHERE b.label <> a.label),
+       |hmr AS (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS mrnk
+       |  FROM hm0),
+       |hm AS (
+       |  SELECT qid, cid AS neg_id,
+       |         CAST(floor(cos * 1000000.0) AS BIGINT) AS neg_cos_e6
+       |  FROM hmr WHERE mrnk = 1),
+       |he0 AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid,
+       |         $CosSql AS cos
+       |  FROM vecs a JOIN vecs b
+       |    ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id AND b.label <> a.label),
+       |her AS (
+       |  SELECT qid, qlabel, cid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS ernk
+       |  FROM he0),
+       |he AS (
+       |  SELECT qid, qlabel, cid AS exact_neg_id,
+       |         CAST(floor(cos * 1000000.0) AS BIGINT) AS exact_neg_cos_e6
+       |  FROM her WHERE ernk = 1)
+       |SELECT e.qid, e.qlabel AS label, m.neg_id, m.neg_cos_e6,
+       |       e.exact_neg_id, e.exact_neg_cos_e6,
+       |       CASE WHEN m.neg_id = e.exact_neg_id THEN 1 ELSE 0 END AS agree
+       |FROM he e LEFT JOIN hm m ON e.qid = m.qid
+       |ORDER BY e.qid""".stripMargin
 }
