@@ -574,6 +574,120 @@ object Dedup {
        |SELECT node AS doc_id, min(m) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- dup_pagerank: authority scoring over the near-dup graph ------------
+
+  /** Fixed-point PageRank over the verified near-dup graph — authority
+    * scoring for canonical-document selection: within a duplicate
+    * cluster the highest-PR document is the most-connected version (the
+    * one most other copies are near), a stronger canonical pick than
+    * smallest-id when copies differ in quality. PrIters rounds of the
+    * classic update in pure int64 fixed point (damping 85/100, teleport
+    * 150000 e6-ticks, per-edge contribution pr div deg — integer
+    * division, order-independent sums), so both engines land on
+    * bit-identical scores; top PrTopN by (pr desc, doc_id).
+    *
+    * Scale shape (the graph_degree/dedup_clusters rep trick, applied to
+    * an iterative kernel): every member of an identical-shingle-set
+    * group is structurally symmetric in the doc-level graph — gsz−1
+    * sibling edges plus complete bipartite edges to each neighboring
+    * rep's group — so all members share one PR value every round, and
+    * the engine iterates ONLY over rep nodes with group sizes as edge
+    * multiplicities: recv = (gsz−1)·(pr div deg) from siblings plus
+    * Σ_h gsz_h·(pr_h div deg_h) over rep neighbors. Per-round cost
+    * tracks DISTINCT content (rep edges), not copy count — the oracle
+    * brute-forces the expanded doc-level graph and the outputs must
+    * agree exactly. Fixed iteration count (no convergence test) keeps
+    * the loop deterministic and the lineage bounded; each round is
+    * localCheckpoint-truncated like the cluster closure. */
+  val PrIters = 3
+  val PrTopN = 20L
+  val PrTeleportE6 = 150000L
+
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = repMembers(spark, dir)
+    val gsz = members.groupBy("rep").agg(count(lit(1)).as("gsz"))
+    val re = thresholdedRepPairs(spark, dir)
+    // rep-level node domain = groups with an internal edge (gsz >= 2) or
+    // a cross edge — exactly the docs dedup_clusters emits
+    val nodes = gsz.where(col("gsz") >= 2).select("rep")
+      .union(re.select(col("doc_a").as("rep")))
+      .union(re.select(col("doc_b").as("rep")))
+      .distinct()
+      .join(gsz, "rep")
+    // member degree: gsz-1 siblings + Σ neighbor-group sizes (graph_degree's
+    // formula — one row per rep, shared by every member)
+    val nbr = re
+      .join(gsz.select(col("rep").as("doc_b"), col("gsz").as("nsz")), "doc_b")
+      .select(col("doc_a").as("rep"), col("doc_b").as("nrep"), col("nsz"))
+      .union(re
+        .join(gsz.select(col("rep").as("doc_a"), col("gsz").as("nsz")), "doc_a")
+        .select(col("doc_b").as("rep"), col("doc_a").as("nrep"), col("nsz")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = nodes
+      .join(nbr.groupBy("rep").agg(sum("nsz").as("cd")), Seq("rep"), "left")
+      .select(col("rep"), col("gsz"),
+        (col("gsz") - 1 + coalesce(col("cd"), lit(0L))).as("deg"))
+      .localCheckpoint(eager = true)
+    var pr = deg.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val share = pr.select(col("rep"), col("gsz"), col("deg"),
+        expr("pr div deg").as("sh"))
+      val sibling = share.select(col("rep"),
+        ((col("gsz") - 1) * col("sh")).as("recv"))
+      val cross = nbr
+        .join(share.select(col("rep").as("nrep"), (col("sh")).as("nsh")), "nrep")
+        .select(col("rep"), (col("nsz") * col("nsh")).as("recv"))
+      val recv = sibling.union(cross).groupBy("rep").agg(sum("recv").as("recv"))
+      pr = deg.join(recv, "rep")
+        .select(col("rep"), col("gsz"), col("deg"),
+          (lit(PrTeleportE6) + expr(s"(85 * recv) div 100")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    // global top-N via sort+limit (TakeOrderedAndProject — a distributed
+    // per-partition top-K, never a single-partition sort of the node
+    // set); the rank window then runs over the bounded PrTopN-row frame
+    val out = members.join(
+        pr.select(col("rep"), col("deg").as("degree"), col("pr").as("pr_e6")), "rep")
+      .orderBy(col("pr_e6").desc, col("doc_id")).limit(PrTopN.toInt)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pr_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("degree"), col("pr_e6"))
+      .orderBy("rnk")
+    nbr.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle twin: brute-force doc-level PageRank over the expanded
+    * `edges` CTE, one generated CTE per iteration (the Lloyd pattern —
+    * the knob and the SQL cannot drift). */
+  def dupPagerankSql: String = {
+    val steps = (1 to PrIters).map { it =>
+      s"""pr$it AS (
+         |  SELECT d.doc_id, d.degree,
+         |         $PrTeleportE6 + (85 * s.recv) // 100 AS pr
+         |  FROM prdeg d JOIN (
+         |    SELECT e.b AS doc_id, CAST(sum(p.pr // p.degree) AS BIGINT) AS recv
+         |    FROM edges e JOIN pr${it - 1} p ON e.a = p.doc_id
+         |    GROUP BY e.b) s ON d.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $VerifiedEdgesCtes,
+       |prdeg AS (
+       |  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM edges GROUP BY a),
+       |pr0 AS (
+       |  SELECT doc_id, degree, CAST(1000000 AS BIGINT) AS pr FROM prdeg),
+       |$steps,
+       |prranked AS (
+       |  SELECT doc_id, degree, pr,
+       |         row_number() OVER (ORDER BY pr DESC, doc_id) AS rnk
+       |  FROM pr$PrIters)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, degree,
+       |       CAST(pr AS BIGINT) AS pr_e6
+       |FROM prranked WHERE rnk <= $PrTopN
+       |ORDER BY rnk""".stripMargin
+  }
+
   // ---- decontaminate ------------------------------------------------------
 
   /** Eval-set decontamination: training documents sharing ≥ MinShared

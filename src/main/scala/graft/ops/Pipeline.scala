@@ -484,6 +484,79 @@ object Pipeline {
       |FROM w CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
+  // ---- token_budget_plan: largest-remainder budget apportionment ----------
+
+  /** Token-budget apportionment across sources by largest-remainder
+    * (Hamilton) rounding: the planner that turns mix_temperature's
+    * α = 0.5 weights into an INTEGER per-source token allocation summing
+    * EXACTLY to the global budget — floor quotas systematically
+    * under-allocate and naive per-source rounding misses the budget by
+    * up to #sources tokens, so the leftover goes to the largest
+    * fractional remainders (ties to the smaller source name).
+    *
+    * Exactness without wide integers: B·w/W is decomposed as
+    * (B div W)·w + ((B mod W)·w) div W — algebraically exact, and every
+    * intermediate is bounded by W·w (≪ 2^63 even at 100 TB budgets where
+    * the naive product B·w overflows int64). epochs_e6 reports the
+    * resulting per-source pass count (>1e6 means the plan upsamples that
+    * source past one epoch — the repetition-budget flag).
+    *
+    * Scale shape: one map-side-combined groupBy over the corpus;
+    * everything after (scalar totals, remainder rank, bonus) runs on
+    * #sources rows — the remainder window is over that bounded frame. */
+  val TokenBudget = 10000000L
+
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("temp_w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val all = Window.partitionBy()
+    perSrc
+      .withColumn("total_w", sum("temp_w").over(all))
+      .withColumn("base",
+        expr(s"($TokenBudget div total_w) * temp_w + (($TokenBudget % total_w) * temp_w) div total_w"))
+      .withColumn("rem", expr(s"(($TokenBudget % total_w) * temp_w) % total_w"))
+      .withColumn("leftover", lit(TokenBudget) - sum("base").over(all))
+      .withColumn("rrnk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("bonus", (col("rrnk") <= col("leftover")).cast("long"))
+      .withColumn("alloc_tokens", col("base") + col("bonus"))
+      .withColumn("epochs_e6",
+        floor(lit(1000000.0) * col("alloc_tokens") / col("src_tokens")).cast("long"))
+      .select("source", "n_docs", "src_tokens", "temp_w", "base", "rem",
+        "bonus", "alloc_tokens", "epochs_e6")
+      .orderBy("source")
+  }
+
+  val tokenBudgetPlanSql: String =
+    s"""WITH tbagg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |tbw AS (
+       |  SELECT source, n_docs, src_tokens,
+       |         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS temp_w
+       |  FROM tbagg),
+       |tbtot AS (SELECT CAST(sum(temp_w) AS BIGINT) AS total_w FROM tbw),
+       |tbq AS (
+       |  SELECT source, n_docs, src_tokens, temp_w,
+       |         ($TokenBudget // total_w) * temp_w
+       |           + (($TokenBudget % total_w) * temp_w) // total_w AS base,
+       |         (($TokenBudget % total_w) * temp_w) % total_w AS rem
+       |  FROM tbw CROSS JOIN tbtot),
+       |tblo AS (SELECT CAST($TokenBudget - sum(base) AS BIGINT) AS leftover FROM tbq),
+       |tbr AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rrnk
+       |  FROM tbq)
+       |SELECT source, n_docs, src_tokens, temp_w, base, rem,
+       |       CAST(CASE WHEN rrnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+       |       base + CASE WHEN rrnk <= leftover THEN 1 ELSE 0 END AS alloc_tokens,
+       |       CAST(floor(1000000.0 * (base + CASE WHEN rrnk <= leftover THEN 1 ELSE 0 END)
+       |            / src_tokens) AS BIGINT) AS epochs_e6
+       |FROM tbr CROSS JOIN tblo ORDER BY source""".stripMargin
+
   // ---- split_assign: dup-consistent train/val/test split ------------------
 
   /** Deterministic train/val/test assignment keyed on the CONTENT
