@@ -847,6 +847,59 @@ object Dedup {
     * plus one distinct-doc reduction per τ over the bounded pair set. */
   val SweepTausE4 = Seq(5000L, 7000L, 8000L, 9000L)
 
+  // ---- doc_rarity: rare-shingle noise detector ----------------------------
+
+  /** Mean shingle document-frequency per document — the log-free fluency
+    * proxy (the CCNet recipe scores wellformedness with an LM; corpus df
+    * statistics give the same signal without one): a document whose
+    * bigram shingles are all corpus-rare is overwhelmingly OCR garbage,
+    * mojibake, or boilerplate-free noise, and ranks at the bottom here.
+    * Reports the RarityTopN rarest documents by mean df in 1e-4 ticks
+    * (floor(1e4·Σdf / n) — one integer division, order-independent
+    * sums), ties to the smaller doc_id.
+    *
+    * Scale shape: rides the memoized shingle-set frame the whole dedup
+    * family shares; the df table is the shingle_df_hist aggregation
+    * (map-side-combined, count-only rows), the per-doc score one keyed
+    * join + groupBy on (hash, id) pairs, and the global bottom-N is
+    * sort+limit (TakeOrderedAndProject) — the rank window only ever sees
+    * the bounded RarityTopN-row result. */
+  val RarityTopN = 20L
+
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleSets(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+      .withColumn("mean_df_e4", expr("(10000 * sum_df) div n_shingles"))
+      .orderBy(col("mean_df_e4").asc, col("doc_id")).limit(RarityTopN.toInt)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("mean_df_e4").asc, col("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "n_shingles", "sum_df", "mean_df_e4")
+      .orderBy("rnk")
+  }
+
+  def docRaritySql: String =
+    s"""WITH $ShSqlCte,
+       |rex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+       |rdf AS (SELECT h, count(*) AS df FROM rex GROUP BY h),
+       |rper AS (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(d.df) AS BIGINT) AS sum_df
+       |  FROM rex e JOIN rdf d ON e.h = d.h GROUP BY e.doc_id),
+       |rr AS (
+       |  SELECT doc_id, n_shingles, sum_df,
+       |         (10000 * sum_df) // n_shingles AS mean_df_e4,
+       |         row_number() OVER (ORDER BY (10000 * sum_df) // n_shingles ASC,
+       |                            doc_id) AS rnk
+       |  FROM rper)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_shingles, sum_df, mean_df_e4
+       |FROM rr WHERE rnk <= $RarityTopN
+       |ORDER BY rnk""".stripMargin
+
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(spark, dir)
     val taus = SweepTausE4.map { tau =>

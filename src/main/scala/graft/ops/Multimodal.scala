@@ -109,6 +109,77 @@ object Multimodal {
        |SELECT doc_id, frame_idx, frame_idx * width AS byte_offset
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- frame_dedup: cross-video duplicate-frame detection -----------------
+
+  /** Duplicate frames ACROSS videos: each sampled frame gets a content
+    * fingerprint (here the shared rolling hash over a fixed-width payload
+    * slice at the frame's byte offset — the deterministic stand-in for a
+    * real perceptual hash, same caveat as the decode fake; the slice +
+    * hash + groupBy plumbing is the real part), and fingerprints seen in
+    * ≥2 distinct videos are reported largest-group-first — the
+    * intro/outro/static-card detector a video corpus runs before
+    * training, and the frame-granular twin of dedup_exact.
+    *
+    * Scale shape: the fingerprint groupBy is the exact-dedup shuffle at
+    * frame granularity with count-only payloads (frames never carry
+    * pixels into the shuffle — only (fp, doc_id) pairs); the global
+    * top-N is sort+limit, with the rank window over the bounded
+    * FrameDupTopN-row result. */
+  val FrameSnippetLen = 16
+  val FrameDupTopN = 20L
+
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 2 && col("n_chars") > 0)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        (col("n_chars") % 480 + 16).cast("int").as("height"),
+        (col("n_chars") % 640 + 16).cast("int").as("width"))
+      .withColumn("n_frames", (col("height") * 24).cast("long"))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("width"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong)))
+          .as("frame_idx"))
+      .withColumn("snippet", expr(
+        s"substring(text, CAST((frame_idx * width) % n_chars AS INT) + 1, $FrameSnippetLen)"))
+      .withColumn("fp", TextStats.fingerprint(col("snippet")))
+    frames.groupBy("fp")
+      .agg(count(lit(1)).as("n_frames"), countDistinct("doc_id").as("n_videos"),
+        min("doc_id").as("min_doc"))
+      .where(col("n_videos") >= 2)
+      .orderBy(col("n_frames").desc, col("fp")).limit(FrameDupTopN.toInt)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_frames").desc, col("fp"))).cast("long"))
+      .select("rnk", "fp", "n_frames", "n_videos", "min_doc")
+      .orderBy("rnk")
+  }
+
+  def frameDedupSql: String =
+    s"""WITH fv AS (
+       |  SELECT doc_id, text, n_chars,
+       |         CAST(n_chars % 480 + 16 AS INT) AS height,
+       |         CAST(n_chars % 640 + 16 AS INT) AS width
+       |  FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0),
+       |ff AS (
+       |  SELECT doc_id, text, n_chars, width,
+       |         unnest(range(0, CAST(height AS BIGINT) * 24, $FrameStride)) AS frame_idx
+       |  FROM fv),
+       |fs AS (
+       |  SELECT doc_id,
+       |    ${TextStats.fpSql(s"substr(text, CAST((frame_idx * width) % n_chars AS INT) + 1, $FrameSnippetLen)")} AS fp
+       |  FROM ff),
+       |fg AS (
+       |  SELECT fp, CAST(count(*) AS BIGINT) AS n_frames,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       |         min(doc_id) AS min_doc
+       |  FROM fs GROUP BY fp),
+       |fr AS (
+       |  SELECT fp, n_frames, n_videos, min_doc,
+       |         row_number() OVER (ORDER BY n_frames DESC, fp) AS rnk
+       |  FROM fg WHERE n_videos >= 2)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, fp, n_frames, n_videos, min_doc
+       |FROM fr WHERE rnk <= $FrameDupTopN
+       |ORDER BY rnk""".stripMargin
+
   val mmFeaturesSql: String =
     s"""WITH m AS (
        |  SELECT doc_id,
