@@ -900,6 +900,48 @@ object Dedup {
        |FROM rr WHERE rnk <= $RarityTopN
        |ORDER BY rnk""".stripMargin
 
+  // ---- source_diversity: per-source shingle repetition mass ---------------
+
+  /** Per-source content diversity: total shingle occurrences (Σ per-doc
+    * distinct shingles) vs source-wide DISTINCT shingles — the gap is the
+    * cross-document repetition mass, and dup_ratio_e4 =
+    * floor(1e4·(occ − distinct)/occ) is the fraction of the source's
+    * shingle volume that is re-observation of content it already has
+    * (self-BLEU's corpus-level cousin, in integers). A source near 10000
+    * is template spam or mirrored content; mixing-weight decisions read
+    * this BEFORE trusting a source's token count as information mass.
+    *
+    * Scale shape: one explode over the memoized shingle sets, then two
+    * map-side-combined aggregations keyed by (source[, hash]) — the
+    * distinct is the standard composite-key shuffle (agg_skew_distinct's
+    * shape); output is #sources rows. */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleSets(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
+    ex.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("shingle_occ"),
+        countDistinct("h").as("distinct_sh"))
+      .withColumn("dup_ratio_e4",
+        expr("(10000 * (shingle_occ - distinct_sh)) div shingle_occ"))
+      .orderBy("source")
+  }
+
+  def sourceDiversitySql: String =
+    s"""WITH $ShSqlCte,
+       |sdx AS (
+       |  SELECT d.source, s.doc_id, unnest(s.sh) AS h
+       |  FROM shs s JOIN documents d ON s.doc_id = d.doc_id),
+       |sdg AS (
+       |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(count(*) AS BIGINT) AS shingle_occ,
+       |         CAST(count(DISTINCT h) AS BIGINT) AS distinct_sh
+       |  FROM sdx GROUP BY source)
+       |SELECT source, n_docs, shingle_occ, distinct_sh,
+       |       (10000 * (shingle_occ - distinct_sh)) // shingle_occ AS dup_ratio_e4
+       |FROM sdg ORDER BY source""".stripMargin
+
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(spark, dir)
     val taus = SweepTausE4.map { tau =>

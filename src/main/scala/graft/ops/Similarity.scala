@@ -1802,6 +1802,80 @@ object Similarity {
        |       max(CASE WHEN pruned = 0 THEN cos_e6 END) AS keep_max_cos_e6
        |FROM epm GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ---- label_noise: cell-scoped kNN label audit ----------------------------
+
+  /** Label-noise audit by neighborhood vote (the confident-learning
+    * signal, computed geometrically): every vector takes the majority
+    * label of its LnK nearest CELL-MATES by cosine (vote ties to the
+    * smaller label, neighbor ties to the smaller vec_id), and the output
+    * is the full (true_label, voted_label) confusion matrix — off-diagonal
+    * mass is the mislabel suspect pool a curation run re-annotates first.
+    * Restricting neighbors to the vector's own trained IVF cell is the
+    * SemDeDup trade again: exhaustive-within-cell, blind-across-cell,
+    * which is exactly the regime where a wrong label is detectable (a
+    * mislabeled vector sits among near-identical neighbors of the true
+    * class).
+    *
+    * Scale shape: identical to dedup_semantic — one cell-routed shuffle,
+    * within-cell pairs bounded by cell population (NumCells ∝ N/k at
+    * scale), per-vector top-LnK and the vote as windows over co-located
+    * rows; output is ≤ labels² confusion rows. */
+  val LnK = 5
+
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val members = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid"), col("seed_id").as("cell"))
+      .join(v, col("avid") === col("vec_id"))
+      .select(col("cell"), col("vec_id"), col("label"), col("qv"), col("n2"))
+    val a = members.select(col("cell"), col("vec_id"), col("label"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = members.select(col("cell").as("cell_b"), col("vec_id").as("bid"),
+      col("label").as("blabel"), col("qv").as("qb"), col("n2").as("nb2"))
+    val voted = a.join(b, col("cell") === col("cell_b") && col("vec_id") =!= col("bid"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+      .withColumn("nrnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))))
+      .where(col("nrnk") <= LnK)
+      .groupBy("vec_id", "label", "blabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("votes").desc, col("blabel"))))
+      .where(col("vrnk") === 1)
+    voted.groupBy(col("label").as("true_label"), col("blabel").as("voted_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "voted_label")
+  }
+
+  def labelNoiseSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |lnm AS (
+       |  SELECT c.cell, c.cid AS vec_id, v.label, c.cv, c.cn2
+       |  FROM cells c JOIN vecs v ON c.cid = v.vec_id),
+       |lnp AS (
+       |  SELECT a.vec_id, a.label, b.label AS blabel, b.vec_id AS bid,
+       |         CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.cv[i] * b.cv[i]), (x, y) -> x + y) AS DOUBLE)
+       |           / (sqrt(CAST(a.cn2 AS DOUBLE)) * sqrt(CAST(b.cn2 AS DOUBLE))) AS cos
+       |  FROM lnm a JOIN lnm b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |lnn AS (
+       |  SELECT vec_id, label, blabel,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS nrnk
+       |  FROM lnp),
+       |lnv AS (
+       |  SELECT vec_id, label, blabel, count(*) AS votes
+       |  FROM lnn WHERE nrnk <= $LnK GROUP BY vec_id, label, blabel),
+       |lnw AS (
+       |  SELECT vec_id, label, blabel,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, blabel) AS vrnk
+       |  FROM lnv)
+       |SELECT label AS true_label, blabel AS voted_label,
+       |       CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM lnw WHERE vrnk = 1
+       |GROUP BY label, blabel
+       |ORDER BY true_label, voted_label""".stripMargin
+
   // ---- ann_hard_neg_shortlist: shortlist-mined hard negatives --------------
 
   /** The production variant ann_hard_negatives' doc promises: hard
