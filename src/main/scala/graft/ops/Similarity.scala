@@ -70,8 +70,9 @@ object Similarity {
       if (z < 0L) -1L else 1L
     }
 
-  /** Quantize float components to int64 1e-4 ticks. */
-  private val quant: Column =
+  /** Quantize float components to int64 1e-4 ticks (shared with the
+    * streaming router, so stream-side quantization is bit-identical). */
+  private[graft] val quant: Column =
     transform(col("embedding"), x => floor(x * lit(10000.0) + lit(0.5)))
 
   private def dot(a: Column, b: Column): Column =
@@ -271,6 +272,11 @@ object Similarity {
   private def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
     trainedCentroidsIter(spark, dir, IvfIters)
 
+  /** The trained coarse quantizer, exposed for the streaming router (and
+    * its spec): batch-train, stream-assign — the serving split. */
+  private[graft] def centroidsFor(spark: SparkSession, dir: String): DataFrame =
+    trainedCentroids(spark, dir)
+
   /** Test probe (LloydSpec): the spherical-k-means objective after `iters`
     * training steps — Σ_v floor(1e6 · cos(v, nearest trained centroid)).
     * Lloyd's assign/mean alternation is non-decreasing in this objective;
@@ -299,6 +305,11 @@ object Similarity {
           Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
         .select("avid", "seed_id", "rnk")
     }
+
+  /** Test probe into the memoized assignment frame (IvfRouteStreamSpec
+    * pins the streaming router against the rank-1 rule here). */
+  def cellAssignmentsProbe(spark: SparkSession, dir: String): DataFrame =
+    cellAssignments(spark, dir)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
@@ -1801,6 +1812,61 @@ object Similarity {
        |       min(CASE WHEN pruned = 1 THEN cos_e6 END) AS cut_cos_e6,
        |       max(CASE WHEN pruned = 0 THEN cos_e6 END) AS keep_max_cos_e6
        |FROM epm GROUP BY cell ORDER BY cell""".stripMargin
+
+  // ---- embed_covariance: exact dimension covariance audit ------------------
+
+  /** Upper-triangle covariance matrix of the quantized embedding
+    * dimensions — the anisotropy/collinearity audit read before any
+    * whitening, PCA, or dimension-drop decision (a near-rank-deficient
+    * embedding space silently degrades every cosine in the family). Per
+    * (i ≤ j): exact int64 sums Σxᵢ, Σxⱼ, Σxᵢxⱼ (order-independent,
+    * long-safe to ~1e9 vectors at 1e4-tick components), then the
+    * population covariance in 1e-4 tick² units through ONE shared
+    * double chain (the source_lang_gini convention: floor(1e4·(n·Σxy −
+    * Σx·Σy)/n²) with textually identical casts on both engines).
+    *
+    * Scale shape: the classic distributed Xᵀ X accumulation — each
+    * partition combines its 2080-key partial sums map-side, so the
+    * shuffle carries 2080 rows per task regardless of corpus size; the
+    * 64×65/2 explode is the flop cost of covariance itself, not
+    * overhead. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+           |  transform(sequence(i, ${Dim - 1}), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'x', element_at(qv, i + 1), 'y', element_at(qv, j + 1)))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i").cast("long").as("dim_i"), col("p.j").cast("long").as("dim_j"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .withColumn("cov_e4", expr(
+        """CAST(floor(1.0e4 * (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+          | / (CAST(n AS DOUBLE) * n)) AS BIGINT)""".stripMargin))
+      .orderBy("dim_i", "dim_j")
+
+  def embedCovarianceSql: String =
+    s"""WITH $QvecsCte,
+       |cvv AS (SELECT vec_id, qv FROM qvecs WHERE $N2Sql > 0),
+       |cvp AS (
+       |  SELECT d.i, d2.j, v.qv[d.i + 1] AS x, v.qv[d2.j + 1] AS y
+       |  FROM cvv v
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i) d
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS j) d2
+       |  WHERE d2.j >= d.i),
+       |cvg AS (
+       |  SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       |         CAST(sum(x * y) AS BIGINT) AS sum_xy
+       |  FROM cvp GROUP BY i, j)
+       |SELECT dim_i, dim_j, n, sum_x, sum_y, sum_xy,
+       |  CAST(floor(1.0e4 * (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+       |   / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS cov_e4
+       |FROM cvg ORDER BY dim_i, dim_j""".stripMargin
 
   // ---- label_noise: cell-scoped kNN label audit ----------------------------
 
