@@ -429,7 +429,18 @@ object Dedup {
         .select(col("doc_id"), col("rep"))
     }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    convergedClusters(spark, dir).orderBy("doc_id")
+
+  /** Converged (doc_id, cluster_id) labels, memoized per (session, dir):
+    * the closure loop runs ONCE however many queries derive from it
+    * (dedup_clusters emits it ordered; cluster_size_hist aggregates it). */
+  private def convergedClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.clusters:$dir") {
+      convergedClustersLoop(spark, dir)
+    }
+
+  private def convergedClustersLoop(spark: SparkSession, dir: String): DataFrame = {
     // exact-duplicate contraction (round-8 scale fix): on copy-heavy
     // corpora the verified edge set is QUADRATIC in duplicate multiplicity
     // (an M-copy clique is M(M−1)/2 edges), and the propagation loop used
@@ -505,7 +516,7 @@ object Dedup {
       .localCheckpoint(eager = true)
     // result is a checkpoint leaf — the loop-local edge cache can go now
     contracted.unpersist(blocking = false)
-    result.orderBy("doc_id")
+    result
   }
 
   /** Shared oracle chain: banding → candidate pairs → exact-jaccard
@@ -899,6 +910,40 @@ object Dedup {
        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_shingles, sum_df, mean_df_e4
        |FROM rr WHERE rnk <= $RarityTopN
        |ORDER BY rnk""".stripMargin
+
+  // ---- cluster_size_hist: component-size health report --------------------
+
+  /** Size histogram of the converged near-dup components — the
+    * giant-component health check read AFTER the closure: one huge
+    * cluster means boilerplate or a template stitched unrelated
+    * documents together (and predicts how destructive keep-one-per-
+    * cluster dedup will be), while a flat histogram of small cliques is
+    * the healthy copy-corpus shape. Derives from the same converged
+    * labels dedup_clusters emits (shared plan, shared rep-level loop);
+    * two count-only groupBys on top, output bounded by the max component
+    * size. */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    convergedClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"), min("cluster_id").as("min_cluster"))
+      .orderBy("csize")
+
+  def clusterSizeHistSql: String =
+    s"""WITH RECURSIVE $VerifiedEdgesCtes,
+       |reach(node, m) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+       |comp AS (
+       |  SELECT node AS doc_id, min(m) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |cs AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM comp GROUP BY cluster_id)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       min(cluster_id) AS min_cluster
+       |FROM cs GROUP BY csize ORDER BY csize""".stripMargin
 
   // ---- source_diversity: per-source shingle repetition mass ---------------
 

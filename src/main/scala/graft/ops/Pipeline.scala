@@ -557,6 +557,118 @@ object Pipeline {
        |            / src_tokens) AS BIGINT) AS epochs_e6
        |FROM tbr CROSS JOIN tblo ORDER BY source""".stripMargin
 
+  // ---- curriculum_plan: length-decile curriculum stages -------------------
+
+  /** Sequence-length curriculum plan: documents ranked globally by token
+    * count (asc, ties to the smaller doc_id) and cut into 10 stages by
+    * exact decile — the short-to-long schedule a curriculum trainer
+    * consumes, with per-stage mass (doc count, token range, token sum) so
+    * the stage boundaries can be audited against batch-size and
+    * context-length constraints BEFORE training starts.
+    *
+    * Scale shape: the user_spend_decile two-phase distributed rank (range
+    * partition → local row_number → bounded broadcast offsets) — global
+    * row_number semantics without a single-partition sort; the stage
+    * aggregation is a 10-key map-side-combined groupBy. */
+  val CurriculumRankBuckets = 8
+
+  def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bucketed = docs
+      .repartitionByRange(CurriculumRankBuckets, col("n_tokens").asc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("n_tokens").asc, col("doc_id"))))
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum("n_in_bucket").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "n_total")
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("rnk", col("offset") + col("local_rn"))
+      .withColumn("stage", expr("(rnk - 1) * 10 div n_total + 1"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("stage")
+  }
+
+  val curriculumPlanSql: String =
+    """WITH cd AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cr AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(row_number() OVER (ORDER BY n_tokens ASC, doc_id) AS BIGINT) AS rnk,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_total
+      |  FROM cd)
+      |SELECT (rnk - 1) * 10 // n_total + 1 AS stage,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM cr GROUP BY 1 ORDER BY stage""".stripMargin
+
+  // ---- quality_dup_corr: quality-score vs duplication audit ---------------
+
+  /** Does low quality co-occur with duplication? Per stopword-ratio
+    * bucket (stop_ratio_e4 div 1000 — the qualityFilter score axis), the
+    * fraction of documents whose normalized content fingerprint appears
+    * more than once in the corpus. Template spam clusters in BOTH low
+    * buckets and high duplication, and this is the audit that shows
+    * whether the quality gate and the dedup pass are removing the same
+    * documents (redundant) or different ones (complementary) — read
+    * before sequencing the two passes in a pipeline.
+    *
+    * Scale shape: the copy count groups on the 8-byte content
+    * fingerprint (split_assign's ckey — the text itself never keys a
+    * shuffle), the join back is fingerprint-keyed, and the final
+    * aggregation is a ≤11-key map-side-combined groupBy. */
+  def qualityDupCorr(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val nStop = TextStats.hits(TextStats.Stopwords("en"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextStats.fingerprint(lower(trim(col("text")))).as("ckey"),
+        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
+    val copies = scored.groupBy("ckey").agg(count(lit(1)).as("n_copies"))
+    scored.join(copies, "ckey")
+      .withColumn("bucket", expr("stop_ratio_e4 div 1000"))
+      .withColumn("is_dup", (col("n_copies") >= 2).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
+      .withColumn("dup_rate_e4", expr("(10000 * n_dup_docs) div n_docs"))
+      .orderBy("bucket")
+  }
+
+  val qualityDupCorrSql: String = {
+    val stops = TextStats.Stopwords("en").map(s => s"'$s'").mkString(",")
+    s"""WITH qd AS (
+       |  SELECT doc_id,
+       |         ${TextStats.fpSql("lower(trim(text))")} AS ckey,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '),
+       |             t -> t IN ($stops))) AS n_stop
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, ckey,
+       |         CASE WHEN n_tokens = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT)
+       |         END AS stop_ratio_e4
+       |  FROM qd),
+       |qc AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n_copies FROM qs GROUP BY ckey),
+       |qj AS (
+       |  SELECT s.stop_ratio_e4 // 1000 AS bucket,
+       |         CASE WHEN c.n_copies >= 2 THEN 1 ELSE 0 END AS is_dup
+       |  FROM qs s JOIN qc c ON s.ckey = c.ckey)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       |       (10000 * CAST(sum(is_dup) AS BIGINT)) // count(*) AS dup_rate_e4
+       |FROM qj GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ---- split_assign: dup-consistent train/val/test split ------------------
 
   /** Deterministic train/val/test assignment keyed on the CONTENT
