@@ -39,10 +39,13 @@ object Clean {
     * plus the rolling fingerprint of the cleaned text (kept segments
     * re-joined in document order). An exact copy of an earlier document
     * cleans to the empty string (fingerprint 0). */
-  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, seg_idx, seg, seg_toks, fp): the fingerprinted segment
+    * frame — ONE definition shared by the dedup rewrite and the keep-K
+    * ledger so segment boundaries and fingerprints cannot drift. */
+  private def segFps(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(norm, " ").as("tk"))
-    val segs = toks
+    toks
       .withColumn("nsegs", ceil(size(col("tk")) / lit(SegTokens.toDouble)).cast("int"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("nsegs") - 1), k =>
@@ -52,6 +55,10 @@ object Clean {
       .select(col("doc_id"), col("pos").as("seg_idx"),
         col("col.seg").as("seg"), col("col.seg_toks").as("seg_toks"))
       .withColumn("fp", TextStats.fingerprint(col("seg")))
+  }
+
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segFps(spark, dir)
 
     val kept = segs.withColumn("keep",
       row_number().over(Window.partitionBy("fp").orderBy("doc_id", "seg_idx")) === 1)
@@ -71,8 +78,9 @@ object Clean {
       .orderBy("doc_id")
   }
 
-  val segmentDedupSql: String =
-    s"""WITH tk AS (
+  /** Oracle twin of [[segFps]] (CTEs tk → segix → segs → fps). */
+  private def SegFpCtes: String =
+    s"""tk AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
        |segix AS (
        |  SELECT doc_id, tk,
@@ -85,7 +93,10 @@ object Clean {
        |  FROM segix),
        |fps AS (
        |  SELECT doc_id, seg_idx, seg, seg_toks, ${TextStats.fpSql("seg")} AS fp
-       |  FROM segs),
+       |  FROM segs)""".stripMargin
+
+  val segmentDedupSql: String =
+    s"""WITH $SegFpCtes,
        |kept AS (
        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) = 1 AS keep
        |  FROM fps)
@@ -95,6 +106,52 @@ object Clean {
        |       CAST(coalesce(sum(seg_toks) FILTER (WHERE keep), 0) AS BIGINT) AS n_tokens_kept,
        |       ${TextStats.fpSql("coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '')")} AS cleaned_fp
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- segment_keep_k: bounded-repetition segment ledger ------------------
+
+  /** Keep-at-most-K segment ledger — the data-constrained-scaling rule
+    * (Muennighoff et al. 2023, arXiv:2305.16264 — public: repeating data
+    * up to ~4 epochs is nearly as valuable as fresh; beyond that returns
+    * collapse), applied at the granularity where this corpus actually
+    * repeats (segment_dedup's keep-ONE is the other endpoint): each
+    * duplicate-segment group keeps min(n, KeepK) occurrences, and the
+    * ledger reports per observed multiplicity the group counts and the
+    * kept/dropped segment and token mass — the budget audit read before
+    * choosing between keep-one, keep-K, or no segment dedup at all.
+    *
+    * Scale shape: the shared fingerprinted segment frame, one groupBy on
+    * the 8-byte fp (count-only skew — hot boilerplate costs a count,
+    * never a wide row), then a multiplicity-keyed rollup bounded by the
+    * max copy count. */
+  val KeepK = 4L
+
+  def segmentKeepK(spark: SparkSession, dir: String): DataFrame =
+    segFps(spark, dir)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min("seg_toks").as("seg_toks"))
+      .withColumn("keep", least(col("n_copies"), lit(KeepK)))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("keep").as("n_kept_segs"),
+        sum(col("n_copies") - col("keep")).as("n_dropped_segs"),
+        sum(col("seg_toks") * col("keep")).as("kept_tokens"),
+        sum(col("seg_toks") * (col("n_copies") - col("keep"))).as("dropped_tokens"))
+      .orderBy("n_copies")
+
+  def segmentKeepKSql: String =
+    s"""WITH $SegFpCtes,
+       |skg AS (
+       |  SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+       |         CAST(min(seg_toks) AS BIGINT) AS seg_toks
+       |  FROM fps GROUP BY fp),
+       |skk AS (
+       |  SELECT n_copies, seg_toks, least(n_copies, $KeepK) AS keep FROM skg)
+       |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept_segs,
+       |       CAST(sum(n_copies - keep) AS BIGINT) AS n_dropped_segs,
+       |       CAST(sum(seg_toks * keep) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(seg_toks * (n_copies - keep)) AS BIGINT) AS dropped_tokens
+       |FROM skk GROUP BY n_copies ORDER BY n_copies""".stripMargin
 
   // ---- pii_scrub ----------------------------------------------------------
 

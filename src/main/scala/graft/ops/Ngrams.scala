@@ -193,6 +193,52 @@ object Ngrams {
       .orderBy("vocab_id")
   }
 
+  // ---- oov_rate: per-source vocabulary coverage ---------------------------
+
+  /** Out-of-vocabulary rate per source against the trained vocabulary
+    * (vocab_build's df ≥ MinVocabDf membership rule): the fraction of a
+    * source's token OCCURRENCES falling outside the vocab, in 1e-4
+    * ticks — the tokenizer-coverage drift monitor that flags a source
+    * whose text the trained vocabulary segments badly (new jargon,
+    * another language, OCR noise) before its fertility shows up in
+    * bpe_compression. Occurrence-weighted on purpose: a rare OOV type
+    * repeated everywhere hurts more than many hapaxes.
+    *
+    * Scale shape: rides the memoized (doc, tok, tf) frame; vocab
+    * membership is a df-table join keyed on the token (the vocab side is
+    * vocabulary-sized), the source rollup map-side combines to #sources
+    * rows. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tfFrame(spark, dir)
+    val vocab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") >= MinVocabDf)
+      .select("tok")
+    val srcs = Tables.documents(spark, dir).select("doc_id", "source")
+    tf.join(vocab.withColumn("in_vocab", lit(1L)), Seq("tok"), "left")
+      .join(srcs, "doc_id")
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate_e4", expr("(10000 * n_oov) div n_tokens"))
+      .orderBy("source")
+  }
+
+  val oovRateSql: String =
+    s"""WITH $TokenCountsCtes,
+       |ovv AS (
+       |  SELECT tok FROM tf GROUP BY tok HAVING count(*) >= $MinVocabDf),
+       |ovj AS (
+       |  SELECT d.source, t.tf,
+       |         CASE WHEN v.tok IS NULL THEN t.tf ELSE 0 END AS oov_tf
+       |  FROM tf t
+       |  JOIN documents d ON t.doc_id = d.doc_id
+       |  LEFT JOIN ovv v ON t.tok = v.tok)
+       |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       CAST(sum(oov_tf) AS BIGINT) AS n_oov,
+       |       (10000 * CAST(sum(oov_tf) AS BIGINT)) // CAST(sum(tf) AS BIGINT)
+       |         AS oov_rate_e4
+       |FROM ovj GROUP BY source ORDER BY source""".stripMargin
+
   val vocabBuildSql: String =
     s"""WITH $TokenCountsCtes,
        |v AS (
