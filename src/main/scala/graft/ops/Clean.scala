@@ -186,7 +186,10 @@ object Clean {
   /** Count emails / phone fragments / long digit runs, redact each class
     * with a typed placeholder (emails first, so their digits never
     * double-count as runs), and report original vs scrubbed lengths. */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc PII counting/redaction chain — ONE definition shared by the
+    * scrub rewrite and the per-source audit rollup so the class regexes
+    * and redaction order cannot drift between them. */
+  private def piiCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), augmented.as("aug"))
       .withColumn("n_emails", size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long"))
@@ -195,14 +198,35 @@ object Clean {
       .withColumn("s2", regexp_replace(col("s1"), PhoneRe, "<PHONE>"))
       .withColumn("n_num_runs", size(regexp_extract_all(col("s2"), lit(NumRunRe), lit(0))).cast("long"))
       .withColumn("scrubbed", regexp_replace(col("s2"), NumRunRe, "<NUM>"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiCounts(spark, dir)
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_num_runs"),
         length(col("aug")).cast("long").as("orig_len"),
         length(col("scrubbed")).cast("long").as("scrub_len"),
         TextStats.fingerprint(col("scrubbed")).as("scrub_fp"))
       .orderBy("doc_id")
 
-  val piiScrubSql: String =
-    s"""WITH aug AS (SELECT doc_id, $augmentedSql AS aug FROM documents),
+  /** Per-source PII exposure rollup — the compliance report a corpus
+    * release reviews before shipping: how many of each PII class each
+    * source carries and how many characters redaction removes. Same
+    * per-doc chain as pii_scrub (shared definition), one source-keyed
+    * map-side-combined aggregation on top; output is #sources rows. */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame =
+    piiCounts(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum("n_num_runs").as("n_num_runs"),
+        sum(length(col("aug")).cast("long") - length(col("scrubbed")).cast("long"))
+          .as("chars_removed"))
+      .orderBy("source")
+
+  /** Oracle twin of [[piiCounts]] (CTEs aug → s1 → s2 → s3). */
+  private def PiiCtes: String =
+    s"""aug AS (SELECT doc_id, $augmentedSql AS aug FROM documents),
        |s1 AS (SELECT doc_id, aug,
        |         CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
        |         regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g') AS s1 FROM aug),
@@ -211,12 +235,25 @@ object Clean {
        |         regexp_replace(s1, '$PhoneRe', '<PHONE>', 'g') AS s2 FROM s1),
        |s3 AS (SELECT doc_id, aug, n_emails, n_phones,
        |         CAST(len(regexp_extract_all(s2, '$NumRunRe')) AS BIGINT) AS n_num_runs,
-       |         regexp_replace(s2, '$NumRunRe', '<NUM>', 'g') AS scrubbed FROM s2)
+       |         regexp_replace(s2, '$NumRunRe', '<NUM>', 'g') AS scrubbed FROM s2)""".stripMargin
+
+  val piiScrubSql: String =
+    s"""WITH $PiiCtes
        |SELECT doc_id, n_emails, n_phones, n_num_runs,
        |       CAST(len(aug) AS BIGINT) AS orig_len,
        |       CAST(len(scrubbed) AS BIGINT) AS scrub_len,
        |       ${TextStats.fpSql("scrubbed")} AS scrub_fp
        |FROM s3 ORDER BY doc_id""".stripMargin
+
+  def piiAuditSql: String =
+    s"""WITH $PiiCtes
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(s.n_emails) AS BIGINT) AS n_emails,
+       |       CAST(sum(s.n_phones) AS BIGINT) AS n_phones,
+       |       CAST(sum(s.n_num_runs) AS BIGINT) AS n_num_runs,
+       |       CAST(sum(len(s.aug) - len(s.scrubbed)) AS BIGINT) AS chars_removed
+       |FROM s3 s JOIN documents d ON s.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   // ---- corpus_diff --------------------------------------------------------
 

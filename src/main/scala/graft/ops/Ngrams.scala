@@ -193,6 +193,75 @@ object Ngrams {
       .orderBy("vocab_id")
   }
 
+  // ---- ngram_coverage_curve: Zipf coverage audit --------------------------
+
+  /** Vocabulary-size vs corpus-coverage curve: tokens ranked globally by
+    * occurrence count (desc, ties lexicographic), bucketed by rank
+    * power-of-two (bucket b = ranks [2^b, 2^{b+1})), with cumulative
+    * occurrence coverage in 1e-4 ticks per bucket — the Zipf/Heaps audit
+    * that answers "how big must the vocabulary be to cover X% of the
+    * corpus" BEFORE committing a vocab size or a BPE merge budget. The
+    * bucket CASE is ONE generated string evaluated by both engines, so
+    * the bucket boundaries cannot drift.
+    *
+    * Scale shape: per-token counts map-side combine; the global rank is
+    * the vocab_build two-phase distributed rank (no single-partition
+    * sort); bucketing and the cumulative window run on the bounded
+    * ≤41-bucket frame. */
+  private def rankBucketCase(c: String): String =
+    (0 until 40).map(b => s"WHEN $c < ${1L << (b + 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 40 END")
+
+  def ngramCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tn = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n"))
+    val bucketed = tn
+      .repartitionByRange(VocabRankBuckets, col("n").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("n").desc, col("tok"))))
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    val perBucket = ranked.join(broadcast(offsets), "pid")
+      .withColumn("rnk", col("offset") + col("local_rn"))
+      .withColumn("bucket", expr(rankBucketCase("rnk")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum("n").as("bucket_occ"))
+    // cumulative + total over the bounded <=41-bucket frame
+    perBucket
+      .withColumn("cum_occ", sum("bucket_occ").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_occ", sum("bucket_occ").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("coverage_e4", expr("(10000 * cum_occ) div total_occ"))
+      .select("bucket", "n_types", "bucket_occ", "cum_occ", "coverage_e4")
+      .orderBy("bucket")
+  }
+
+  def ngramCoverageCurveSql: String =
+    s"""WITH $TokenCountsCtes,
+       |nr AS (
+       |  SELECT tok, n,
+       |         CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+       |  FROM tn),
+       |nb AS (SELECT CAST(${rankBucketCase("rnk")} AS BIGINT) AS bucket, n FROM nr),
+       |ng AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_types,
+       |         CAST(sum(n) AS BIGINT) AS bucket_occ
+       |  FROM nb GROUP BY bucket),
+       |nc AS (
+       |  SELECT bucket, n_types, bucket_occ,
+       |         CAST(sum(bucket_occ) OVER (ORDER BY bucket
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+       |         CAST(sum(bucket_occ) OVER () AS BIGINT) AS total_occ
+       |  FROM ng)
+       |SELECT bucket, n_types, bucket_occ, cum_occ,
+       |       (10000 * cum_occ) // total_occ AS coverage_e4
+       |FROM nc ORDER BY bucket""".stripMargin
+
   // ---- oov_rate: per-source vocabulary coverage ---------------------------
 
   /** Out-of-vocabulary rate per source against the trained vocabulary
