@@ -35,6 +35,21 @@ class FormatsSpec extends SparkSpec {
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
 
+  test("documents round-trip through ORC and filters push to the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+    docs.write.mode("overwrite").orc(out)
+    val back = spark.read.schema(schema).orc(out)
+      .select("doc_id", "lang", "source", "text")
+    assert(back.schema === schema)
+    assert(back.collect().map(key).sorted === docs.collect().map(key).sorted)
+    // the same scan-level contract parquet gets: an ORC scan must carry
+    // the predicate down (PushedFilters) and prune to the read columns
+    val plan = back.where(col("doc_id") === 42L).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"ORC scan did not push the doc_id filter:\n$plan")
+  }
+
   test("documents round-trip through JSONL with explicit schema") {
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
     docs.write.mode("overwrite").json(out)
