@@ -669,6 +669,64 @@ object Pipeline {
        |FROM qj GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---- source_quality_matrix: per-(source, lang) quality profile ----------
+
+  /** The (source × lang) quality matrix — the detail view behind
+    * source_mix and source_lang_gini: per cell, document count, token
+    * mass, mean stopword ratio (floor over one double division — the
+    * quality_filter score axis), and how many documents the quality
+    * gate would pass. Mixing decisions read this to see WHICH language
+    * slice of a source drags its quality down before reweighting or
+    * dropping the whole source.
+    *
+    * Scale shape: one map-side-combined groupBy on the (source, lang)
+    * composite key — #sources × #langs output rows; the per-doc scoring
+    * is scan-side codegen arithmetic. */
+  def sourceQualityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val nStop = TextStats.hits(TextStats.Stopwords("en"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), nTok.cast("long").as("n_tokens"),
+        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
+      .withColumn("passes", (col("n_tokens").between(MinTokens, MaxTokens) &&
+        col("stop_ratio_e4") >= MinStopE4).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        expr("CAST(floor(CAST(sum(stop_ratio_e4) AS DOUBLE) / count(1)) AS BIGINT)")
+          .as("mean_stop_e4"),
+        sum("passes").as("n_passing"))
+      .orderBy("source", "lang")
+  }
+
+  val sourceQualityMatrixSql: String = {
+    val stops = TextStats.Stopwords("en").map(s => s"'$s'").mkString(",")
+    s"""WITH sq AS (
+       |  SELECT source, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '),
+       |             t -> t IN ($stops))) AS n_stop
+       |  FROM documents),
+       |sqs AS (
+       |  SELECT source, lang, n_tokens,
+       |         CASE WHEN n_tokens = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT)
+       |         END AS stop_ratio_e4
+       |  FROM sq),
+       |sqp AS (
+       |  SELECT source, lang, n_tokens, stop_ratio_e4,
+       |         CASE WHEN n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |                   AND stop_ratio_e4 >= $MinStopE4
+       |              THEN 1 ELSE 0 END AS passes
+       |  FROM sqs)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(floor(CAST(sum(stop_ratio_e4) AS DOUBLE) / count(*)) AS BIGINT)
+       |         AS mean_stop_e4,
+       |       CAST(sum(passes) AS BIGINT) AS n_passing
+       |FROM sqp GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }
+
   // ---- split_assign: dup-consistent train/val/test split ------------------
 
   /** Deterministic train/val/test assignment keyed on the CONTENT

@@ -1813,6 +1813,92 @@ object Similarity {
        |       max(CASE WHEN pruned = 0 THEN cos_e6 END) AS keep_max_cos_e6
        |FROM epm GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ---- embed_label_margin: class-separability audit ------------------------
+
+  /** Per-label separability margin — the Fisher-style audit run before
+    * trusting the labels for classifier training or hard-negative
+    * mining: every vector's cosine to its OWN label centroid vs its best
+    * WRONG-label centroid, rolled up per label as the mean margin (1e-6
+    * ticks, floor(Σmargin/n) over already-floored per-vector values —
+    * pure integer once quantized) and the count of vectors sitting
+    * closer to another label's centroid (the confusable mass label_noise
+    * then itemizes vector-by-vector). A label with near-zero mean margin
+    * and high confusable count is either mislabeled wholesale or
+    * genuinely entangled — both change the curation plan.
+    *
+    * Scale shape: label centroids are a #labels-row broadcast (rebuilt
+    * with the lloydStep posexplode→mean→collect pattern, map-side
+    * combined); the margin scan is one broadcast pass over the vectors
+    * with a #labels-wide local max — no shuffle of the vector side; the
+    * rollup is #labels rows. */
+  def embedLabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cents = v
+      .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy("clabel", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("cq", floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pc"))
+      .select(col("clabel"), transform(col("pc"), x => x("cq")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+      .where(col("cn2") > 0)
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("cos_e6", cosE6(cosine(dot(col("qv"), col("cv")), col("n2"), col("cn2"))))
+    val perVec = scored.groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clabel"), col("cos_e6"))).as("own_e6"),
+        max(when(col("label") =!= col("clabel"), col("cos_e6"))).as("other_e6"))
+      .where(col("own_e6").isNotNull && col("other_e6").isNotNull)
+      .withColumn("margin_e6", col("own_e6") - col("other_e6"))
+    // floor over ONE double division (not integer div: Spark `div`
+    // truncates toward zero while DuckDB `//` floors, and margins go
+    // negative — floor() agrees on both engines for either sign)
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(floor(CAST(sum(margin_e6) AS DOUBLE) / count(1)) AS BIGINT)")
+          .as("mean_margin_e6"),
+        sum(when(col("margin_e6") < 0, 1L).otherwise(0L)).as("n_confusable"))
+      .orderBy("label")
+  }
+
+  def embedLabelMarginSql: String =
+    s"""WITH $QvecsCte,
+       |lmv AS (SELECT vec_id, label, qv, $N2Sql AS n2 FROM qvecs WHERE $N2Sql > 0),
+       |lmu AS (
+       |  SELECT label AS clabel, d.pos, count(*) AS n, sum(qv[d.pos]) AS sum_q
+       |  FROM lmv CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS pos) d
+       |  GROUP BY label, d.pos),
+       |lmc0 AS (
+       |  SELECT clabel,
+       |         array_agg(CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cv
+       |  FROM lmu GROUP BY clabel),
+       |lmc AS (
+       |  SELECT clabel, cv,
+       |         list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS cn2
+       |  FROM lmc0
+       |  WHERE list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) > 0),
+       |lms AS (
+       |  SELECT v.vec_id, v.label, c.clabel,
+       |         CAST(floor(
+       |           CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> v.qv[i] * c.cv[i]), (x, y) -> x + y) AS DOUBLE)
+       |             / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM lmv v CROSS JOIN lmc c),
+       |lmp0 AS (
+       |  SELECT vec_id, label,
+       |         max(CASE WHEN label = clabel THEN cos_e6 END) AS own_e6,
+       |         max(CASE WHEN label <> clabel THEN cos_e6 END) AS other_e6
+       |  FROM lms GROUP BY vec_id, label),
+       |lmp AS (
+       |  SELECT vec_id, label, own_e6 - other_e6 AS margin_e6 FROM lmp0
+       |  WHERE own_e6 IS NOT NULL AND other_e6 IS NOT NULL)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(floor(CAST(sum(margin_e6) AS DOUBLE) / count(*)) AS BIGINT)
+       |         AS mean_margin_e6,
+       |       CAST(sum(CASE WHEN margin_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_confusable
+       |FROM lmp GROUP BY label ORDER BY label""".stripMargin
+
   // ---- embed_covariance: exact dimension covariance audit ------------------
 
   /** Upper-triangle covariance matrix of the quantized embedding
