@@ -790,4 +790,134 @@ object Queries {
       |SELECT user_id, spend_cents, rnk,
       |       (rnk - 1) * 10 // n_total + 1 AS decile
       |FROM r ORDER BY rnk""".stripMargin
+
+  // ---- events_dow_hour: weekly seasonality profile ------------------------
+
+  /** Day-of-week × hour activity profile with per-cell purchase rate —
+    * the weekly seasonality fingerprint behind capacity planning and
+    * anomaly baselines. Calendar math is PURE epoch-second integer
+    * arithmetic (dow 0 = Monday via (days+3) mod 7, hour = in-day
+    * seconds div 3600) because the engines' calendar functions disagree
+    * on week numbering (Spark dayofweek is Sunday=1, DuckDB dayofweek
+    * Sunday=0) while epoch arithmetic cannot.
+    *
+    * Scale shape: scan-side integer derivation + one map-side-combined
+    * groupBy on a ≤168-key composite — nothing at fact scale survives
+    * the shuffle. */
+  def eventsDowHour(spark: SparkSession, dir: String): DataFrame =
+    // ts reads as int64 NANOSECONDS on the Spark side (parquet NANOS
+    // timestamps resolve to LongType) while DuckDB sees a TIMESTAMP —
+    // floor-to-seconds on both sides lands on the identical integer
+    Tables.events(spark, dir)
+      .withColumn("es", expr("ts div 1000000000"))
+      .withColumn("dow", expr("((es div 86400) + 3) % 7"))
+      .withColumn("hour", expr("(es % 86400) div 3600"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+      .withColumn("purchase_rate_e4", expr("(10000 * n_purchases) div n_events"))
+      .orderBy("dow", "hour")
+
+  val eventsDowHourSql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events),
+      |d AS (
+      |  SELECT ((es // 86400) + 3) % 7 AS dow, (es % 86400) // 3600 AS hour,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM e)
+      |SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(is_p) AS BIGINT) AS n_purchases,
+      |       (10000 * CAST(sum(is_p) AS BIGINT)) // count(*) AS purchase_rate_e4
+      |FROM d GROUP BY dow, hour ORDER BY dow, hour""".stripMargin
+
+  // ---- user_activity_gini: behavioral diversity histogram -----------------
+
+  /** Behavioral diversity per user — Gini impurity over each user's
+    * event-type distribution (the source_lang_gini chain at user
+    * granularity), bucketed into 1e5-tick bands and histogrammed: the
+    * bot/monoculture detector (a user who only ever fires one event
+    * type sits in bucket 0; organic users spread high). Per-user n² and
+    * Σn_t² stay in int64 (event counts per user ≪ 2^31); the Gini goes
+    * through the shared floor-over-double chain.
+    *
+    * Scale shape: two map-side-combined groupBys — (user, type) then
+    * user — and a ≤11-key histogram rollup; the heaviest shuffle is the
+    * (user, type) composite key. */
+  def userActivityGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"), sum(col("n") * col("n")).as("s2"))
+      .withColumn("gini_e6", expr(
+        """CAST(floor(1.0e6 * (CAST(n_events AS DOUBLE) * n_events - CAST(s2 AS DOUBLE))
+          | / (CAST(n_events AS DOUBLE) * n_events)) AS BIGINT)""".stripMargin))
+      .withColumn("bucket", expr("gini_e6 div 100000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), min("user_id").as("min_user"),
+        min("gini_e6").as("min_gini_e6"), max("gini_e6").as("max_gini_e6"))
+      .orderBy("bucket")
+
+  val userActivityGiniSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type, count(*) AS n FROM events
+      |  GROUP BY user_id, event_type),
+      |u AS (
+      |  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |         CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM g GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id,
+      |         CAST(floor(1.0e6 * (CAST(n_events AS DOUBLE) * n_events - CAST(s2 AS DOUBLE))
+      |          / (CAST(n_events AS DOUBLE) * n_events)) AS BIGINT) AS gini_e6
+      |  FROM u)
+      |SELECT gini_e6 // 100000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+      |       min(user_id) AS min_user,
+      |       min(gini_e6) AS min_gini_e6, max(gini_e6) AS max_gini_e6
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- join_skew_audit: pre-join key-frequency diagnosis ------------------
+
+  /** Join-key skew diagnosis for the events fact table's user_id — the
+    * report read BEFORE choosing between a plain shuffle join, a salted
+    * join (join_salted), or an AQE skew split: per power-of-two
+    * frequency bucket, how many keys land there and what fraction of
+    * the fact rows they carry (a heavy top bucket = few keys carrying
+    * most rows = the skew that makes one reducer the straggler). The
+    * bucket CASE is one generated string shared by both engines.
+    *
+    * Scale shape: one map-side-combined count per key, then a ≤41-key
+    * histogram — the diagnosis costs one aggregation over the join key,
+    * strictly cheaper than the join it de-risks. */
+  private def freqBucketCase(c: String): String =
+    (0 until 40).map(b => s"WHEN $c < ${1L << (b + 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 40 END")
+
+  def joinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("freq"))
+    freq
+      .withColumn("bucket", expr(freqBucketCase("freq")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("freq").as("sum_rows"))
+      .withColumn("total_rows", sum("sum_rows").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rows_share_e4", expr("(10000 * sum_rows) div total_rows"))
+      .select("bucket", "n_keys", "sum_rows", "rows_share_e4")
+      .orderBy("bucket")
+  }
+
+  def joinSkewAuditSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS freq FROM events
+       |  GROUP BY user_id),
+       |jb AS (
+       |  SELECT CAST(${freqBucketCase("freq")} AS BIGINT) AS bucket, freq FROM f),
+       |jg AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+       |         CAST(sum(freq) AS BIGINT) AS sum_rows
+       |  FROM jb GROUP BY bucket),
+       |jt AS (SELECT CAST(sum(sum_rows) AS BIGINT) AS total_rows FROM jg)
+       |SELECT bucket, n_keys, sum_rows,
+       |       (10000 * sum_rows) // total_rows AS rows_share_e4
+       |FROM jg CROSS JOIN jt ORDER BY bucket""".stripMargin
 }
