@@ -153,6 +153,44 @@ object Clean {
        |       CAST(sum(seg_toks * (n_copies - keep)) AS BIGINT) AS dropped_tokens
        |FROM skk GROUP BY n_copies ORDER BY n_copies""".stripMargin
 
+  // ---- source_copy_matrix: cross-source verbatim contamination ------------
+
+  /** Which sources copy from which: pairs of sources sharing identical
+    * fingerprinted segments, with the shared-fingerprint count — the
+    * mirror/syndication detector (source_overlap measures SHINGLE
+    * overlap, a fuzzy signal; this is verbatim segment identity), read
+    * before treating two sources as independent evidence in a mixing
+    * plan. Pair granularity is distinct fingerprints, so one hot
+    * boilerplate segment counts once per pair, not once per occurrence.
+    *
+    * Scale shape: the (fp, source) frame is distinct-reduced map-side
+    * BEFORE the self-join, and the per-fp join fan-out is bounded by
+    * #sources² (≤400 rows per fingerprint however often it occurs) — a
+    * hot fp costs its source-set square, never its occurrence square;
+    * output is ≤ #sources² rows. */
+  def sourceCopyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val sfp = segFps(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select("fp", "source").distinct()
+    val a = sfp.select(col("fp"), col("source").as("source_a"))
+    val b = sfp.select(col("fp").as("fp_b"), col("source").as("source_b"))
+    a.join(b, col("fp") === col("fp_b") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceCopyMatrixSql: String =
+    s"""WITH $SegFpCtes,
+       |scm AS (
+       |  SELECT DISTINCT f.fp, d.source
+       |  FROM fps f JOIN documents d ON f.doc_id = d.doc_id)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared_fps
+       |FROM scm a JOIN scm b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---- pii_scrub ----------------------------------------------------------
 
   /** Portable regex subset: these patterns parse and match identically

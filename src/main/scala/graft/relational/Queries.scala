@@ -875,6 +875,62 @@ object Queries {
       |       min(gini_e6) AS min_gini_e6, max(gini_e6) AS max_gini_e6
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---- funnel_latency_hist: conversion-delay distribution -----------------
+
+  /** Signup → first-purchase delay distribution: per converting user,
+    * the delay from first signup to the first purchase AFTER it, in
+    * power-of-two second buckets — the distributional complement to
+    * funnel_latency's min/mean/max (a bimodal delay curve changes the
+    * retention play; a mean cannot show it). Same epoch-nanosecond
+    * integer arithmetic as events_dow_hour; the bucket CASE is one
+    * generated string shared by both engines.
+    *
+    * Scale shape: two map-side-combined per-user mins over the
+    * type-filtered scan, a user-keyed join, then a ≤41-key histogram —
+    * the fact table crosses one shuffle keyed by user. */
+  def funnelLatencyHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ns"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu_user"), col("ts").as("p_ns"))
+    su.join(pu, col("user_id") === col("pu_user") && col("p_ns") >= col("signup_ns"))
+      .groupBy("user_id").agg(min("signup_ns").as("s_ns"), min("p_ns").as("first_p_ns"))
+      // floor EACH timestamp to seconds, then subtract (the oracle's
+      // epoch() shape) — floor of the difference would disagree by one
+      // whenever the sub-second parts straddle a boundary
+      .withColumn("delay_s",
+        expr("(first_p_ns div 1000000000) - (s_ns div 1000000000)"))
+      .withColumn("bucket", expr(freqBucketCase("delay_s")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min("delay_s").as("min_delay_s"), max("delay_s").as("max_delay_s"))
+      .orderBy("bucket")
+  }
+
+  def funnelLatencyHistSql: String =
+    s"""WITH fs AS (
+       |  SELECT user_id, min(ts) AS signup_ts FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |fp2 AS (
+       |  SELECT s.user_id, min(s.signup_ts) AS s_ts, min(p.ts) AS first_p_ts
+       |  FROM fs s JOIN events p
+       |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       |   AND p.ts >= s.signup_ts
+       |  GROUP BY s.user_id),
+       |fd AS (
+       |  SELECT user_id,
+       |         CAST(floor(epoch(first_p_ts)) AS BIGINT)
+       |           - CAST(floor(epoch(s_ts)) AS BIGINT) AS delay_s0
+       |  FROM fp2),
+       |fdd AS (
+       |  SELECT user_id, delay_s0 AS delay_s,
+       |         CAST(${freqBucketCase("delay_s0")} AS BIGINT) AS bucket
+       |  FROM fd)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+       |       min(delay_s) AS min_delay_s, max(delay_s) AS max_delay_s
+       |FROM fdd GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---- join_skew_audit: pre-join key-frequency diagnosis ------------------
 
   /** Join-key skew diagnosis for the events fact table's user_id — the
