@@ -1899,6 +1899,91 @@ object Similarity {
        |         AS n_confusable
        |FROM lmp GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- ann_nprobe_sweep: recall-vs-routing tuning curve --------------------
+
+  /** Recall@k as a function of nprobe (1..NProbeSweepMax) against the
+    * shared brute-force cosine truth — the tuning curve behind the IVF
+    * routing knob, the ANN analogue of dedup_threshold_sweep: a
+    * deployment reads where the curve plateaus before paying more
+    * probed cells per query. Reuses the memoized assignment frame for
+    * every sweep point (the per-point delta is WHICH ranked cells count
+    * as probes, not new scans), scores candidates with the family's one
+    * cosine definition, and reports per (nprobe, query) hits so query-
+    * level routing misses stay visible next to the mean.
+    *
+    * Scale shape: per sweep point the scan touches only the probed
+    * cells' members (the annIvf shape); the truth side is the bounded
+    * brute-force query scan every recall cert already shares; output is
+    * NProbeSweepMax × queries rows. */
+  val NProbeSweepMax = 4
+
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val assign = cellAssignments(spark, dir)
+    val cells = assign.where(col("rnk") === 1)
+      .select(col("avid").as("cid"), col("seed_id").as("cell"))
+      .join(v, col("cid") === col("vec_id"))
+      .select(col("cid"), col("cell"), col("qv").as("cv"), col("n2").as("cn2"))
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qvid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val truth = scoredNeighbors(spark, dir, TopK)
+      .select(col("qid").as("tqid"), col("vec_id").as("tcid"))
+    val perNp = (1 to NProbeSweepMax).map { np =>
+      val probes = assign.where(col("avid") < NumQueries && col("rnk") <= np)
+        .select(col("avid").as("qid"), col("seed_id").as("pcell"))
+      probes.join(q, col("qid") === col("qvid"))
+        .join(cells, col("pcell") === col("cell") && col("cid") =!= col("qid"))
+        .withColumn("cos", cosine(dot(col("qqv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rrnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+        .where(col("rrnk") <= TopK)
+        .join(truth, col("qid") === col("tqid") && col("cid") === col("tcid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        .withColumn("nprobe", lit(np.toLong))
+    }
+    perNp.reduce(_.unionByName(_))
+      .withColumn("recall_e4", expr(s"(10000 * n_hits) div $TopK"))
+      .select("nprobe", "qid", "n_hits", "recall_e4")
+      .orderBy("nprobe", "qid")
+  }
+
+  def annNprobeSweepSql: String = {
+    val points = (1 to NProbeSweepMax).map { np =>
+      s"""swp$np AS (
+         |  SELECT p.qid, c.cid,
+         |         row_number() OVER (PARTITION BY p.qid ORDER BY
+         |           CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> q.qv[i] * c.cv[i]), (x, y) -> x + y) AS DOUBLE)
+         |             / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+         |           c.cid) AS rrnk
+         |  FROM (SELECT avid AS qid, seed_id AS pcell FROM assign
+         |        WHERE avid < $NumQueries AND rnk <= $np) p
+         |  JOIN vecs q ON p.qid = q.vec_id
+         |  JOIN cells c ON p.pcell = c.cell AND c.cid <> p.qid),
+         |swh$np AS (
+         |  SELECT $np AS nprobe, s.qid, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM swp$np s JOIN struth t ON s.qid = t.qid AND s.cid = t.cid
+         |  WHERE s.rrnk <= $TopK
+         |  GROUP BY s.qid)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to NProbeSweepMax).map(np => s"SELECT * FROM swh$np")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$BruteScoredCte,
+       |struth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM bscored) r WHERE rnk <= $TopK),
+       |$points,
+       |swall AS (
+       |  $unions)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe, qid, n_hits,
+       |       (10000 * n_hits) // $TopK AS recall_e4
+       |FROM swall ORDER BY nprobe, qid""".stripMargin
+  }
+
   // ---- embed_covariance: exact dimension covariance audit ------------------
 
   /** Upper-triangle covariance matrix of the quantized embedding
