@@ -191,6 +191,90 @@ object Clean {
        |GROUP BY a.source, b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---- curation_e2e: composed per-source curation summary -----------------
+
+  /** The round-8 curation stack composed into ONE plan — per source:
+    * corpus mass, quality-gate pass count (Pipeline.qualityFilter's
+    * envelope), and the segment mass surviving the global keep-at-most-K
+    * rewrite (segment_keep_k's rule applied occurrence-by-occurrence:
+    * the first KeepK occurrences of each fingerprint in (doc_id,
+    * seg_idx) order survive, later ones drop), with the kept-token
+    * ratio. This is the one-page answer to "what does this source
+    * contribute AFTER cleaning" — the sheet a mixing decision actually
+    * reads, and the proof the gate, the rewrite, and the rollup compose
+    * in a single DAG without materialization boundaries.
+    *
+    * Scale shape: the keep decision is the segment_dedup window
+    * (partition by fp, rank by (doc_id, seg_idx) — count-only skew) with
+    * rank <= KeepK instead of == 1; quality scoring is scan-side codegen;
+    * both sides meet in one source-keyed rollup. */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val nStop = TextStats.hits(TextStats.Stopwords("en"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tokens"),
+        TextStats.ratioE4(nStop, nTok).as("stop_ratio_e4"))
+      .withColumn("passes",
+        (col("n_tokens").between(Pipeline.MinTokens, Pipeline.MaxTokens) &&
+          col("stop_ratio_e4") >= Pipeline.MinStopE4).cast("long"))
+    val keptSegs = segFps(spark, dir)
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "seg_idx")))
+      .withColumn("kept", (col("occ") <= KeepK).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"), sum("kept").as("n_segs_kept"),
+        sum(col("seg_toks") * col("kept")).as("tokens_kept"))
+    docs.join(keptSegs, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("passes").as("n_quality_pass"),
+        sum(coalesce(col("n_segs"), lit(0L))).as("segs_total"),
+        sum(coalesce(col("n_segs_kept"), lit(0L))).as("segs_kept"),
+        sum("n_tokens").as("tokens_total"),
+        sum(coalesce(col("tokens_kept"), lit(0L))).as("tokens_kept"))
+      .withColumn("kept_ratio_e4", expr("(10000 * tokens_kept) div tokens_total"))
+      .orderBy("source")
+  }
+
+  def curationE2eSql: String = {
+    val stops = TextStats.Stopwords("en").map(s => s"'$s'").mkString(",")
+    s"""WITH $SegFpCtes,
+       |ced AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         len(list_filter(string_split(text, ' '),
+       |             t -> t IN ($stops))) AS n_stop
+       |  FROM documents),
+       |ceq AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CASE WHEN n_tokens BETWEEN ${Pipeline.MinTokens} AND ${Pipeline.MaxTokens}
+       |                   AND (CASE WHEN n_tokens = 0 THEN 0
+       |                        ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END)
+       |                       >= ${Pipeline.MinStopE4}
+       |              THEN 1 ELSE 0 END AS passes
+       |  FROM ced),
+       |cek AS (
+       |  SELECT doc_id, seg_toks,
+       |         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx)
+       |                   <= $KeepK THEN 1 ELSE 0 END AS kept
+       |  FROM fps),
+       |ceg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |         CAST(sum(kept) AS BIGINT) AS n_segs_kept,
+       |         CAST(sum(seg_toks * kept) AS BIGINT) AS tokens_kept
+       |  FROM cek GROUP BY doc_id)
+       |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(q.passes) AS BIGINT) AS n_quality_pass,
+       |       CAST(sum(coalesce(g.n_segs, 0)) AS BIGINT) AS segs_total,
+       |       CAST(sum(coalesce(g.n_segs_kept, 0)) AS BIGINT) AS segs_kept,
+       |       CAST(sum(q.n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(sum(coalesce(g.tokens_kept, 0)) AS BIGINT) AS tokens_kept,
+       |       (10000 * CAST(sum(coalesce(g.tokens_kept, 0)) AS BIGINT))
+       |         // CAST(sum(q.n_tokens) AS BIGINT) AS kept_ratio_e4
+       |FROM ceq q LEFT JOIN ceg g ON q.doc_id = g.doc_id
+       |GROUP BY q.source ORDER BY q.source""".stripMargin
+  }
+
   // ---- pii_scrub ----------------------------------------------------------
 
   /** Portable regex subset: these patterns parse and match identically
