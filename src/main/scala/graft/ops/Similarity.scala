@@ -48,8 +48,8 @@ object Similarity {
   // stale object initialization (the knobs are still env-stable within one
   // JVM — the memo keys below carry their values so cached frames can't
   // outlive a setting)
-  def PlanesPerTable: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
-  def NumTables: Int = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
+  def PlanesPerTable: Int = graft.Knobs.lshPlanes
+  def NumTables: Int = graft.Knobs.lshTables
 
   /** Deterministic ±1 hyperplane weights, w(j)(i) for i in 0..63: the sign
     * bit of a splitmix64 finalizer over the (plane, component) pair. The
@@ -210,11 +210,14 @@ object Similarity {
     * The scale story: cells partition the candidate set, a query scans
     * only nprobe cells instead of the full index, and the centroid
     * table is a broadcast — the fact side shuffles once on cell id.
-    * Sizing: NumCells ≈ √N at scale (1e9 vectors → ~32k cells of ~32k
-    * vectors; the Lloyd update is one map-side-combined groupBy over
-    * cells×Dim rows per partition however big N gets); override via
-    * GRAFT_IVF_CELLS, read by both the Spark plan and the oracle SQL. */
-  def NumCells: Int = sys.env.getOrElse("GRAFT_IVF_CELLS", "8").toInt
+    * Sizing: SELF-DERIVED from the corpus row count (see Knobs.ivfCells:
+    * cells = ⌈N/256⌉ capped at ⌈4√N⌉, floor 8) so the cell-scoped pair
+    * family (dedup_semantic / label_noise / embed_prune) stays linear in
+    * N at DEFAULTS; the Lloyd update is one map-side-combined groupBy
+    * over cells×Dim rows per partition however big N gets. Override via
+    * GRAFT_IVF_CELLS — the derived-or-overridden value is read by both
+    * the Spark plan and the oracle SQL, so the mirror never splits. */
+  def NumCells: Int = graft.Knobs.ivfCells
   val NProbe = 2
 
   /** Lloyd iteration count for the IVF coarse quantizer (and GRAFT_PQ_ITERS
@@ -1941,7 +1944,16 @@ object Similarity {
         .groupBy("qid").agg(count(lit(1)).as("n_hits"))
         .withColumn("nprobe", lit(np.toLong))
     }
-    perNp.reduce(_.unionByName(_))
+    // Left-join from the full probes × queries domain: a (nprobe, qid)
+    // point whose shortlist hits NOTHING in the truth set must appear as
+    // an explicit n_hits = 0 row — dropping it would leave silent gaps
+    // in the tuning curve exactly where routing fails hardest (the
+    // output contract is NProbeSweepMax × queries rows, always).
+    val domain = (1 to NProbeSweepMax).map { np =>
+      q.select(col("qvid").as("qid")).withColumn("nprobe", lit(np.toLong))
+    }.reduce(_.unionByName(_))
+    domain.join(perNp.reduce(_.unionByName(_)), Seq("nprobe", "qid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_e4", expr(s"(10000 * n_hits) div $TopK"))
       .select("nprobe", "qid", "n_hits", "recall_e4")
       .orderBy("nprobe", "qid")
@@ -1978,10 +1990,16 @@ object Similarity {
        |    FROM bscored) r WHERE rnk <= $TopK),
        |$points,
        |swall AS (
-       |  $unions)
-       |SELECT CAST(nprobe AS BIGINT) AS nprobe, qid, n_hits,
-       |       (10000 * n_hits) // $TopK AS recall_e4
-       |FROM swall ORDER BY nprobe, qid""".stripMargin
+       |  $unions),
+       |sdom AS (
+       |  SELECT CAST(np AS BIGINT) AS nprobe, v.vec_id AS qid
+       |  FROM (SELECT unnest(range(1, ${NProbeSweepMax + 1})) AS np) n
+       |  CROSS JOIN (SELECT vec_id FROM vecs WHERE vec_id < $NumQueries) v)
+       |SELECT d.nprobe, d.qid,
+       |       COALESCE(w.n_hits, 0) AS n_hits,
+       |       (10000 * COALESCE(w.n_hits, 0)) // $TopK AS recall_e4
+       |FROM sdom d LEFT JOIN swall w ON d.nprobe = w.nprobe AND d.qid = w.qid
+       |ORDER BY d.nprobe, d.qid""".stripMargin
   }
 
   // ---- embed_covariance: exact dimension covariance audit ------------------

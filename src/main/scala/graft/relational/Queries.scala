@@ -808,10 +808,16 @@ object Queries {
     // ts reads as int64 NANOSECONDS on the Spark side (parquet NANOS
     // timestamps resolve to LongType) while DuckDB sees a TIMESTAMP —
     // floor-to-seconds on both sides lands on the identical integer
+    // FLOOR-division formulation throughout (pmod is nonnegative, and
+    // (x − pmod(x, n)) div n is exact floor-div): Spark's `div`/`%`
+    // truncate toward zero, so a pre-1970 (negative) nanosecond
+    // timestamp would land one second off the oracle's floor(epoch(ts))
+    // and produce a negative dow/hour — the fixture data is positive,
+    // but the portability contract must not depend on that
     Tables.events(spark, dir)
-      .withColumn("es", expr("ts div 1000000000"))
-      .withColumn("dow", expr("((es div 86400) + 3) % 7"))
-      .withColumn("hour", expr("(es % 86400) div 3600"))
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .withColumn("dow", expr("pmod((es - pmod(es, 86400)) div 86400 + 3, 7)"))
+      .withColumn("hour", expr("pmod(es, 86400) div 3600"))
       .groupBy("dow", "hour")
       .agg(count(lit(1)).as("n_events"),
         sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
@@ -822,7 +828,8 @@ object Queries {
     """WITH e AS (
       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events),
       |d AS (
-      |  SELECT ((es // 86400) + 3) % 7 AS dow, (es % 86400) // 3600 AS hour,
+      |  SELECT ((es // 86400 + 3) % 7 + 7) % 7 AS dow,
+      |         ((es % 86400 + 86400) % 86400) // 3600 AS hour,
       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
       |  FROM e)
       |SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
@@ -898,9 +905,12 @@ object Queries {
       .groupBy("user_id").agg(min("signup_ns").as("s_ns"), min("p_ns").as("first_p_ns"))
       // floor EACH timestamp to seconds, then subtract (the oracle's
       // epoch() shape) — floor of the difference would disagree by one
-      // whenever the sub-second parts straddle a boundary
+      // whenever the sub-second parts straddle a boundary; floor-div
+      // via pmod, not `div`, so pre-1970 timestamps agree too (see
+      // events_dow_hour)
       .withColumn("delay_s",
-        expr("(first_p_ns div 1000000000) - (s_ns div 1000000000)"))
+        expr("""((first_p_ns - pmod(first_p_ns, 1000000000)) div 1000000000)
+               | - ((s_ns - pmod(s_ns, 1000000000)) div 1000000000)""".stripMargin))
       .withColumn("bucket", expr(freqBucketCase("delay_s")).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_users"),

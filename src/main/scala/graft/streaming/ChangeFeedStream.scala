@@ -75,12 +75,21 @@ object ChangeFeedStream {
 
   /** Streaming read of an events-parquet directory. The schema is pinned
     * from a batch read of the files already present (streaming sources
-    * require an explicit schema). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    * require an explicit schema).
+    *
+    * `maxFilesPerTrigger` is the file-source backpressure knob: on a
+    * backlogged directory (a 100 TB replay, a resumed checkpoint far
+    * behind the head) the default source admits EVERY pending file into
+    * one catch-up micro-batch — unbounded batch state, shuffle, and
+    * commit latency. With the cap, the backlog drains in bounded batches
+    * whose size the deployment chooses to fit executor memory;
+    * BackpressureSpec pins the bound. */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = Tables.tune(spark).read.parquet(dir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
+    var r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
   }
 
   /** Watermarked tumbling-window counts over a (possibly streaming) events

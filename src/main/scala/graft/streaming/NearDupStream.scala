@@ -43,20 +43,43 @@ object NearDupStream {
   case class BandRow(doc_id: Long, band_id: Int, band_key: Long)
 
   /** Append-mode stream of near-dup candidate doc_ids (one row per
-    * flagged (doc, bucket); distinct downstream). */
-  def flagNearDups(docs: DataFrame): DataFrame = {
+    * flagged (doc, bucket); distinct downstream).
+    *
+    * State growth contract: with the default (no TTL), state is bounded
+    * by DISTINCT-CONTENT band-bucket cardinality — it grows with the
+    * corpus's distinct documents, never with duplicate volume or feed
+    * length, but on a feed whose distinct content grows forever it grows
+    * forever too. `stateTtl` bounds it: a keeper entry idle longer than
+    * the TTL is dropped (processing-time timeout), at the documented
+    * price that a duplicate arriving after a quiet period re-admits its
+    * content as a fresh keeper — the standard recall-vs-state trade of
+    * windowed streaming dedup. Exact batch parity (NearDupStreamSpec)
+    * additionally requires id-ordered ingestion: a later-arriving
+    * smaller doc_id becomes keeper without retro-flagging the earlier
+    * doc. Both limits are part of the operator contract. */
+  def flagNearDups(docs: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     Dedup.bandsOfDocs(docs)
       .as[BandRow]
       .groupByKey(r => (r.band_id, r.band_key))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) => {
-          val ids = rows.map(_.doc_id).toArray.sorted
-          val keeper = math.min(state.getOption.getOrElse(Long.MaxValue), ids.head)
-          state.update(keeper)
-          ids.iterator.filter(_ != keeper)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_.doc_id).toArray.sorted
+            val keeper = math.min(state.getOption.getOrElse(Long.MaxValue), ids.head)
+            state.update(keeper)
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            ids.iterator.filter(_ != keeper)
+          }
         })
       .toDF("doc_id")
   }

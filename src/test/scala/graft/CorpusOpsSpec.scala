@@ -145,7 +145,7 @@ class CorpusOpsSpec extends SparkSpec {
     import graft.ops.Dedup
     val clusters = Dedup.dedupClusters(spark, Sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    val edges = Dedup.dedupMinhash(spark, Sf0001).collect()
+    val edges = Dedup.dedupMinhashPairsFull(spark, Sf0001).collect()
       .filter(_.getAs[Long]("jaccard_e4") >= Dedup.ClusterMinJaccardE4)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
