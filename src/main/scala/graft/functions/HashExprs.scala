@@ -204,6 +204,74 @@ case class MinHashExpr(child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
     copy(child = newChild)
 }
 
+/** All LSH table signatures of a quantized vector in ONE fused pass:
+  * for table t, signature = Σ_p (dot(qv, w[t·planes+p]) > 0 ? 1<<p : 0),
+  * returned as an array of `tables` longs. `weights` is the flattened
+  * ±1 hyperplane matrix (totalPlanes × dim, row-major), shipped once as
+  * a codegen reference object. Integer math is bit-identical to the
+  * unfused `when(long_dot(qv, w) > 0, 1<<p)` sum it replaces — the point
+  * is PLAN SHAPE, not semantics: at derived 100 TB sizings (hundreds of
+  * planes) the unfused form is hundreds of separate dot expressions in
+  * one projection, which overflows the JIT/codegen method budget and
+  * drops the whole signature build to interpreted eval (measured 133 s
+  * for 200k vectors at 13×15 planes); this runs as one tight generated
+  * loop however many planes the sizing resolves. */
+case class LshSignaturesExpr(child: Expression, weights: Array[Long],
+    tables: Int, planes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  private val dim = weights.length / (tables * planes)
+  require(tables * planes * dim == weights.length,
+    s"weights length ${weights.length} != tables*planes*dim")
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_signatures"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[ArrayData]
+    val n = math.min(qv.numElements(), dim)
+    val sigs = new Array[Long](tables)
+    var k = 0
+    while (k < tables * planes) {
+      var s = 0L
+      val off = k * dim
+      var i = 0
+      while (i < n) { s += qv.getLong(i) * weights(off + i); i += 1 }
+      if (s > 0) sigs(k / planes) |= (1L << (k % planes))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val w = ctx.addReferenceObj("lshWeights", weights, "long[]")
+      val sigs = ctx.freshName("sigs")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |long[] $sigs = new long[$tables];
+         |for (int $k = 0; $k < ${tables * planes}; $k++) {
+         |  long $s = 0L;
+         |  int $off = $k * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $c.getLong($i) * $w[$off + $i];
+         |  }
+         |  if ($s > 0) $sigs[$k / $planes] |= (1L << ($k % $planes));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused bigram-shingle hashing: from a token array, the distinct rolling
   * byte hashes of every adjacent pair "tokᵢ tokᵢ₊₁", in first-seen order.
   * Equivalent to transform(sequence)+concat+roll-hash+array_distinct but
@@ -385,4 +453,8 @@ object HashExprs {
 
   def simHash(arr: Column, bits: Int): Column =
     GraftShim.column(SimHashExpr(GraftShim.expression(arr), bits))
+
+  def lshSignatures(qv: Column, weights: Array[Long], tables: Int, planes: Int): Column =
+    GraftShim.column(
+      LshSignaturesExpr(GraftShim.expression(qv), weights, tables, planes))
 }

@@ -92,13 +92,17 @@ object Similarity {
         // keep it out rather than let cos = 0/0 produce NaN (which Spark
         // would floor to 0 while DuckDB errors on the BIGINT cast)
         .where(col("n2") > 0)
-      val buckets = array((0 until NumTables).map { t =>
-        (0 until PlanesPerTable).map { p =>
-          val w = array(wVec(t * PlanesPerTable + p).map(lit): _*)
-          when(dot(col("qv"), w) > 0, lit(1L << p)).otherwise(0L)
-        }.reduce(_ + _)
-      }: _*)
-      base.withColumn("buckets", buckets)
+      // one fused expression for ALL tables×planes signature dots: the
+      // per-plane `when(dot > 0, 1<<p)` sum form is hundreds of separate
+      // dot expressions at derived 100 TB sizings, which overflows the
+      // codegen method budget and drops the build to interpreted eval
+      // (same integer math either way — see LshSignaturesExpr)
+      val flat = Array.tabulate(NumTables * PlanesPerTable * Dim) { x =>
+        wVec(x / Dim)(x % Dim)
+      }
+      base.withColumn("buckets",
+        graft.functions.HashExprs.lshSignatures(
+          col("qv"), flat, NumTables, PlanesPerTable))
     }
 
   private def cosine(dotC: Column, na2: Column, nb2: Column): Column =
