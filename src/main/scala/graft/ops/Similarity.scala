@@ -242,13 +242,24 @@ object Similarity {
     * regardless of corpus size. A cell whose trained centroid quantizes to
     * the zero vector is dropped (no direction — same guard as the vectors
     * frame). */
-  private def lloydStep(v: DataFrame, seeds: DataFrame): DataFrame = {
-    val members = v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+  /** Nearest-centroid id per vector — (avid, seed_id) with the
+    * (cos desc, seed_id asc) tie-break — via map-side-combined argmax
+    * (max of struct(cos, −seed_id)) instead of a row_number window: the
+    * window form shuffles and sorts the full N×cells scored frame
+    * (156M rows at the 100× point's derived 782 cells), while the argmax
+    * reduces per partition and shuffles one partial row per vector. Same
+    * rank-1 choice by construction: struct max is lexicographic, so the
+    * largest cos wins and a cos tie falls to the smallest seed_id. */
+  private def nearestCell(v: DataFrame, seeds: DataFrame): DataFrame =
+    v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
       .crossJoin(broadcast(seeds))
       .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
-      .where(col("rnk") === 1)
+      .groupBy("avid")
+      .agg(max(struct(col("cos"), (-col("seed_id")).as("neg"))).as("m"))
+      .select(col("avid"), (-col("m").getField("neg")).as("seed_id"))
+
+  private def lloydStep(v: DataFrame, seeds: DataFrame): DataFrame = {
+    val members = nearestCell(v, seeds)
       .select(col("avid"), col("seed_id").as("cell"))
     members.join(v, col("avid") === col("vec_id"))
       .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
@@ -305,12 +316,24 @@ object Similarity {
     Tables.memoPersist(spark, s"sim.cellAssignments:$NumCells:$IvfIters:$dir") {
       val v = vectors(spark, dir)
       val seeds = trainedCentroids(spark, dir)
-      v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+      // every consumer reads either rnk = 1 (cell membership, all
+      // vectors) or rnk <= nprobe for the bounded query set — so the
+      // frame holds rank-1 rows for everyone (argmax, no N×cells
+      // shuffle; see nearestCell) plus the FULL ranking only for the
+      // NumQueries probe side (queries×cells rows, window is trivial
+      // there). Materializing all N×cells ranks was the single biggest
+      // persisted frame at the 100× point (156M rows) and pure waste
+      // beyond rank 1.
+      val top1 = nearestCell(v, seeds).withColumn("rnk", lit(1))
+      val queryRanks = v.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
         .crossJoin(broadcast(seeds))
         .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("avid").orderBy(col("cos").desc, col("seed_id"))))
         .select("avid", "seed_id", "rnk")
+      queryRanks.unionByName(
+        top1.where(col("avid") >= NumQueries).select("avid", "seed_id", "rnk"))
     }
 
   /** Test probe into the memoized assignment frame (IvfRouteStreamSpec
