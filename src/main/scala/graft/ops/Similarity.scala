@@ -715,6 +715,250 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- ann_ivf_hier: hierarchical (two-level) coarse quantizer ------------
+
+  /** Super-centroid count K₂ = ⌈√cells⌉: routing a vector costs
+    * K₂ + cells/K₂ ≈ 2√cells distance evaluations instead of the flat
+    * quantizer's `cells` — the assignment-cost answer the Knobs.ivfCells
+    * cap comment defers to ("at ≥1e8 vectors exact assignment wants a
+    * hierarchical coarse quantizer"). At the derived 100 TB operating
+    * point (1e9 vectors → ~125k linear-rule cells, √N-capped ~126k)
+    * two-level routing cuts per-vector assignment from ~126k to ~700
+    * dot products; recall impact is certified by ann_ivf_hier_recall
+    * against the same exact truth the flat family uses. */
+  def NumSupers: Int = math.ceil(math.sqrt(NumCells.toDouble)).toInt
+
+  /** Super-centroids: one Lloyd step over the TRAINED CELL CENTROIDS
+    * (init = first K₂ surviving centroids by seed id) — training cost is
+    * cells×K₂ rows however big N gets, because the super level never
+    * sees raw vectors. Reuses [[lloydStep]] verbatim: the cell-centroid
+    * frame plays the vector role. */
+  private def superCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.supers:$NumCells:$IvfIters:$dir") {
+      val cents = trainedCentroids(spark, dir)
+      val centsAsV = cents.select(
+        col("seed_id").as("vec_id"), col("sv").as("qv"), col("sn2").as("n2"))
+      // bounded global window: the frame is ≤ NumCells rows by contract
+      val init = cents
+        .withColumn("r", row_number().over(Window.orderBy("seed_id")))
+        .where(col("r") <= NumSupers)
+        .select("seed_id", "sv", "sn2")
+      lloydStep(centsAsV, init)
+    }
+
+  /** (cell, super_id): every trained cell routed to its nearest updated
+    * super — the fan-out map of the two-level quantizer (bounded:
+    * NumCells rows). */
+  private def cellSuper(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.cellSuper:$NumCells:$IvfIters:$dir") {
+      val cents = trainedCentroids(spark, dir)
+      nearestCell(
+        cents.select(col("seed_id").as("vec_id"), col("sv").as("qv"), col("sn2").as("n2")),
+        superCentroids(spark, dir))
+        .select(col("avid").as("cell"), col("seed_id").as("super_id"))
+    }
+
+  /** Two-level cell assignment, same frame contract as
+    * [[cellAssignments]] (avid, cell, rnk): rank-1 rows for every vector
+    * via super-route + within-super argmax, full within-super ranking
+    * only for the NumQueries probe side. Routing is restricted to supers
+    * that OWN at least one cell (an updated super can end memberless;
+    * a vector routed there would silently vanish from the index). The
+    * scored frame is N×(cells/K₂) rows vs the flat N×cells — the
+    * approximation ann_ivf_hier_recall prices. */
+  private def hierAssignments(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.hierAssign:$NumCells:$IvfIters:$dir") {
+      val v = vectors(spark, dir)
+      val cs = cellSuper(spark, dir)
+      val eligible = superCentroids(spark, dir).as("s")
+        .join(cs.select(col("super_id")).distinct().as("e"),
+          col("s.seed_id") === col("e.super_id"))
+        .select("s.seed_id", "s.sv", "s.sn2")
+      val vSuper = nearestCell(v, eligible)
+        .select(col("avid"), col("seed_id").as("super_id"))
+      val cents = trainedCentroids(spark, dir)
+        .select(col("seed_id").as("cell"), col("sv").as("csv"), col("sn2").as("csn2"))
+      val scored = v
+        .select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+        .join(vSuper, "avid")
+        .join(broadcast(cs), "super_id")
+        .join(broadcast(cents), "cell")
+        .withColumn("cos", cosine(dot(col("av"), col("csv")), col("an2"), col("csn2")))
+      val top1 = scored.groupBy("avid")
+        .agg(max(struct(col("cos"), (-col("cell")).as("neg"))).as("m"))
+        .select(col("avid"), (-col("m").getField("neg")).as("cell"), lit(1).as("rnk"))
+      val queryRanks = scored.where(col("avid") < NumQueries)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("avid").orderBy(col("cos").desc, col("cell"))))
+        .select("avid", "cell", "rnk")
+      queryRanks.unionByName(
+        top1.where(col("avid") >= NumQueries).select("avid", "cell", "rnk"))
+    }
+
+  /** IVF search through the two-level quantizer — identical output
+    * contract to [[annIvf]] (qid, rnk, cid, cell, cos_e6), differing
+    * only in HOW cells/probes were chosen: member cells come from the
+    * super-routed assignment, and a query's nprobe cells are ranked
+    * within its routed super only (a super owning fewer than nprobe
+    * cells probes them all — the documented edge of single-super
+    * routing). */
+  def annIvfHier(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val assign = hierAssignments(spark, dir)
+    val cells = assign.where(col("rnk") === 1)
+      .select(col("avid").as("cid"), col("cell"))
+      .join(v, col("cid") === col("vec_id"))
+      .select(col("cid"), col("cell"), col("qv").as("cv"), col("n2").as("cn2"))
+    val probes = assign.where(col("avid") < NumQueries && col("rnk") <= NProbe)
+      .select(col("avid").as("qid"), col("cell").as("pcell"))
+    val q = v.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qvid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    probes.join(q, col("qid") === col("qvid"))
+      .join(cells, col("pcell") === col("cell") && col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(dot(col("qqv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("cid"), col("cell"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall@TopK of the hierarchical route against the same exact-cosine
+    * truth the LSH recall uses — read next to ann_ivf's own retrieval to
+    * price the single-super routing approximation. */
+  def annIvfHierRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = scoredNeighbors(spark, dir, TopK)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val retrieved = annIvfHier(spark, dir).select(col("qid"), col("cid"))
+    exact.join(
+        retrieved.select(col("qid").as("r_qid"), col("cid").as("r_cid")),
+        col("qid") === col("r_qid") && col("cid") === col("r_cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("r_cid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_e4", expr("n_hits * 10000 div n_exact"))
+      .orderBy("qid")
+  }
+
+  /** Generalized cosine SQL (same expression tree as [[cosToSeedSql]],
+    * free column names) for the hierarchical CTEs. */
+  private def cosSqlGen(av: String, an2: String, bv: String, bn2: String): String =
+    s"""CAST(list_reduce(list_transform(range(1, ${Dim + 1}), i -> $av[i] * $bv[i]), (x, y) -> x + y) AS DOUBLE)
+       |             / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))""".stripMargin
+
+  /** Oracle twin of the two-level quantizer: supers (one Lloyd step over
+    * `seeds`, init = first K₂ by seed id), cell→super map, eligible
+    * supers, vector routing, within-super assignment + query ranking —
+    * mirrors superCentroids / cellSuper / hierAssignments. */
+  private def HierCtes: String =
+    s"""hs_init AS (
+       |  SELECT seed_id AS super_id, sv AS hv, sn2 AS hn2 FROM (
+       |    SELECT seed_id, sv, sn2, row_number() OVER (ORDER BY seed_id) AS r
+       |    FROM seeds) i
+       |  WHERE r <= $NumSupers),
+       |hs_mem AS (
+       |  SELECT cell, super_id FROM (
+       |    SELECT c.seed_id AS cell, s.super_id,
+       |           row_number() OVER (PARTITION BY c.seed_id ORDER BY
+       |             ${cosSqlGen("c.sv", "c.sn2", "s.hv", "s.hn2")} DESC,
+       |             s.super_id) AS rnk
+       |    FROM seeds c CROSS JOIN hs_init s) r WHERE rnk = 1),
+       |hs_upd AS (
+       |  SELECT m.super_id, d.dim, count(*) AS n, sum(c.sv[d.dim]) AS sum_q
+       |  FROM hs_mem m JOIN seeds c ON m.cell = c.seed_id
+       |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
+       |  GROUP BY m.super_id, d.dim),
+       |supers AS (
+       |  SELECT super_id, hv,
+       |         list_reduce(list_transform(hv, x -> x * x), (x, y) -> x + y) AS hn2
+       |  FROM (
+       |    SELECT super_id,
+       |           array_agg(CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS hv
+       |    FROM hs_upd GROUP BY super_id) u
+       |  WHERE list_reduce(list_transform(hv, x -> x * x), (x, y) -> x + y) > 0),
+       |csup AS (
+       |  SELECT cell, super_id FROM (
+       |    SELECT c.seed_id AS cell, s.super_id,
+       |           row_number() OVER (PARTITION BY c.seed_id ORDER BY
+       |             ${cosSqlGen("c.sv", "c.sn2", "s.hv", "s.hn2")} DESC,
+       |             s.super_id) AS rnk
+       |    FROM seeds c CROSS JOIN supers s) r WHERE rnk = 1),
+       |esup AS (SELECT DISTINCT super_id FROM csup),
+       |vsup AS (
+       |  SELECT avid, super_id FROM (
+       |    SELECT a.vec_id AS avid, s.super_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             ${cosSqlGen("a.qv", "a.n2", "s.hv", "s.hn2")} DESC,
+       |             s.super_id) AS rnk
+       |    FROM vecs a CROSS JOIN (
+       |      SELECT s.super_id, s.hv, s.hn2 FROM supers s
+       |      JOIN esup e ON s.super_id = e.super_id) s) r
+       |  WHERE rnk = 1),
+       |hscored AS (
+       |  SELECT w.avid, c2.seed_id AS cell,
+       |         ${cosSqlGen("a.qv", "a.n2", "c2.sv", "c2.sn2")} AS cos
+       |  FROM vsup w
+       |  JOIN vecs a ON w.avid = a.vec_id
+       |  JOIN csup x ON w.super_id = x.super_id
+       |  JOIN seeds c2 ON x.cell = c2.seed_id),
+       |hassign AS (
+       |  SELECT avid, cell,
+       |         row_number() OVER (PARTITION BY avid ORDER BY cos DESC, cell) AS rnk
+       |  FROM hscored),
+       |hcells AS (
+       |  SELECT v.vec_id AS cid, h.cell, v.qv AS cv, v.n2 AS cn2
+       |  FROM hassign h JOIN vecs v ON h.avid = v.vec_id WHERE h.rnk = 1),
+       |hprobes AS (
+       |  SELECT avid AS qid, cell AS pcell FROM hassign
+       |  WHERE avid < $NumQueries AND rnk <= $NProbe)""".stripMargin
+
+  def annIvfHierSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$HierCtes,
+       |hsearch AS (
+       |  SELECT p.qid, c.cid, c.cell,
+       |         ${cosSqlGen("q.qv", "q.n2", "c.cv", "c.cn2")} AS cos
+       |  FROM hprobes p
+       |  JOIN vecs q ON p.qid = q.vec_id
+       |  JOIN hcells c ON p.pcell = c.cell AND c.cid <> p.qid),
+       |hranked AS (
+       |  SELECT qid, cid, cell, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM hsearch)
+       |SELECT qid, rnk, cid, cell, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM hranked WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  def annIvfHierRecallSql: String =
+    s"""WITH $VecCte,
+       |$BruteScoredCte,
+       |$IvfTrainCtes,
+       |$HierCtes,
+       |ex AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM bscored) r WHERE rnk <= $TopK),
+       |hsearch AS (
+       |  SELECT p.qid, c.cid,
+       |         ${cosSqlGen("q.qv", "q.n2", "c.cv", "c.cn2")} AS cos
+       |  FROM hprobes p
+       |  JOIN vecs q ON p.qid = q.vec_id
+       |  JOIN hcells c ON p.pcell = c.cell AND c.cid <> p.qid),
+       |ret AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM hsearch) r WHERE rnk <= $TopK)
+       |SELECT e.qid, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 10000 // count(*) AS recall_e4
+       |FROM ex e
+       |LEFT JOIN ret r ON e.qid = r.qid AND e.cid = r.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   def knnClassifySql: String =
     s"""WITH $VecCte,
        |scored AS (
