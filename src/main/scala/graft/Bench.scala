@@ -68,9 +68,24 @@ object Bench {
     // Persist the full line too: the driver's artifact has repeatedly
     // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so
     // the well-formed per-query map must survive somewhere durable.
+    // Subset (--only) runs write to a suffixed name so they never clobber
+    // the last FULL-registry artifact under the default output (round-9
+    // advice).
+    val outDefault =
+      if (only.isEmpty) "BENCH_full_last.json" else "BENCH_subset_last.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_full_last.json")), line + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", outDefault)), line + "\n")
     catch { case _: Throwable => () }
+    // Final line is a COMPACT summary sized to survive the driver's
+    // ~2 KB stdout tail buffer (the full 147-query line is ~6 KB, which
+    // is why BENCH_r7..r9 carried `parsed: null` — the opening brace fell
+    // off the captured tail). Top-cost queries only; the complete map
+    // lives in the durable artifact above and in the full line printed
+    // before this one.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"build_sec":${f(builds.map(_._2).sum)},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,26 +43,41 @@ object Knobs {
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Footer-metadata row count of `dir/table.parquet` (file or directory
-    * of part files); 0 when absent/unreadable. */
-  def rowCount(dir: String, table: String): Long =
-    counts.getOrElseUpdate(s"$dir/$table", {
-      try {
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-        val fs = p.getFileSystem(conf)
-        val files =
-          if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.Path]
-          else if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).map(_.getPath)
-              .filter(f => f.getName.endsWith(".parquet"))
-          else Array(p)
-        files.map { f =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-          try r.getRecordCount finally r.close()
-        }.sum
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-    })
+    * of part files); 0 when absent/unreadable. Only SUCCESSFUL reads are
+    * memoized: a transient IO failure (or a corpus directory populated
+    * after first touch) must not pin floor-sized knobs for the JVM's
+    * lifetime — the failure path re-probes on the next access (round-9
+    * advice). A genuinely missing table re-probes too; that is one cheap
+    * fs.exists per knob read, not a scan. */
+  def rowCount(dir: String, table: String): Long = {
+    val key = s"$dir/$table"
+    counts.get(key) match {
+      case Some(n) => n
+      case None =>
+        val probed =
+          try {
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+            val fs = p.getFileSystem(conf)
+            val files =
+              if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.Path]
+              else if (fs.getFileStatus(p).isDirectory)
+                fs.listStatus(p).map(_.getPath)
+                  .filter(f => f.getName.endsWith(".parquet"))
+              else Array(p)
+            if (files.isEmpty) None
+            else Some(files.map { f =>
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+              try r.getRecordCount finally r.close()
+            }.sum)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        probed match {
+          case Some(n) => counts.putIfAbsent(key, n); n
+          case None => 0L
+        }
+    }
+  }
 
   /** Vector-corpus size (embeddings table) of the current directory. */
   def embCount: Long = if (currentDir.isEmpty) 0L else rowCount(currentDir, "embeddings")

@@ -220,6 +220,20 @@ case class LshSignaturesExpr(child: Expression, weights: Array[Long],
     tables: Int, planes: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
+  // Array fields compare by reference in a case class, which would make
+  // semantically identical instances never equal and defeat Catalyst
+  // canonicalization / common-subexpression elimination of the signature
+  // build (round-9 advice) — compare the weight CONTENTS instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: LshSignaturesExpr =>
+      child == o.child && tables == o.tables && planes == o.planes &&
+        java.util.Arrays.equals(weights, o.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(tables), Int.box(planes),
+      Int.box(java.util.Arrays.hashCode(weights)))
+
   private val dim = weights.length / (tables * planes)
   require(tables * planes * dim == weights.length,
     s"weights length ${weights.length} != tables*planes*dim")

@@ -202,7 +202,10 @@ object Dedup {
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(10000L).as("jaccard_e4"), col("grp").as("size_a"),
         col("grp").as("size_b"),
-        ((col("grp") * (col("grp") - 1)) / lit(2)).cast("long").as("n_pairs"))
+        // integer `div`, not `/`: Spark `/` is double division, exact only
+        // while grp·(grp−1) < 2^53; the oracle's `// 2` is exact integer
+        // arithmetic at any multiplicity (round-9 advice)
+        expr("grp * (grp - 1) div 2").as("n_pairs"))
     cross.unionByName(within).orderBy("rep_a", "rep_b")
   }
 

@@ -828,7 +828,7 @@ object Queries {
     """WITH e AS (
       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events),
       |d AS (
-      |  SELECT ((es // 86400 + 3) % 7 + 7) % 7 AS dow,
+      |  SELECT (((es - ((es % 86400 + 86400) % 86400)) // 86400 + 3) % 7 + 7) % 7 AS dow,
       |         ((es % 86400 + 86400) % 86400) // 3600 AS hour,
       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
       |  FROM e)
