@@ -8,10 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * smoke), so the session confs the engine relies on are (re)applied here at
   * read time:
   *
-  *  - `nanosAsLong`: the events table carries parquet TIMESTAMP(NANOS)
-  *    which Spark 4 otherwise refuses (`PARQUET_TYPE_ILLEGAL`); read as raw
-  *    long nanoseconds and derive microseconds with integer division so the
-  *    DuckDB oracle's `epoch_us(ts)` agrees bit-for-bit.
+  *  - `nanosAsLong`: some testdata generations carry events.ts as parquet
+  *    TIMESTAMP(NANOS) which Spark 4 otherwise refuses
+  *    (`PARQUET_TYPE_ILLEGAL`); read as raw long nanoseconds. Either way
+  *    the engine-internal contract is `ts` = long NANOSECONDS since epoch
+  *    (see `normalizeEventsTs`), so every consumer derives microseconds
+  *    with one integer division and the DuckDB oracle's `epoch_us(ts)`
+  *    agrees bit-for-bit.
   *  - ANSI off: out-of-domain casts degrade to NULL, matching the
   *    reference's tolerant decode path (reference src/forwarder/mod.rs:82-126
   *    skips malformed fields instead of aborting the stream).
@@ -28,6 +31,25 @@ object Tables {
 
   private def rd(spark: SparkSession, dir: String, name: String): DataFrame =
     tune(spark).read.parquet(s"$dir/$name.parquet")
+
+  /** Engine-internal events.ts contract: long NANOSECONDS since epoch.
+    *
+    * The testdata generator has shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) — which `nanosAsLong` surfaces as the raw long the
+    * contract wants — and as TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize the latter at the read boundary
+    * (`unix_micros(cast(.. as timestamp)) * 1000` under the UTC session
+    * zone, the same instant DuckDB's naive `epoch_us(ts)` computes) so
+    * every downstream operator keeps the one `ts div 1000` arithmetic.
+    * Scan-level projection, no shuffle; schema-adaptive so both data
+    * generations read correctly. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) | None => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
 
   /** Source-parallelism guard for tables that feed heavy per-row compute
     * (decode, shingle hashing, vector math): the local testdata is one
@@ -136,7 +158,7 @@ object Tables {
   /** events: event_id, ts (long, ns since epoch), user_id, event_type,
     * value, props (JSON string). */
   def events(s: SparkSession, dir: String): DataFrame =
-    spread(s, rd(s, dir, "events"), s"$dir/events")
+    spread(s, normalizeEventsTs(rd(s, dir, "events")), s"$dir/events")
   def documents(s: SparkSession, dir: String): DataFrame =
     spread(s, rd(s, dir, "documents"), s"$dir/documents")
   def embeddings(s: SparkSession, dir: String): DataFrame =

@@ -89,7 +89,9 @@ object ChangeFeedStream {
     val schema = Tables.tune(spark).read.parquet(dir).schema
     var r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
-    r.parquet(dir)
+    // same long-ns ts contract as the batch reader — scan-level projection,
+    // valid on a streaming frame
+    Tables.normalizeEventsTs(r.parquet(dir))
   }
 
   /** Watermarked tumbling-window counts over a (possibly streaming) events
