@@ -2285,24 +2285,32 @@ object Similarity {
     * double chain (the source_lang_gini convention: floor(1e4·(n·Σxy −
     * Σx·Σy)/n²) with textually identical casts on both engines).
     *
-    * Scale shape: the classic distributed Xᵀ X accumulation — each
-    * partition combines its 2080-key partial sums map-side, so the
-    * shuffle carries 2080 rows per task regardless of corpus size; the
-    * 64×65/2 explode is the flop cost of covariance itself, not
-    * overhead. */
+    * Scale shape: the classic distributed Xᵀ X accumulation, done as ONE
+    * imperative aggregate (graft.functions.GramSumsAgg): each partition
+    * folds its rows into a single `[n, Σxᵢ, Σxᵢxⱼ]` long buffer, the
+    * shuffle carries one ~17 KB array per partition regardless of N, and
+    * the 2080 output rows are unpacked from the single aggregated buffer
+    * by index arithmetic. The earlier declarative form (explode into
+    * dim·(dim+1)/2 structs per row, then hash-aggregate) paid 2080 row
+    * objects per vector and measured 65 s at the 100× point for ~4e8
+    * multiply-adds of actual work; the buffer form is the flop cost
+    * itself. Exact int64 either way — identical output. */
   def embedCovariance(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir)
+      .agg(graft.functions.GramAgg.gramSums(col("qv"), Dim).as("g"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
            |  transform(sequence(i, ${Dim - 1}), j ->
-           |    named_struct('i', i, 'j', j,
-           |      'x', element_at(qv, i + 1), 'y', element_at(qv, j + 1)))))""".stripMargin))
-        .as("p"))
+           |    named_struct('i', i, 'j', j))))""".stripMargin)).as("p"), col("g"))
+      // buffer layout [n, Σx(dim), Σxy(upper triangle row-major)]:
+      // tri(i, j) = i·Dim − i·(i−1)/2 + (j − i); element_at is 1-based
       .select(col("p.i").cast("long").as("dim_i"), col("p.j").cast("long").as("dim_j"),
-        col("p.x").as("x"), col("p.y").as("y"))
-      .groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"),
-        sum(col("x") * col("y")).as("sum_xy"))
+        element_at(col("g"), lit(1)).as("n"),
+        element_at(col("g"), col("p.i") + 2).as("sum_x"),
+        element_at(col("g"), col("p.j") + 2).as("sum_y"),
+        element_at(col("g"),
+          expr(s"CAST(2 + $Dim + p.i * $Dim - (p.i * (p.i - 1)) div 2 + (p.j - p.i) AS INT)"))
+          .as("sum_xy"))
       .withColumn("cov_e4", expr(
         """CAST(floor(1.0e4 * (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
           | / (CAST(n AS DOUBLE) * n)) AS BIGINT)""".stripMargin))
