@@ -155,6 +155,118 @@ object SetJoin {
     within.union(cross).orderBy("doc_a", "doc_b")
   }
 
+  // ---- containment_join: asymmetric set-containment (quote detection) -----
+
+  /** Containment threshold in 1e-4 fixed point (0.8). */
+  val TauCE4 = 8000L
+
+  /** All ORDERED pairs (a, b), a ≠ b, with containment
+    * C(a→b) = |A∩B| / |A| ≥ τc — the asymmetric complement to the
+    * symmetric Jaccard join above: a near-complete quote of document a
+    * inside a much larger b scores C(a→b) ≈ 1 while Jaccard ≈ |A|/|B|
+    * can be arbitrarily small, which is exactly the quote/subset/
+    * boilerplate-inclusion case a dedup pass misses (Broder's
+    * containment coefficient; the probe-prefix candidate scheme is the
+    * asymmetric variant of SSJoin/AllPairs, Vernica et al. SIGMOD'10).
+    *
+    * Candidate generation is PROBE-side prefix only: a pair with
+    * overlap ≥ ⌈τc·s_a⌉ must hit A's first s_a − ⌈τc·s_a⌉ + 1 shingles
+    * under the global (df, shingle) order, so the probe explodes only
+    * that prefix while the INDEX side explodes every shingle — lossless
+    * for the one-directional predicate (each direction is generated
+    * from its own probe prefix; ContainmentJoinSpec pins completeness
+    * against brute force).
+    *
+    * Scale shape: probe join keys are again the globally RAREST shingles
+    * of each probe set, so per-key index fan-out is df(s) of a rare s —
+    * small and near-uniform; candidates = Σ_a Σ_{s∈pref(a)} df(s), not
+    * all-pairs. Identical shingle sets collapse to representatives
+    * before the join (containment is a set function), and the member
+    * expansion at the end is arithmetic re-labeling, direction
+    * preserved. One df groupBy + one prefix window + one equi-join —
+    * the jaccard_prefix cost template with a ~2.5× shorter probe
+    * prefix at τc = 0.8. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sets = triSets(spark, dir)
+    val members = repMembers(spark, dir)
+    val repSets = sets.join(members, "doc_id")
+      .where(col("doc_id") === col("rep"))
+      .select("doc_id", "sh")
+
+    val sized = repSets.select(col("doc_id"), col("sh"),
+      size(col("sh")).cast("long").as("sz"))
+    val ex = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // probe prefix p = s − ⌈τc·s⌉ + 1 under the (df, shingle) order
+    val pref = ex.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .where(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(TauCE4 / 10000.0)).cast("long") + 1)
+      .select(col("doc_id"), col("s"))
+
+    val cand = pref.as("a")
+      .join(ex.select(col("doc_id"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .distinct()
+
+    val repPairs = cand
+      .join(sized.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")),
+        col("ra") === col("doc_id"))
+      .drop("doc_id")
+      .join(sized.select(col("doc_id"), col("sh").as("sh_b")),
+        col("rb") === col("doc_id"))
+      .withColumn("isz", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment_e4",
+        floor(lit(10000.0) * col("isz") / col("sz_a")).cast("long"))
+      .where(col("containment_e4") >= TauCE4)
+      .select("ra", "rb", "containment_e4")
+
+    // identical sets contain each other both ways: ordered within-group pairs
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(10000L).as("containment_e4"))
+
+    // cross-group expansion preserves direction (doc_a side = probe side)
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("containment_e4"))
+
+    within.union(cross).orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: brute-force ordered containment — every ordered pair sharing
+    * ≥1 trigram, exact |A∩B|/|A|, threshold. Lossless-prefix claim, same
+    * as the Jaccard oracle. */
+  val containmentJoinSql: String = {
+    val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(tk) - 1), i -> $triExpr),
+       |      g -> ${TextStats.fpSql("g")})) AS sh
+       |  FROM tk WHERE len(tk) >= $NgramN),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM tri),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS isz
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(floor(10000.0 * isz / sa.sz) AS BIGINT) AS containment_e4
+       |FROM cand
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |WHERE CAST(floor(10000.0 * isz / sa.sz) AS BIGINT) >= $TauCE4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Oracle: brute-force ground truth — every pair sharing ≥1 trigram,
     * exact Jaccard, threshold. The Spark side must reproduce this EXACTLY
     * (the prefix filter is lossless); a hash mismatch here means a recall

@@ -2316,8 +2316,13 @@ object Similarity {
           | / (CAST(n AS DOUBLE) * n)) AS BIGINT)""".stripMargin))
       .orderBy("dim_i", "dim_j")
 
-  def embedCovarianceSql: String =
-    s"""WITH $QvecsCte,
+  /** Shared oracle CTE chain `qvecs → cvv → cvp → cvg` producing the
+    * exact int64 Gram sums per (dim_i ≤ dim_j) — the oracle twin of one
+    * GramSumsAgg buffer, shared by embed_covariance, embed_whiten_audit
+    * and embed_pca_power so the three read BY CONSTRUCTION from the same
+    * sums. */
+  private def CovCtes: String =
+    s"""$QvecsCte,
        |cvv AS (SELECT vec_id, qv FROM qvecs WHERE $N2Sql > 0),
        |cvp AS (
        |  SELECT d.i, d2.j, v.qv[d.i + 1] AS x, v.qv[d2.j + 1] AS y
@@ -2330,11 +2335,153 @@ object Similarity {
        |         CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
        |         CAST(sum(x * y) AS BIGINT) AS sum_xy
-       |  FROM cvp GROUP BY i, j)
+       |  FROM cvp GROUP BY i, j)""".stripMargin
+
+  def embedCovarianceSql: String =
+    s"""WITH $CovCtes
        |SELECT dim_i, dim_j, n, sum_x, sum_y, sum_xy,
        |  CAST(floor(1.0e4 * (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
        |   / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS cov_e4
        |FROM cvg ORDER BY dim_i, dim_j""".stripMargin
+
+  // ---- embed_whiten_audit: per-dim standardization parameters --------------
+
+  /** Whitening/standardization parameter table — per dimension: exact
+    * n/Σx/Σx², the 1e-4-tick mean and population variance, and the
+    * inverse standard deviation in 1e-6 ticks (NULL for a zero-variance
+    * dimension, which a whitening step must drop rather than divide by).
+    * This is the table a `(x - mean) * inv_std` normalization pass and
+    * the PCA audit below both consume; a near-zero inv_std row is the
+    * collapsed-dimension signal that silently degrades every cosine.
+    *
+    * Scale shape: the diagonal unpacked from the SAME one-buffer
+    * GramSumsAgg pass as embed_covariance — one ~17 KB partial per
+    * partition, N-independent shuffle, 64 output rows. Double math is
+    * the shared floor(1e4·…) chain (IEEE *, /, sqrt, floor are
+    * correctly rounded, so Spark and DuckDB agree bit-for-bit). */
+  def embedWhitenAudit(spark: SparkSession, dir: String): DataFrame = {
+    // variance in tick² through ONE textually shared double chain
+    val varD = "(CAST(n AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)" +
+      " / (CAST(n AS DOUBLE) * n)"
+    vectors(spark, dir)
+      .agg(graft.functions.GramAgg.gramSums(col("qv"), Dim).as("g"))
+      .select(explode(expr(s"sequence(0, ${Dim - 1})")).as("i"), col("g"))
+      .select(col("i").cast("long").as("dim_i"),
+        element_at(col("g"), lit(1)).as("n"),
+        element_at(col("g"), col("i") + 2).as("sum_x"),
+        // diagonal entry of the triangle: tri(i, i) = i·Dim − i·(i−1)/2
+        element_at(col("g"),
+          expr(s"CAST(2 + $Dim + i * $Dim - (i * (i - 1)) div 2 AS INT)")).as("sum_xx"))
+      .withColumn("mean_e4",
+        expr("CAST(floor(1.0e4 * CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .withColumn("var_e4", expr(s"CAST(floor(1.0e4 * $varD) AS BIGINT)"))
+      .withColumn("inv_std_e6", expr(
+        s"CASE WHEN $varD > 0 THEN CAST(floor(1.0e6 / sqrt($varD)) AS BIGINT) ELSE NULL END"))
+      .orderBy("dim_i")
+  }
+
+  def embedWhitenAuditSql: String = {
+    val varD = "(CAST(n AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)" +
+      " / (CAST(n AS DOUBLE) * n)"
+    s"""WITH $CovCtes,
+       |whd AS (SELECT dim_i, n, sum_x, sum_xy AS sum_xx FROM cvg WHERE dim_i = dim_j)
+       |SELECT dim_i, n, sum_x, sum_xx,
+       |  CAST(floor(1.0e4 * CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_e4,
+       |  CAST(floor(1.0e4 * $varD) AS BIGINT) AS var_e4,
+       |  CASE WHEN $varD > 0 THEN CAST(floor(1.0e6 / sqrt($varD)) AS BIGINT) ELSE NULL END AS inv_std_e6
+       |FROM whd ORDER BY dim_i""".stripMargin
+  }
+
+  // ---- embed_pca_power: top principal component by power iteration ---------
+
+  /** Top principal component of the embedding space by PcaIters rounds of
+    * power iteration on the covariance matrix — the anisotropy direction
+    * the covariance audit (row above) only hints at. The dominant
+    * direction is what an ABTT-style "remove the top component(s)" postfix
+    * (Mu & Viswanath, ICLR'18 — public) subtracts to de-bias anisotropic
+    * embeddings, and its Rayleigh quotient is the variance it explains.
+    *
+    * Determinism without floating point: the iteration runs on the
+    * `cov_e4` INTEGER matrix both engines already agree on bit-for-bit
+    * (it is embed_covariance's triple-green output), with truncating
+    * integer division — `Long./`, Spark `div` and DuckDB `//` all
+    * truncate toward zero, so every intermediate is identical. Rescaling
+    * divides by `maxAbs div 1e4 + 1` (division only — a multiply-first
+    * form would overflow int64 at |cov_e4| ≈ 4e12), keeping components
+    * in ±1e4; matvec magnitude ≤ 64 · 4e12 · 1e4 ≈ 2.6e18 < 2^63.
+    * Start vector = all-ones (1e4): deterministic, and non-orthogonal to
+    * the top component for any realistic covariance.
+    *
+    * Scale shape: ONE distributed pass (the shared GramSumsAgg buffer)
+    * then O(Dim²) driver arithmetic on the N-INDEPENDENT 2080-value
+    * aggregate — the same rule that lets Lloyd training pull k×Dim
+    * centroid sums. Output is Dim rows; nothing else leaves the
+    * executors. Cov magnitude does not grow with N (it is a population
+    * covariance), so the int64 headroom holds at any corpus size. */
+  val PcaIters = 3
+
+  def embedPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val m = Array.ofDim[Long](Dim, Dim)
+    embedCovariance(spark, dir).select("dim_i", "dim_j", "cov_e4").collect()
+      .foreach { r =>
+        val i = r.getLong(0).toInt
+        val j = r.getLong(1).toInt
+        m(i)(j) = r.getLong(2)
+        m(j)(i) = r.getLong(2)
+      }
+    def matvec(v: Array[Long]): Array[Long] = Array.tabulate(Dim) { i =>
+      var s = 0L
+      var j = 0
+      while (j < Dim) { s += m(i)(j) * v(j); j += 1 }
+      s
+    }
+    var v = Array.fill(Dim)(10000L)
+    for (_ <- 1 to PcaIters) {
+      val w = matvec(v)
+      val s = w.map(math.abs).max / 10000L + 1L
+      v = w.map(_ / s)
+    }
+    val w4 = matvec(v)
+    val num = (0 until Dim).map(i => v(i) * (w4(i) / 1000000L)).sum
+    val den = v.map(x => x * x).sum / 1000000L
+    val ray = if (den == 0L) 0L else num / den
+    import spark.implicits._
+    (0 until Dim).map(i => (i.toLong, v(i), ray))
+      .toDF("dim_i", "pc1_e4", "rayleigh_cov_e4")
+  }
+
+  def embedPcaPowerSql: String = {
+    val matvec = (vk: String, wk: String) =>
+      s"""$wk AS (
+         |  SELECT mf.i AS i, CAST(SUM(mf.m * v.val) AS BIGINT) AS w
+         |  FROM mfull mf JOIN $vk v ON mf.j = v.j GROUP BY mf.i)""".stripMargin
+    val step = (k: Int) =>
+      s"""${matvec(s"v${k - 1}", s"w$k")},
+         |s$k AS (SELECT MAX(ABS(w)) // 10000 + 1 AS s FROM w$k),
+         |v$k AS (SELECT w$k.i AS j, w$k.w // s$k.s AS val FROM w$k, s$k)""".stripMargin
+    val steps = (1 to PcaIters).map(step).mkString(",\n")
+    s"""WITH $CovCtes,
+       |covm AS (
+       |  SELECT dim_i, dim_j,
+       |    CAST(floor(1.0e4 * (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+       |     / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS m
+       |  FROM cvg),
+       |mfull AS (
+       |  SELECT dim_i AS i, dim_j AS j, m FROM covm
+       |  UNION ALL
+       |  SELECT dim_j AS i, dim_i AS j, m FROM covm WHERE dim_i <> dim_j),
+       |v0 AS (SELECT CAST(unnest(range(0, $Dim)) AS BIGINT) AS j,
+       |              CAST(10000 AS BIGINT) AS val),
+       |$steps,
+       |${matvec(s"v$PcaIters", "wf")},
+       |rayn AS (SELECT CAST(SUM(v.val * (w.w // 1000000)) AS BIGINT) AS num
+       |         FROM v$PcaIters v JOIN wf w ON v.j = w.i),
+       |rayd AS (SELECT CAST(SUM(val * val) AS BIGINT) // 1000000 AS den FROM v$PcaIters)
+       |SELECT v.j AS dim_i, v.val AS pc1_e4,
+       |       CASE WHEN rayd.den = 0 THEN 0 ELSE rayn.num // rayd.den END AS rayleigh_cov_e4
+       |FROM v$PcaIters v, rayn, rayd
+       |ORDER BY dim_i""".stripMargin
+  }
 
   // ---- label_noise: cell-scoped kNN label audit ----------------------------
 
