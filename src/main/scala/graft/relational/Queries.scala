@@ -805,8 +805,8 @@ object Queries {
     * groupBy on a ≤168-key composite — nothing at fact scale survives
     * the shuffle. */
   def eventsDowHour(spark: SparkSession, dir: String): DataFrame =
-    // ts reads as int64 NANOSECONDS on the Spark side (parquet NANOS
-    // timestamps resolve to LongType) while DuckDB sees a TIMESTAMP —
+    // ts is int64 NANOSECONDS on the Spark side (the Tables.events
+    // normalized contract) while DuckDB sees a TIMESTAMP —
     // floor-to-seconds on both sides lands on the identical integer
     // FLOOR-division formulation throughout (pmod is nonnegative, and
     // (x − pmod(x, n)) div n is exact floor-div): Spark's `div`/`%`

@@ -96,7 +96,7 @@ object ChangeFeedStream {
 
   /** Watermarked tumbling-window counts over a (possibly streaming) events
     * frame — the streaming twin of `streamWindowCounts`. events.ts is raw
-    * nanoseconds (Tables.nanosAsLong), rebuilt into a proper timestamp for
+    * nanoseconds (the Tables.events normalized contract), rebuilt into a proper timestamp for
     * Spark's event-time machinery. */
   def windowCounts(events: DataFrame): DataFrame =
     events
