@@ -185,4 +185,94 @@ object Sketches {
        |FROM est JOIN x ON est.event_type = x.event_type
        |ORDER BY est.event_type""".stripMargin
   }
+
+  // ---- hll_merge: sketch mergeability certification -----------------------
+
+  /** Register-wise MERGE of per-group HLL sketches, certified against a
+    * directly-built global sketch — the property that makes HLL the
+    * 100 TB distinct-count answer: per-partition/per-shard/per-day
+    * sketches combine by bucket-wise max into exactly the sketch a
+    * single global pass would build (max is associative/commutative/
+    * idempotent), so distinct counts distribute, re-aggregate across
+    * time windows, and never double-count.
+    *
+    * The certification is cross-engine: the SPARK side computes the
+    * 'ALL' row by MERGING the per-event_type registers (groupBy bucket,
+    * max of per-group maxima — never touching raw rows again), while
+    * the ORACLE builds the 'ALL' registers directly from the base table.
+    * Hash equality between the two IS the numeric proof of the merge
+    * identity. Per-type rows (elements = user_id, which overlap heavily
+    * across types) ride along, so the output also shows why naive
+    * per-group estimate SUMS over-count while the merge does not.
+    *
+    * Scale shape: one scan → (type, bucket) partial maxima with map-side
+    * combine (≤ types × 64 rows shuffle); the merge is a second groupBy
+    * over that tiny frame. The exact countDistinct columns are the
+    * verification affordance, not the scale path. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mix2 = s"user_id % $HllP * $HllM2 % $HllP"
+    val regs = ev
+      .select(col("event_type"),
+        expr(s"user_id % $HllP * $HllM1 % $HllP % $HllBuckets").as("bucket"),
+        expr(rhoSql(mix2)).as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("rho_max"))
+    def estimate(byGroup: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      byGroup
+        .groupBy(key.as("scope"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - rho_max AS INT))"))
+          .as("s_present"),
+          count(lit(1)).as("n_buckets"))
+        .withColumn("s_total",
+          col("s_present") + (lit(HllBuckets.toLong) - col("n_buckets")) * lit(1L << 40))
+        .withColumn("hll_est", expr(estSql))
+        .select("scope", "hll_est")
+    val perType = estimate(regs, col("event_type"))
+      .join(ev.groupBy(col("event_type").as("scope"))
+        .agg(countDistinct("user_id").as("n_exact")), Seq("scope"))
+    // THE merge: bucket-wise max of the per-group registers
+    val mergedRegs = regs.groupBy("bucket").agg(max("rho_max").as("rho_max"))
+    val merged = estimate(mergedRegs, lit("ALL"))
+      .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
+    perType.unionByName(merged)
+      .select(col("scope"), col("n_exact"), col("hll_est"),
+        expr(errSql).as("err_e4"))
+      .orderBy("scope")
+  }
+
+  val hllMergeSql: String = {
+    val mix2 = s"user_id % $HllP * $HllM2 % $HllP"
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         user_id % $HllP * $HllM1 % $HllP % $HllBuckets AS bucket,
+       |         ${rhoSql(mix2)} AS rho
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type AS scope, bucket, max(rho) AS rho_max
+       |  FROM b GROUP BY event_type, bucket),
+       |mall AS (
+       |  SELECT 'ALL' AS scope, bucket, max(rho) AS rho_max
+       |  FROM b GROUP BY bucket),
+       |mu AS (SELECT * FROM m UNION ALL SELECT * FROM mall),
+       |s AS (
+       |  SELECT scope,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(40 - rho_max AS INT)) AS BIGINT) AS s_present,
+       |         count(*) AS n_buckets
+       |  FROM mu GROUP BY scope),
+       |e AS (
+       |  SELECT scope,
+       |         s_present + ($HllBuckets - n_buckets) * (CAST(1 AS BIGINT) << 40) AS s_total
+       |  FROM s),
+       |est AS (
+       |  SELECT scope, $estSql AS hll_est FROM e),
+       |x AS (
+       |  SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY event_type
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope, count(DISTINCT user_id) AS n_exact FROM events)
+       |SELECT est.scope, x.n_exact, est.hll_est, $errSql AS err_e4
+       |FROM est JOIN x ON est.scope = x.scope
+       |ORDER BY est.scope""".stripMargin
+  }
 }
