@@ -55,6 +55,115 @@ case class LongDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack an ArrayType(LongType) of int16-range values into a little-endian
+  * 2-byte-per-element BINARY — the shuffle-compact twin of the qv array.
+  *
+  * Why: a 64-dim quantized vector is 512 B + offsets as array<long> but
+  * 128 B as packed int16s (components are 1e-4 ticks of unit-norm floats,
+  * so |x| ≤ 10000 < 2^15 by construction). On the LSH pair path the
+  * candidate side re-shuffles one vector payload PER CANDIDATE PAIR —
+  * at 100× that is tens of millions of rows, and payload width is the
+  * shuffle. Out-of-range input throws (fail-loud: silent truncation
+  * would corrupt every downstream cosine). */
+case class PackShortsExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_shorts"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      if (x < Short.MinValue || x > Short.MaxValue)
+        throw new IllegalArgumentException(s"pack_shorts: $x out of int16 range")
+      out(2 * i) = (x & 0xff).toByte
+      out(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n * 2];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i);
+         |  if ($x < java.lang.Short.MIN_VALUE || $x > java.lang.Short.MAX_VALUE)
+         |    throw new IllegalArgumentException("pack_shorts: out of int16 range");
+         |  $out[2 * $i] = (byte) ($x & 0xff);
+         |  $out[2 * $i + 1] = (byte) (($x >> 8) & 0xff);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Int64 dot product over two pack_shorts BINARY vectors — bit-identical
+  * to LongDotExpr over the arrays they were packed from (int16 values are
+  * exact in the int64 accumulation), at one quarter of the shuffle
+  * bytes. */
+case class ShortDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] =
+    Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "short_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length) / 2
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val xi = ((x(2 * i) & 0xff) | (x(2 * i + 1) << 8)).toShort.toLong
+      val yi = ((y(2 * i) & 0xff) | (y(2 * i + 1) << 8)).toShort.toLong
+      s += xi * yi
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length) / 2;
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xi = (short) (($a[2 * $i] & 0xff) | ($a[2 * $i + 1] << 8));
+         |  long $yi = (short) (($b[2 * $i] & 0xff) | ($b[2 * $i + 1] << 8));
+         |  $s += $xi * $yi;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Squared L2 distance over two int64 arrays — the exact-distance twin of
   * LongDotExpr, with the same whole-stage-codegen loop body (the oracle's
   * list_reduce/list_transform formulation is interpreted per row; the
@@ -451,6 +560,13 @@ object HashExprs {
   def longL2(a: Column, b: Column): Column =
     GraftShim.column(
       LongL2Expr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def packShorts(a: Column): Column =
+    GraftShim.column(PackShortsExpr(GraftShim.expression(a)))
+
+  def shortDot(a: Column, b: Column): Column =
+    GraftShim.column(
+      ShortDotExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
   def byteRollHash(s: Column, prime: Long, mod: Long): Column =
     GraftShim.column(

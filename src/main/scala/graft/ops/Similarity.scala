@@ -103,6 +103,10 @@ object Similarity {
       base.withColumn("buckets",
         graft.functions.HashExprs.lshSignatures(
           col("qv"), flat, NumTables, PlanesPerTable))
+        // qs: the int16-packed twin of qv (128 B vs 512 B + offsets) for
+        // the pair paths that re-shuffle a vector payload per CANDIDATE —
+        // same integers, so every dot/cosine is bit-identical
+        .withColumn("qs", graft.functions.HashExprs.packShorts(col("qv")))
     }
 
   private def cosine(dotC: Column, na2: Column, nb2: Column): Column =
@@ -172,10 +176,16 @@ object Similarity {
           col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
             && col("aid") < col("bid"))
         .groupBy("aid", "bid").agg(count(lit(1)).as("n_tbl"))
-      val pa = v.select(col("vec_id").as("aid"), col("qv").as("qa"), col("n2").as("na2"))
-      val pb = v.select(col("vec_id").as("bid"), col("qv").as("qb"), col("n2").as("nb2"))
+      // ship the PACKED vector through the per-candidate shuffles: the
+      // candidate side re-shuffles one payload per pair (tens of millions
+      // of rows at 100×), so payload width IS the build cost — 128 B
+      // packed vs 512 B + offsets as array<long>, bit-identical dots
+      val pa = v.select(col("vec_id").as("aid"), col("qs").as("qa"), col("n2").as("na2"))
+      val pb = v.select(col("vec_id").as("bid"), col("qs").as("qb"), col("n2").as("nb2"))
       cand.join(pa, "aid").join(pb, "bid")
-        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+        .withColumn("cos", cosine(
+          graft.functions.HashExprs.shortDot(col("qa"), col("qb")),
+          col("na2"), col("nb2")))
         .select("aid", "bid", "n_tbl", "cos")
     }
 

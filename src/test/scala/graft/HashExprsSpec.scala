@@ -66,4 +66,32 @@ class HashExprsSpec extends SparkSpec {
       a.indices.map(j => set.map(x => (a(j) * x + b(j)) % P).min).toSeq)
     assert(got === want)
   }
+
+  test("short_dot over pack_shorts equals long_dot over the arrays") {
+    val s = spark
+    import s.implicits._
+    val vs = Seq(
+      (Array(1L, -2L, 3L, 10000L), Array(-4L, 5L, -6L, -10000L)),
+      (Array(0L, 0L, 0L, 0L), Array(7L, 8L, 9L, 10L)),
+      (Array(32767L, -32768L, 1L, -1L), Array(1L, 1L, 1L, 1L)))
+    val df = vs.toDF("a", "b")
+    val got = df.select(
+      HashExprs.shortDot(HashExprs.packShorts(col("a")),
+        HashExprs.packShorts(col("b"))).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = df.select(HashExprs.longDot(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+  }
+
+  test("pack_shorts throws on out-of-int16-range input") {
+    val s = spark
+    import s.implicits._
+    val ex = intercept[Exception] {
+      Seq(Array(40000L)).toDF("a")
+        .select(HashExprs.packShorts(col("a"))).collect()
+    }
+    assert(ex.getMessage.contains("pack_shorts") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("pack_shorts"))
+  }
 }
