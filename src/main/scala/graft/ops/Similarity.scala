@@ -203,6 +203,59 @@ object Similarity {
       .orderBy("aid", "rnk")
   }
 
+  // ---- lsh_bucket_stats: LSH sizing-rule health audit ----------------------
+
+  /** Per-table LSH bucket statistics — the observable behind the
+    * self-sizing rule (Knobs.lshPlanes/lshTables target bucket
+    * population B ≈ 32): per table, the occupied-bucket count, maximum
+    * and mean population, singleton count, and — the number the whole
+    * family budgets by — `cand_pairs` = Σ_buckets C(pop, 2), the EXACT
+    * per-table candidate-join size scoredPairs will generate. Read this
+    * before trusting an LSH run at a new corpus size: a max_pop in the
+    * thousands or a cand_pairs far above N·B/2 means the plane
+    * derivation knee was missed (skewed/duplicated vectors) and the
+    * pair join below will pay for it.
+    *
+    * Scale shape: one posexplode of the already-memoized signature
+    * column → a (tbl, bucket) count with map-side combine → a
+    * NumTables-row rollup. Nothing vector-sized shuffles. */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("pop"))
+      .groupBy(col("tbl").cast("long").as("tbl"))
+      .agg(sum("pop").as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max("pop").as("max_pop"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(expr("pop * (pop - 1) div 2")).as("cand_pairs"))
+      .withColumn("mean_pop_e4", expr(
+        "CAST(floor(1.0e4 * CAST(n_vectors AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS BIGINT)"))
+      .orderBy("tbl")
+
+  def lshBucketStatsSql: String = {
+    val perTable = (0 until NumTables)
+      .map(t => s"SELECT $t AS tbl, bucket$t AS bucket FROM vecs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $VecCte,
+       |lbx AS (
+       |  $perTable),
+       |lbp AS (
+       |  SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS pop
+       |  FROM lbx GROUP BY tbl, bucket),
+       |lbs AS (
+       |  SELECT CAST(tbl AS BIGINT) AS tbl,
+       |         CAST(sum(pop) AS BIGINT) AS n_vectors,
+       |         CAST(count(*) AS BIGINT) AS n_buckets,
+       |         CAST(max(pop) AS BIGINT) AS max_pop,
+       |         CAST(sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+       |         CAST(sum(pop * (pop - 1) // 2) AS BIGINT) AS cand_pairs
+       |  FROM lbp GROUP BY tbl)
+       |SELECT tbl, n_vectors, n_buckets, max_pop, singletons, cand_pairs,
+       |  CAST(floor(1.0e4 * CAST(n_vectors AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS BIGINT) AS mean_pop_e4
+       |FROM lbs ORDER BY tbl""".stripMargin
+  }
+
   // ---- embed_cosine_dup: banded-LSH near-dup pairs --------------------------
 
   val DupThresholdE6 = 300000L // cos >= 0.30
