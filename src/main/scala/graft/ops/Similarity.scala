@@ -1966,7 +1966,11 @@ object Similarity {
       .agg(count(lit(1)).as("n_common"))
     // every ordered method pair appears even at zero overlap
     val pairs = sizes.select(col("method").as("method_a"), col("n").as("n_a"))
-      .crossJoin(sizes.select(col("method").as("method_b"), col("n").as("n_b")))
+      // broadcast the 4-row side: keeps the registry's zero-CartesianProduct
+      // plan invariant (an unhinted crossJoin of two tiny aggregates plans
+      // as CartesianProduct even when both sides are 4 rows)
+      .crossJoin(broadcast(
+        sizes.select(col("method").as("method_b"), col("n").as("n_b"))))
       .where(col("method_a") < col("method_b"))
     pairs.join(common, Seq("method_a", "method_b"), "left")
       .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
