@@ -915,6 +915,77 @@ object Pipeline {
        |FROM exact e JOIN ests s ON e.lang = s.lang
        |ORDER BY e.lang""".stripMargin
 
+  // ---- quantile_merge: histogram-sketch mergeability certification --------
+
+  /** Cell-wise MERGE of per-source token-length histograms into the
+    * global quantile sketch — the property that makes the fixed-memory
+    * histogram the 100 TB quantile answer: per-shard/per-source/per-day
+    * histograms combine by cell-wise SUM into exactly the histogram a
+    * single global pass would build (counts are associative), so
+    * quantile estimates re-aggregate across any partitioning of the
+    * corpus without a re-scan. The hll_merge certification pattern,
+    * applied to the second sketch family: the SPARK side computes the
+    * 'ALL' row by summing the per-source cell counts (never re-touching
+    * documents), the ORACLE builds the global histogram directly from
+    * the base table — hash equality is the numeric proof of the merge
+    * identity.
+    *
+    * Scale shape: one map-side-combined (source, cell) groupBy — at most
+    * sources × QSketchBuckets rows shuffle — then a cell-keyed rollup of
+    * that tiny frame; estimates are the standard cumulative-window read
+    * over ≤ QSketchBuckets rows per scope. */
+  def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("b", least(lit(QSketchBuckets - 1), expr(s"n_tokens div $QSketchW")))
+      .groupBy("source", "b").agg(count(lit(1)).as("n_b"))
+    // THE merge: cell-wise sum of the per-source sketches
+    val merged = hist.groupBy("b").agg(sum("n_b").as("n_b"))
+      .withColumn("scope", lit("ALL"))
+    val all = hist.select(col("source").as("scope"), col("b"), col("n_b"))
+      .unionByName(merged.select("scope", "b", "n_b"))
+    val wCum = Window.partitionBy("scope").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    all
+      .withColumn("cum", sum("n_b").over(wCum))
+      .withColumn("n", sum("n_b").over(Window.partitionBy("scope")))
+      .groupBy("scope")
+      .agg(max("n").as("n_docs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"),
+          col("b") * QSketchW + (QSketchW - 1))).as("p50_est"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"),
+          col("b") * QSketchW + (QSketchW - 1))).as("p90_est"))
+      .orderBy("scope")
+  }
+
+  val quantileMergeSql: String =
+    s"""WITH qmt AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |qmh AS (
+       |  SELECT source AS scope,
+       |         least(${QSketchBuckets - 1}, n_tokens // $QSketchW) AS b,
+       |         CAST(count(*) AS BIGINT) AS n_b
+       |  FROM qmt GROUP BY source, b
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope,
+       |         least(${QSketchBuckets - 1}, n_tokens // $QSketchW) AS b,
+       |         CAST(count(*) AS BIGINT) AS n_b
+       |  FROM qmt GROUP BY b),
+       |qmc AS (
+       |  SELECT scope, b, n_b,
+       |         CAST(sum(n_b) OVER (PARTITION BY scope ORDER BY b
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(n_b) OVER (PARTITION BY scope) AS BIGINT) AS n
+       |  FROM qmh)
+       |SELECT scope, CAST(max(n) AS BIGINT) AS n_docs,
+       |       min(CASE WHEN cum >= (n + 1) // 2
+       |                THEN b * $QSketchW + ${QSketchW - 1} END) AS p50_est,
+       |       min(CASE WHEN cum >= (n * 9 + 9) // 10
+       |                THEN b * $QSketchW + ${QSketchW - 1} END) AS p90_est
+       |FROM qmc GROUP BY scope
+       |ORDER BY scope""".stripMargin
+
   // ---- source_lang_gini: per-source language diversity --------------------
 
   /** Language diversity per source, scored by Gini impurity — 1 − Σpᵢ²,
