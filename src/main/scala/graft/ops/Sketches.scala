@@ -209,15 +209,25 @@ object Sketches {
     * combine (≤ types × 64 rows shuffle); the merge is a second groupBy
     * over that tiny frame. The exact countDistinct columns are the
     * verification affordance, not the scale path. */
-  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** Per-(event_type, bucket) HLL register maxima over user_id — the
+    * sketch state itself, factored so the BATCH merge certification
+    * (hll_merge) and the STREAMING twin (HllStreamSpec) aggregate the
+    * selfsame frame: `max` is a streaming-safe aggregate, so this exact
+    * declaration runs unmodified under readStream with bounded state
+    * (≤ types × HllBuckets rows), which is the incremental-sketch
+    * serving path at 100 TB. */
+  private[graft] def hllUserRegisters(ev: DataFrame): DataFrame = {
     val mix2 = s"user_id % $HllP * $HllM2 % $HllP"
-    val regs = ev
-      .select(col("event_type"),
+    ev.select(col("event_type"),
         expr(s"user_id % $HllP * $HllM1 % $HllP % $HllBuckets").as("bucket"),
         expr(rhoSql(mix2)).as("rho"))
       .groupBy("event_type", "bucket")
       .agg(max("rho").as("rho_max"))
+  }
+
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val regs = hllUserRegisters(ev)
     def estimate(byGroup: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
       byGroup
         .groupBy(key.as("scope"))
