@@ -108,19 +108,19 @@ object Sketches {
     2L -> graft.functions.HashExprs.Mix2,
     3L -> graft.functions.HashExprs.Mix3)
 
-  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    // four consumers below (three cells branches + the top-K readback):
-    // memoized so the per-token aggregation + fingerprint run once
-    val tokN = graft.Tables.memoPersist(spark, s"sketches.tokn:$dir") {
+  /** Global token counts + fingerprint, memoized (shared by the sketch
+    * build, both readbacks, and the top-K). */
+  private def tokN(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.memoPersist(spark, s"sketches.tokn:$dir") {
       Ngrams.tokenCounts(spark, dir)
         .withColumn("th", TextStats.fingerprint(col("tok")))
     }
-    val cells = CmsMixes.map { case (j, m) =>
-      tokN.select(lit(j).as("row_idx"),
-        (col("th") * m % TextStats.FpMod % CmsWidth).as("pos"), col("n"))
-    }.reduce(_ union _)
-      .groupBy("row_idx", "pos").agg(sum("n").as("cell"))
-    val top = tokN.orderBy(col("n").desc, col("tok")).limit(CmsTopK)
+
+  /** Top-K exact tokens read back against a (row_idx, pos, cell) sketch:
+    * estimate = min over the three row cells, always ≥ exact. */
+  private def cmsReadback(spark: SparkSession, dir: String,
+      cells: DataFrame): DataFrame = {
+    val top = tokN(spark, dir).orderBy(col("n").desc, col("tok")).limit(CmsTopK)
     val joined = CmsMixes.foldLeft(top) { case (acc, (j, m)) =>
       acc.join(broadcast(
         cells.where(col("row_idx") === j)
@@ -133,6 +133,50 @@ object Sketches {
         (col("cms_n") - col("n")).as("over_n"))
       .orderBy(col("exact_n").desc, col("tok"))
   }
+
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cells = CmsMixes.map { case (j, m) =>
+      tokN(spark, dir).select(lit(j).as("row_idx"),
+        (col("th") * m % TextStats.FpMod % CmsWidth).as("pos"), col("n"))
+    }.reduce(_ union _)
+      .groupBy("row_idx", "pos").agg(sum("n").as("cell"))
+    cmsReadback(spark, dir, cells)
+  }
+
+  // ---- cms_merge: count-min-sketch linearity certification ----------------
+
+  /** Cell-wise SUM-merge of per-source count-min sketches into the
+    * global sketch — the third member of the sketch-algebra trilogy
+    * (hll_merge: register max; quantile_merge: histogram sum; here: CMS
+    * is LINEAR, Σ_sources CMS(source) = CMS(corpus) cell for cell, so
+    * per-shard sketches re-aggregate and even subtract for corpus
+    * diffs). The SPARK side builds one sketch per source from
+    * source-scoped token counts and merges them; the ORACLE is the
+    * direct global build (cms_topk's own SQL verbatim) — hash equality
+    * on the top-K readback through the MERGED sketch is the numeric
+    * proof of linearity.
+    *
+    * Scale shape: the per-source sketch frame is ≤ sources × 3 × 1024
+    * rows; everything upstream is the map-side-combined token
+    * aggregation the CMS family already pays. */
+  def cmsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val srcTok = Ngrams.tfFrame(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source", "tok").agg(sum("tf").as("n"))
+      .withColumn("th", TextStats.fingerprint(col("tok")))
+    val srcCells = CmsMixes.map { case (j, m) =>
+      srcTok.select(col("source"), lit(j).as("row_idx"),
+        (col("th") * m % TextStats.FpMod % CmsWidth).as("pos"), col("n"))
+    }.reduce(_ union _)
+      .groupBy("source", "row_idx", "pos").agg(sum("n").as("cell"))
+    // THE merge: cell-wise sum of the per-source sketches
+    val merged = srcCells.groupBy("row_idx", "pos").agg(sum("cell").as("cell"))
+    cmsReadback(spark, dir, merged)
+  }
+
+  /** Oracle: the DIRECT global sketch (cms_topk's SQL, verbatim) — the
+    * Spark side must reproduce it from the per-source merge exactly. */
+  def cmsMergeSql: String = cmsTopkSql
 
   val cmsTopkSql: String = {
     val posOf = (m: Long) => s"th * $m % ${TextStats.FpMod} % $CmsWidth"
