@@ -146,4 +146,32 @@ object Knobs {
     val n = docCount
     if (n <= 0) 16 else math.max(16, math.min(40, ceilLog2(n / 8.0)))
   }
+
+  /** The knob operating point as (knob, value) rows, in both sides of
+    * the gate: the Spark frame evaluates the derivations at query time,
+    * and the generated oracle SQL (same JVM, after noteDir) interpolates
+    * the SAME values as literals — so every CORRECTNESS artifact records
+    * the sizing the run actually used, and any Spark/oracle knob split
+    * (the failure class the round-9 derived-knob work guards against)
+    * becomes a visible hash mismatch instead of a silent plan
+    * divergence. */
+  private def knobRows: Seq[(String, Long)] = Seq(
+    "doc_count" -> docCount,
+    "emb_count" -> embCount,
+    "ivf_cells" -> ivfCells.toLong,
+    "lsh_planes" -> lshPlanes.toLong,
+    "lsh_tables" -> lshTables.toLong,
+    "simhash_bucket_bits" -> simhashBucketBits.toLong)
+
+  def knobReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    noteDir(dir)
+    import spark.implicits._
+    knobRows.sortBy(_._1).toDF("knob", "value")
+  }
+
+  def knobReportSql: String =
+    knobRows.sortBy(_._1)
+      .map { case (k, v) => s"SELECT '$k' AS knob, CAST($v AS BIGINT) AS value" }
+      .mkString("\nUNION ALL ") + "\nORDER BY knob"
 }
