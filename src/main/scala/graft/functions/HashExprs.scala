@@ -395,6 +395,111 @@ case class LshSignaturesExpr(child: Expression, weights: Array[Long],
     copy(child = newChild)
 }
 
+/** Fused nearest-centroid assignment: argmax over a plan-time-constant
+  * centroid table of the EXACT cosine chain the join formulation
+  * computes — cos = dot / (sqrt(n2) · sqrt(sn2)), ties to the smaller
+  * seed id — as one codegen loop per row.
+  *
+  * Why: the declarative form is crossJoin(broadcast(seeds)) → N×cells
+  * joined rows through a max-struct aggregate. At the 100× point that
+  * is 156M materialized rows for what is arithmetically one loop over
+  * the centroid table per vector; the expression keeps the centroids as
+  * a reference object (the LshSignaturesExpr pattern) and emits only
+  * the winning seed id. The double chain is textually the same IEEE
+  * expression tree, so the assignment — including rounding-created
+  * cosine TIES and their smaller-id resolution — is bit-identical to
+  * the join+aggregate and to the DuckDB oracle. */
+case class NearestCellExpr(left: Expression, right: Expression,
+    seedIds: Array[Long], flatVecs: Array[Long], norms: Array[Long], dim: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(seedIds.length == norms.length &&
+    flatVecs.length == seedIds.length * dim, "centroid table shape mismatch")
+
+  // array fields compare by reference in a case class — content-compare
+  // so Catalyst canonicalization/CSE see identical assignments as equal
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCellExpr =>
+      left == o.left && right == o.right && dim == o.dim &&
+        java.util.Arrays.equals(seedIds, o.seedIds) &&
+        java.util.Arrays.equals(flatVecs, o.flatVecs) &&
+        java.util.Arrays.equals(norms, o.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(seedIds)),
+      Int.box(java.util.Arrays.hashCode(flatVecs)),
+      Int.box(java.util.Arrays.hashCode(norms)))
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] =
+    Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val an2 = b.asInstanceOf[Long]
+    val n = math.min(qv.numElements(), dim)
+    val sa = math.sqrt(an2.toDouble)
+    var bestCos = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var c = 0
+    while (c < seedIds.length) {
+      var dot = 0L
+      val off = c * dim
+      var i = 0
+      while (i < n) { dot += qv.getLong(i) * flatVecs(off + i); i += 1 }
+      val cos = dot.toDouble / (sa * math.sqrt(norms(c).toDouble))
+      if (cos > bestCos || (cos == bestCos && seedIds(c) < bestId)) {
+        bestCos = cos
+        bestId = seedIds(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ids = ctx.addReferenceObj("ncIds", seedIds, "long[]")
+      val vecs = ctx.addReferenceObj("ncVecs", flatVecs, "long[]")
+      val nr = ctx.addReferenceObj("ncNorms", norms, "long[]")
+      val n = ctx.freshName("n")
+      val sa = ctx.freshName("sa")
+      val bestCos = ctx.freshName("bestCos")
+      val bestId = ctx.freshName("bestId")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double $sa = java.lang.Math.sqrt((double) $b);
+         |double $bestCos = java.lang.Double.NEGATIVE_INFINITY;
+         |long $bestId = java.lang.Long.MAX_VALUE;
+         |for (int $c = 0; $c < $ids.length; $c++) {
+         |  long $dot = 0L;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $vecs[$off + $i];
+         |  }
+         |  double $cos = (double) $dot / ($sa * java.lang.Math.sqrt((double) $nr[$c]));
+         |  if ($cos > $bestCos || ($cos == $bestCos && $ids[$c] < $bestId)) {
+         |    $bestCos = $cos;
+         |    $bestId = $ids[$c];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused bigram-shingle hashing: from a token array, the distinct rolling
   * byte hashes of every adjacent pair "tokᵢ tokᵢ₊₁", in first-seen order.
   * Equivalent to transform(sequence)+concat+roll-hash+array_distinct but
@@ -587,4 +692,9 @@ object HashExprs {
   def lshSignatures(qv: Column, weights: Array[Long], tables: Int, planes: Int): Column =
     GraftShim.column(
       LshSignaturesExpr(GraftShim.expression(qv), weights, tables, planes))
+
+  def nearestCell(qv: Column, n2: Column, seedIds: Array[Long],
+      flatVecs: Array[Long], norms: Array[Long], dim: Int): Column =
+    GraftShim.column(NearestCellExpr(GraftShim.expression(qv),
+      GraftShim.expression(n2), seedIds, flatVecs, norms, dim))
 }

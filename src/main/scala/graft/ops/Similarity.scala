@@ -313,13 +313,33 @@ object Similarity {
     * reduces per partition and shuffles one partial row per vector. Same
     * rank-1 choice by construction: struct max is lexicographic, so the
     * largest cos wins and a cos tie falls to the smallest seed_id. */
-  private def nearestCell(v: DataFrame, seeds: DataFrame): DataFrame =
-    v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
-      .crossJoin(broadcast(seeds))
-      .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
-      .groupBy("avid")
-      .agg(max(struct(col("cos"), (-col("seed_id")).as("neg"))).as("m"))
-      .select(col("avid"), (-col("m").getField("neg")).as("seed_id"))
+  /** Nearest-centroid assignment as ONE fused codegen argmax
+    * (NearestCellExpr): the centroid table — a bounded, plan-time frame
+    * (≤ ⌈4√N⌉ rows by the ivfCells cap) — is collected once and embedded
+    * as a reference object, and each vector row emits only its winning
+    * seed id. The former crossJoin(broadcast)+max-struct form
+    * materialized N×cells joined rows (156M at the 100× point) for what
+    * is one loop per vector; the expression computes the IDENTICAL
+    * IEEE cosine chain and smaller-id tie-break, so assignments —
+    * including rounding-created ties — are bit-identical to the join
+    * form and to the oracle. The collect here is the same data movement
+    * the broadcast already did, one hop earlier. */
+  private def nearestCell(v: DataFrame, seeds: DataFrame): DataFrame = {
+    val rows = seeds.select("seed_id", "sv", "sn2").collect()
+    require(rows.nonEmpty, "nearestCell: empty centroid table")
+    val ids = rows.map(_.getLong(0))
+    val norms = rows.map(_.getLong(2))
+    val flat = new Array[Long](rows.length * Dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val sv = r.getSeq[Long](1)
+      var i = 0
+      while (i < Dim && i < sv.length) { flat(c * Dim + i) = sv(i); i += 1 }
+    }
+    v.select(col("vec_id").as("avid"),
+      graft.functions.HashExprs
+        .nearestCell(col("qv"), col("n2"), ids, flat, norms, Dim)
+        .as("seed_id"))
+  }
 
   private def lloydStep(v: DataFrame, seeds: DataFrame): DataFrame = {
     val members = nearestCell(v, seeds)
