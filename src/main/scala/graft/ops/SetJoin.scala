@@ -130,28 +130,60 @@ object SetJoin {
     * — the prefix theorem holds for ANY consistent global order, and
     * rep-df is the better order anyway (copy counts no longer inflate a
     * shingle's frequency rank). */
+  /** Default contract is REP level since round 10 (the dedup_minhash
+    * round-9 precedent, forced by the 1000× stress point: at 1000
+    * copies per document the expanded report is ~2.5e9 rows — exponent
+    * 1.1 per 10× data BY CONTRACT while the search underneath is
+    * rep-collapsed and flat). One row per DISTINCT-content pair:
+    * cross-group rows carry the verified Jaccard plus both group sizes
+    * and n_pairs = size_a·size_b; duplicate-group rows (rep_a = rep_b,
+    * J = 1) carry C(size, 2). Σ n_pairs ≡ the expanded report's row
+    * count exactly (SetJoinSpec pins it). Consumers that need every
+    * (copy_a, copy_b) row read [[jaccardPrefixPairsFull]]. */
   def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("grp"))
+    val cross = repCrossPairs(spark, dir)
+      .join(sizes.select(col("rep").as("ra"), col("grp").as("size_a")), "ra")
+      .join(sizes.select(col("rep").as("rb"), col("grp").as("size_b")), "rb")
+      .select(col("ra").as("rep_a"), col("rb").as("rep_b"), col("jaccard_e4"),
+        col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+    val within = sizes.where(col("grp") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(10000L).as("jaccard_e4"), col("grp").as("size_a"),
+        col("grp").as("size_b"),
+        expr("grp * (grp - 1) div 2").as("n_pairs"))
+    within.unionByName(cross).orderBy("rep_a", "rep_b")
+  }
+
+  /** Verified rep-level cross-group pairs (ra < rb), shared by the
+    * default rep contract and the expanded variant. */
+  private def repCrossPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = triSets(spark, dir)
     val members = repMembers(spark, dir)
     val repSets = sets.join(members, "doc_id")
       .where(col("doc_id") === col("rep"))
       .select("doc_id", "sh")
-
-    val repPairs = prefixJoin(repSets)
+    prefixJoin(repSets)
       .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
+  }
 
+  /** Expanded per-copy pair report — the pre-round-10 contract, opt-in:
+    * output is quadratic in duplicate multiplicity by construction;
+    * built by rep-collapse + arithmetic re-expansion so only the RESULT
+    * rows are quadratic, never the candidate search. */
+  def jaccardPrefixPairsFull(spark: SparkSession, dir: String): DataFrame = {
+    val members = repMembers(spark, dir)
     val within = members.as("a")
       .join(members.as("b"),
         col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(10000L).as("jaccard_e4"))
-
-    val cross = repPairs
+    val cross = repCrossPairs(spark, dir)
       .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
       .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("jaccard_e4"))
-
     within.union(cross).orderBy("doc_a", "doc_b")
   }
 
@@ -186,7 +218,31 @@ object SetJoin {
     * preserved. One df groupBy + one prefix window + one equi-join —
     * the jaccard_prefix cost template with a ~2.5× shorter probe
     * prefix at τc = 0.8. */
+  /** Default contract is REP level since round 10 (see jaccardPrefix):
+    * one row per DISTINCT-content ORDERED pair with group sizes and the
+    * implied expanded count — cross rows n_pairs = size_a·size_b,
+    * mutual-containment duplicate groups (rep_a = rep_b, C = 1) carry
+    * size·(size−1) ordered pairs. Σ n_pairs ≡ the expanded report's
+    * row count (ContainmentJoinSpec pins it). */
   def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("grp"))
+    val cross = containmentRepCrossPairs(spark, dir)
+      .join(sizes.select(col("rep").as("ra"), col("grp").as("size_a")), "ra")
+      .join(sizes.select(col("rep").as("rb"), col("grp").as("size_b")), "rb")
+      .select(col("ra").as("rep_a"), col("rb").as("rep_b"),
+        col("containment_e4"), col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+    val within = sizes.where(col("grp") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(10000L).as("containment_e4"), col("grp").as("size_a"),
+        col("grp").as("size_b"),
+        expr("grp * (grp - 1)").as("n_pairs"))
+    within.unionByName(cross).orderBy("rep_a", "rep_b")
+  }
+
+  /** Verified rep-level ordered cross pairs (probe rep → index rep),
+    * shared by the default rep contract and the expanded variant. */
+  private def containmentRepCrossPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = triSets(spark, dir)
     val members = repMembers(spark, dir)
     val repSets = sets.join(members, "doc_id")
@@ -212,7 +268,7 @@ object SetJoin {
       .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .distinct()
 
-    val repPairs = cand
+    cand
       .join(sized.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")),
         col("ra") === col("doc_id"))
       .drop("doc_id")
@@ -223,27 +279,31 @@ object SetJoin {
         floor(lit(10000.0) * col("isz") / col("sz_a")).cast("long"))
       .where(col("containment_e4") >= TauCE4)
       .select("ra", "rb", "containment_e4")
+  }
 
+  /** Expanded per-copy ordered pair report — opt-in, output-quadratic
+    * in duplicate multiplicity by contract; rep-collapsed search,
+    * direction-preserving arithmetic expansion. */
+  def containmentJoinPairsFull(spark: SparkSession, dir: String): DataFrame = {
+    val members = repMembers(spark, dir)
     // identical sets contain each other both ways: ordered within-group pairs
     val within = members.as("a")
       .join(members.as("b"),
         col("a.rep") === col("b.rep") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(10000L).as("containment_e4"))
-
     // cross-group expansion preserves direction (doc_a side = probe side)
-    val cross = repPairs
+    val cross = containmentRepCrossPairs(spark, dir)
       .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
       .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("containment_e4"))
-
     within.union(cross).orderBy("doc_a", "doc_b")
   }
 
   /** Oracle: brute-force ordered containment — every ordered pair sharing
     * ≥1 trigram, exact |A∩B|/|A|, threshold. Lossless-prefix claim, same
     * as the Jaccard oracle. */
-  val containmentJoinSql: String = {
+  val containmentJoinPairsFullSql: String = {
     val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
     s"""WITH tk AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
@@ -271,7 +331,7 @@ object SetJoin {
     * exact Jaccard, threshold. The Spark side must reproduce this EXACTLY
     * (the prefix filter is lossless); a hash mismatch here means a recall
     * hole, which is the whole claim under test. */
-  val jaccardPrefixSql: String = {
+  val jaccardPrefixPairsFullSql: String = {
     val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
     s"""WITH tk AS (
        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
@@ -294,5 +354,82 @@ object SetJoin {
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(floor(10000.0 * isz / (sa.sz + sb.sz - isz)) AS BIGINT) >= $TauE4
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+  /** Oracle for the REP-level default: brute force over DISTINCT shingle
+    * sets (rep = min doc_id per identical sorted set), plus the
+    * arithmetic within-group rows — the r9 dedup_minhash oracle shape. */
+  val jaccardPrefixSql: String = {
+    val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(tk) - 1), i -> $triExpr),
+       |      g -> ${TextStats.fpSql("g")})) AS sh
+       |  FROM tk WHERE len(tk) >= $NgramN),
+       |reps AS (
+       |  SELECT list_sort(sh) AS key, min(doc_id) AS rep,
+       |         CAST(count(*) AS BIGINT) AS sz
+       |  FROM tri GROUP BY list_sort(sh)),
+       |rex AS (SELECT rep, unnest(key) AS s FROM reps),
+       |rsz AS (SELECT rep, CAST(len(key) AS BIGINT) AS nsh, sz FROM reps),
+       |cand AS (
+       |  SELECT a.rep AS ra, b.rep AS rb, CAST(count(*) AS BIGINT) AS isz
+       |  FROM rex a JOIN rex b ON a.s = b.s AND a.rep < b.rep
+       |  GROUP BY 1, 2),
+       |jc AS (
+       |  SELECT ra, rb,
+       |         CAST(floor(10000.0 * isz / (sa.nsh + sb.nsh - isz)) AS BIGINT) AS jaccard_e4,
+       |         sa.sz AS size_a, sb.sz AS size_b
+       |  FROM cand
+       |  JOIN rsz sa ON sa.rep = ra
+       |  JOIN rsz sb ON sb.rep = rb
+       |  WHERE CAST(floor(10000.0 * isz / (sa.nsh + sb.nsh - isz)) AS BIGINT) >= $TauE4)
+       |SELECT ra AS rep_a, rb AS rep_b, jaccard_e4, size_a, size_b,
+       |       size_a * size_b AS n_pairs
+       |FROM jc
+       |UNION ALL
+       |SELECT rep, rep, CAST(10000 AS BIGINT), sz, sz, sz * (sz - 1) // 2
+       |FROM reps WHERE sz > 1
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
+
+  /** Oracle for the REP-level ordered containment default. */
+  val containmentJoinSql: String = {
+    val triExpr = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len(tk) - 1), i -> $triExpr),
+       |      g -> ${TextStats.fpSql("g")})) AS sh
+       |  FROM tk WHERE len(tk) >= $NgramN),
+       |reps AS (
+       |  SELECT list_sort(sh) AS key, min(doc_id) AS rep,
+       |         CAST(count(*) AS BIGINT) AS sz
+       |  FROM tri GROUP BY list_sort(sh)),
+       |rex AS (SELECT rep, unnest(key) AS s FROM reps),
+       |rsz AS (SELECT rep, CAST(len(key) AS BIGINT) AS nsh, sz FROM reps),
+       |cand AS (
+       |  SELECT a.rep AS ra, b.rep AS rb, CAST(count(*) AS BIGINT) AS isz
+       |  FROM rex a JOIN rex b ON a.s = b.s AND a.rep <> b.rep
+       |  GROUP BY 1, 2),
+       |cc AS (
+       |  SELECT ra, rb,
+       |         CAST(floor(10000.0 * isz / sa.nsh) AS BIGINT) AS containment_e4,
+       |         sa.sz AS size_a, sb.sz AS size_b
+       |  FROM cand
+       |  JOIN rsz sa ON sa.rep = ra
+       |  JOIN rsz sb ON sb.rep = rb
+       |  WHERE CAST(floor(10000.0 * isz / sa.nsh) AS BIGINT) >= $TauCE4)
+       |SELECT ra AS rep_a, rb AS rep_b, containment_e4, size_a, size_b,
+       |       size_a * size_b AS n_pairs
+       |FROM cc
+       |UNION ALL
+       |SELECT rep, rep, CAST(10000 AS BIGINT), sz, sz, sz * (sz - 1)
+       |FROM reps WHERE sz > 1
+       |ORDER BY rep_a, rep_b""".stripMargin
   }
 }

@@ -30,22 +30,28 @@ class ContainmentJoinSpec extends SparkSpec {
       .select("doc_a", "doc_b", "containment_e4")
   }
 
-  test("containment join equals ordered brute force at sf0.001") {
-    val got = SetJoin.containmentJoin(spark, Sf0001).collect().map(_.toSeq).toSet
+  test("expanded variant equals ordered brute force at sf0.001") {
+    val got = SetJoin.containmentJoinPairsFull(spark, Sf0001).collect().map(_.toSeq).toSet
     val want = bruteForce(Sf0001).collect().map(_.toSeq).toSet
     assert(got === want)
     assert(want.nonEmpty, "test corpus has no contained pairs — spec is vacuous")
   }
 
+  test("rep-level default: sum of n_pairs equals the expanded row count") {
+    val rep = SetJoin.containmentJoin(spark, Sf0001).collect()
+    val full = SetJoin.containmentJoinPairsFull(spark, Sf0001).count()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum === full)
+  }
+
   test("containment is asymmetric and the symmetric subset matches Jaccard=1 groups") {
-    val rows = SetJoin.containmentJoin(spark, Sf0001).collect()
+    val rows = SetJoin.containmentJoinPairsFull(spark, Sf0001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(rows.keys.forall { case (a, b) => a != b }, "self-pair emitted")
     // C(a→b) = C(b→a) = 1 ⟺ identical sets ⟹ the Jaccard join sees them too
     val mutualFull = rows.collect {
       case ((a, b), c) if c == 10000L && rows.get((b, a)).contains(10000L) && a < b => (a, b)
     }.toSet
-    val jac1 = SetJoin.jaccardPrefix(spark, Sf0001).collect()
+    val jac1 = SetJoin.jaccardPrefixPairsFull(spark, Sf0001).collect()
       .filter(_.getLong(2) == 10000L)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mutualFull === jac1)

@@ -32,15 +32,26 @@ class SetJoinSpec extends SparkSpec {
       .select("doc_a", "doc_b", "jaccard_e4")
   }
 
-  test("prefix-filter join equals brute force at sf0.001 (completeness + precision)") {
-    val got = SetJoin.jaccardPrefix(spark, Sf0001).collect().map(_.toSeq).toSet
+  test("expanded variant equals brute force at sf0.001 (completeness + precision)") {
+    val got = SetJoin.jaccardPrefixPairsFull(spark, Sf0001).collect().map(_.toSeq).toSet
     val want = bruteForce(Sf0001).collect().map(_.toSeq).toSet
     assert(got === want)
     assert(want.nonEmpty, "test corpus has no planted near-dup pairs — spec is vacuous")
   }
 
-  test("returned pairs are ordered, deduplicated, and above threshold") {
-    val rows = SetJoin.jaccardPrefix(spark, Sf0001).collect()
+  test("rep-level default: sum of n_pairs equals the expanded row count") {
+    val rep = SetJoin.jaccardPrefix(spark, Sf0001).collect()
+    val full = SetJoin.jaccardPrefixPairsFull(spark, Sf0001).count()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum === full)
+    // cross rows carry the same Jaccard as the expanded report's rep pair
+    rep.foreach { r =>
+      assert(r.getAs[Long]("jaccard_e4") >= SetJoin.TauE4)
+      assert(r.getAs[Long]("size_a") >= 1L && r.getAs[Long]("size_b") >= 1L)
+    }
+  }
+
+  test("expanded pairs are ordered, deduplicated, and above threshold") {
+    val rows = SetJoin.jaccardPrefixPairsFull(spark, Sf0001).collect()
     val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.toSeq === keys.toSeq.sorted, "output not ordered by (doc_a, doc_b)")
     assert(keys.distinct.length === keys.length, "duplicate pairs in output")
