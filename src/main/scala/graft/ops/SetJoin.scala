@@ -156,17 +156,22 @@ object SetJoin {
     within.unionByName(cross).orderBy("rep_a", "rep_b")
   }
 
+  /** Representative shingle-set frame (one row per DISTINCT set),
+    * memoized: the 1000× point showed the sets×members collapse join —
+    * a shuffle of the full array-carrying corpus frame — re-running per
+    * consumer query; every rep-level search below starts here. */
+  private[graft] def repSetsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"setjoin.repsets:$dir") {
+      triSets(spark, dir).join(repMembers(spark, dir), "doc_id")
+        .where(col("doc_id") === col("rep"))
+        .select("doc_id", "sh")
+    }
+
   /** Verified rep-level cross-group pairs (ra < rb), shared by the
     * default rep contract and the expanded variant. */
-  private def repCrossPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sets = triSets(spark, dir)
-    val members = repMembers(spark, dir)
-    val repSets = sets.join(members, "doc_id")
-      .where(col("doc_id") === col("rep"))
-      .select("doc_id", "sh")
-    prefixJoin(repSets)
+  private def repCrossPairs(spark: SparkSession, dir: String): DataFrame =
+    prefixJoin(repSetsFrame(spark, dir))
       .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
-  }
 
   /** Expanded per-copy pair report — the pre-round-10 contract, opt-in:
     * output is quadratic in duplicate multiplicity by construction;
@@ -243,13 +248,7 @@ object SetJoin {
   /** Verified rep-level ordered cross pairs (probe rep → index rep),
     * shared by the default rep contract and the expanded variant. */
   private def containmentRepCrossPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sets = triSets(spark, dir)
-    val members = repMembers(spark, dir)
-    val repSets = sets.join(members, "doc_id")
-      .where(col("doc_id") === col("rep"))
-      .select("doc_id", "sh")
-
-    val sized = repSets.select(col("doc_id"), col("sh"),
+    val sized = repSetsFrame(spark, dir).select(col("doc_id"), col("sh"),
       size(col("sh")).cast("long").as("sz"))
     val ex = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
