@@ -28,7 +28,7 @@ def main():
     if added:
         print("added:", ", ".join(f"{k} ({qn[k]:.2f}s)" for k in added))
     if removed:
-        print("removed:", ", ".join(added and removed or removed))
+        print("removed:", ", ".join(f"{k} ({qo[k]:.2f}s)" for k in removed))
 
     deltas = sorted(
         ((qn[k] - qo[k], k) for k in set(qo) & set(qn)

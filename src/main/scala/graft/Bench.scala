@@ -56,6 +56,30 @@ object Bench {
       name -> math.max(0.0, wall - mine.map(_._2).sum)
     }
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // Regression self-accounting (round-10 verdict #8): diff this run's
+    // per-query walls against the PRIOR full-registry artifact (read
+    // before it is overwritten below; override via GRAFT_BENCH_PREV) and
+    // carry the top deltas in the artifact itself, so a slower round is
+    // flagged in-artifact instead of needing a separate bench_diff pass.
+    // sf0.1 walls swing ±2-5 s run-to-run on this box (measured A/B/C,
+    // round 11), so only deltas ≥ 1 s on queries ≥ 0.25 s are listed.
+    val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV", "BENCH_full_last.json")
+    val regressions: Seq[(String, Double, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevPath))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        val pq = node.get("queries")
+        if (pq == null) Seq.empty
+        else results.flatMap { case (k, v) =>
+          Option(pq.get(k)).map(_.asDouble).collect {
+            case old if v - old >= 1.0 && math.max(v, old) >= 0.25 => (k, old, v)
+          }
+        }.sortBy { case (_, old, v) => old - v }.take(8)
+      } catch { case _: Throwable => Seq.empty }
+    val regs = regressions
+      .map { case (k, old, v) => s"""${JsonUtil.q(k)}:{"old":${f(old)},"new":${f(v)}}""" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val bs = builds.map { case (k, v) => s"${JsonUtil.q("_build:" + k)}:${f(v)}" }
       .mkString("{", ",", "}")
@@ -63,7 +87,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + builds.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}"""
     println(line)
     // Persist the full line too: the driver's artifact has repeatedly
     // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so
@@ -85,7 +109,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"build_sec":${f(builds.map(_._2).sum)},"queries":$top,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"build_sec":${f(builds.map(_._2).sum)},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

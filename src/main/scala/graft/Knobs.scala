@@ -36,9 +36,41 @@ object Knobs {
   @volatile private var currentDir: String = ""
 
   /** Record the corpus directory whose derived knobs subsequent plan
-    * builds and oracle-SQL generation should read. */
+    * builds and oracle-SQL generation should read.
+    *
+    * Flip hardening (round-10 advice): the var is process-wide, so a
+    * driver interleaving two corpora in one JVM would silently re-knob
+    * plans built for the other corpus. A flip between differing
+    * non-empty dirs is therefore ALLOWED only when every derived knob
+    * value is identical under both (the test suites' corpora all sit
+    * below the derivation knees, where floors make this true; Verify and
+    * Bench are single-directory) — otherwise fail loud instead of
+    * letting the race corrupt a plan/oracle pair. Deliberate sequential
+    * multi-corpus use can opt out via GRAFT_ALLOW_DIR_FLIP=1. */
   def noteDir(dir: String): Unit =
-    if (dir != null && dir.nonEmpty && dir != currentDir) currentDir = dir
+    if (dir != null && dir.nonEmpty && dir != currentDir) {
+      val prev = currentDir
+      if (prev.nonEmpty && derivedKnobs(prev) != derivedKnobs(dir) &&
+          !sys.env.get("GRAFT_ALLOW_DIR_FLIP").contains("1"))
+        throw new IllegalStateException(
+          s"Knobs.noteDir: corpus flip $prev -> $dir changes derived knob " +
+            s"values (${derivedKnobs(prev)} -> ${derivedKnobs(dir)}); one " +
+            "corpus per JVM is the contract. Set GRAFT_ALLOW_DIR_FLIP=1 " +
+            "for deliberate sequential multi-corpus use.")
+      currentDir = dir
+    }
+
+  /** The derived (post-env-override) knob tuple a given corpus dir
+    * yields — the flip-safety comparison key. */
+  private def derivedKnobs(dir: String): (Int, Int, Int, Int) = {
+    def emb = rowCount(dir, "embeddings")
+    def doc = rowCount(dir, "documents")
+    (envInt("GRAFT_IVF_CELLS").getOrElse(ivfCellsFor(emb)),
+      envInt("GRAFT_LSH_PLANES").getOrElse(lshPlanesFor(emb)),
+      envInt("GRAFT_LSH_TABLES").getOrElse(lshTablesFor(
+        envInt("GRAFT_LSH_PLANES").getOrElse(lshPlanesFor(emb)))),
+      envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse(simhashBucketBitsFor(doc)))
+  }
 
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -106,8 +138,9 @@ object Knobs {
     * is the honest single-level answer. Floor 8 = the historical
     * default (binds for every corpus below 2048 vectors, so the
     * sf0.001/sf0.01/sf0.1 gates are byte-stable vs fixed-knob rounds). */
-  def ivfCells: Int = envInt("GRAFT_IVF_CELLS").getOrElse {
-    val n = embCount
+  def ivfCells: Int = envInt("GRAFT_IVF_CELLS").getOrElse(ivfCellsFor(embCount))
+
+  private def ivfCellsFor(n: Long): Int = {
     val pop = envInt("GRAFT_IVF_CELL_POP").getOrElse(256).max(1)
     val linear = math.ceil(n.toDouble / pop).toLong
     val sqrtCap = math.ceil(4.0 * math.sqrt(n.toDouble)).toLong
@@ -121,18 +154,20 @@ object Knobs {
     * p = 25; the documented 100 TB operating point (p ≈ 18) trades more
     * per-bucket work for recall — certify with ann_recall, override via
     * GRAFT_LSH_PLANES. */
-  def lshPlanes: Int = envInt("GRAFT_LSH_PLANES").getOrElse {
-    val n = embCount
+  def lshPlanes: Int = envInt("GRAFT_LSH_PLANES").getOrElse(lshPlanesFor(embCount))
+
+  private def lshPlanesFor(n: Long): Int =
     if (n <= 0) 6 else math.max(6, ceilLog2(n / 32.0))
-  }
 
   /** LSH table count: raising p for scale lowers per-table collision
     * probability (1−θ/π)^p, so recall is bought back by raising L with
     * it — one extra table per extra plane past the floor, capped at 16
     * (the documented 100 TB setting). Fixed 8 below the p-knee, so
     * small corpora are byte-stable. */
-  def lshTables: Int = envInt("GRAFT_LSH_TABLES").getOrElse(
-    math.min(16, 8 + math.max(0, lshPlanes - 6)))
+  def lshTables: Int = envInt("GRAFT_LSH_TABLES").getOrElse(lshTablesFor(lshPlanes))
+
+  private def lshTablesFor(planes: Int): Int =
+    math.min(16, 8 + math.max(0, planes - 6))
 
   /** SimHash single-probe bucket width in bits: ⌈log2(N/8)⌉ targets ~8
     * DISTINCT fingerprints per bucket (duplicate fingerprints are
@@ -142,10 +177,11 @@ object Knobs {
     * bits). Cap 40: the bucket must stay well inside the 63-bit
     * fingerprint so the recall heuristic retains a meaningful low-bit
     * "don't care" region. */
-  def simhashBucketBits: Int = envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse {
-    val n = docCount
+  def simhashBucketBits: Int =
+    envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse(simhashBucketBitsFor(docCount))
+
+  private def simhashBucketBitsFor(n: Long): Int =
     if (n <= 0) 16 else math.max(16, math.min(40, ceilLog2(n / 8.0)))
-  }
 
   /** The knob operating point as (knob, value) rows, in both sides of
     * the gate: the Spark frame evaluates the derivations at query time,

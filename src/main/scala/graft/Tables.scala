@@ -26,6 +26,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // The ts contract must be self-contained: normalizeEventsTs casts a
+    // TIMESTAMP_NTZ column through the SESSION zone, so an embedder on a
+    // non-UTC machine would shift every event instant unless UTC is
+    // pinned here too (round-10 advice), not only in Bench/Verify.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

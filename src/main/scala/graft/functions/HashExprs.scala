@@ -440,6 +440,12 @@ case class NearestCellExpr(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val qv = a.asInstanceOf[ArrayData]
     val an2 = b.asInstanceOf[Long]
+    // Precondition (round-10 advice): a zero probe norm makes every cosine
+    // 0/0 = NaN and the argmax would silently emit the Long.MaxValue
+    // sentinel as a seed id. Callers filter n2 > 0 (Similarity.vectors);
+    // fail loud here so unfiltered input can never fabricate an id.
+    if (an2 <= 0L) throw new IllegalArgumentException(
+      "nearest_cell: probe norm must be > 0 (filter zero vectors first)")
     val n = math.min(qv.numElements(), dim)
     val sa = math.sqrt(an2.toDouble)
     var bestCos = Double.NegativeInfinity
@@ -475,6 +481,10 @@ case class NearestCellExpr(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val cos = ctx.freshName("cos")
       s"""
+         |if ($b <= 0L) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cell: probe norm must be > 0 (filter zero vectors first)");
+         |}
          |int $n = java.lang.Math.min($a.numElements(), $dim);
          |double $sa = java.lang.Math.sqrt((double) $b);
          |double $bestCos = java.lang.Double.NEGATIVE_INFINITY;

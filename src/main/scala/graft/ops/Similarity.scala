@@ -326,7 +326,13 @@ object Similarity {
     * the broadcast already did, one hop earlier. */
   private def nearestCell(v: DataFrame, seeds: DataFrame): DataFrame = {
     val rows = seeds.select("seed_id", "sv", "sn2").collect()
-    require(rows.nonEmpty, "nearestCell: empty centroid table")
+    // Degenerate-input contract (round-10 advice): the replaced
+    // crossJoin(broadcast(seeds)) form lazily produced an EMPTY
+    // assignment for an empty corpus/seed sample; preserve that instead
+    // of throwing at plan-build time.
+    if (rows.isEmpty)
+      return v.select(col("vec_id").as("avid"), lit(null).cast("long").as("seed_id"))
+        .where(lit(false))
     val ids = rows.map(_.getLong(0))
     val norms = rows.map(_.getLong(2))
     val flat = new Array[Long](rows.length * Dim)

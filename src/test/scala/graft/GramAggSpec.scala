@@ -6,7 +6,14 @@ import org.apache.spark.sql.functions._
 /** GramSumsAgg (the one-buffer XᵀX aggregate behind embed_covariance)
   * must be bit-identical to the declarative explode+groupBy covariance
   * it replaced — the imperative buffer is a performance rewrite, not a
-  * semantics change. */
+  * semantics change.
+  *
+  * Precondition for the equivalence (round-10 advice): every input array
+  * has EXACTLY Dim elements. GramSumsAgg skips a shorter-than-Dim row
+  * entirely (n not incremented), while the declarative form counts such
+  * rows in `n` with NULL-skipped sums — identical here only because
+  * `Similarity.quant` always emits exactly Dim elements. The claim is
+  * input-shape-dependent, not a general short-row equivalence. */
 class GramAggSpec extends SparkSpec {
 
   test("gram_sums covariance equals the declarative explode formulation") {
