@@ -169,6 +169,22 @@ object Knobs {
   private def lshTablesFor(planes: Int): Int =
     math.min(16, 8 + math.max(0, planes - 6))
 
+  /** Flat→hierarchical IVF routing threshold (cells). Below it the
+    * assignment is the exact flat argmax over every cell (NearestCellExpr
+    * with the centroid table as a codegen reference object); at or above
+    * it the two-level router (row 162: super-route + within-super argmax)
+    * takes over — the flat table would be ~cells×64×8 B per executor
+    * (unguarded broadcast growth, round-10 verdict) and the flat
+    * assignment cost N×cells dots, vs the router's ~2N√cells. Default
+    * 4096 ⇒ table ≤ 2 MB and the switch engages exactly where the
+    * derived ivfCells curve leaves the flat-affordable regime (the 1000×
+    * stress point's 5657 cells routes hierarchically; every gate corpus
+    * and the 100× point stay flat and byte-stable). The knob_report row
+    * `ivf_route_hier` records the mode both engines resolved. */
+  def ivfRouteHierCells: Int = envInt("GRAFT_IVF_ROUTE_CELLS").getOrElse(4096)
+
+  def ivfRouteHier: Boolean = ivfCells >= ivfRouteHierCells
+
   /** SimHash single-probe bucket width in bits: ⌈log2(N/8)⌉ targets ~8
     * DISTINCT fingerprints per bucket (duplicate fingerprints are
     * rep-collapsed before the bucket join — see Dedup.scala — so the
@@ -195,6 +211,7 @@ object Knobs {
     "doc_count" -> docCount,
     "emb_count" -> embCount,
     "ivf_cells" -> ivfCells.toLong,
+    "ivf_route_hier" -> (if (ivfRouteHier) 1L else 0L),
     "lsh_planes" -> lshPlanes.toLong,
     "lsh_tables" -> lshTables.toLong,
     "simhash_bucket_bits" -> simhashBucketBits.toLong)

@@ -38,13 +38,16 @@ object Dedup {
   // ---- dedup_exact --------------------------------------------------------
 
   /** Exact dedup on normalized text: one row per distinct document with the
-    * keeper (min doc_id) and copy count. */
+    * keeper (min doc_id) and copy count. Rides the memoized [[textGroups]]
+    * frame (round-10 verdict #4: this query independently re-normalized the
+    * full text column — a 3 s wall at the 1000× point): trep IS the group's
+    * min doc_id by construction, so the report is a count over an
+    * already-persisted (doc_id, trep) long frame, no text re-scan. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), norm.as("norm"))
-      .groupBy("norm")
-      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .select("keeper_doc_id", "n_copies")
+    textGroups(spark, dir)
+      .groupBy("trep")
+      .agg(count(lit(1)).as("n_copies"))
+      .select(col("trep").as("keeper_doc_id"), col("n_copies"))
       .orderBy("keeper_doc_id")
 
   val dedupExactSql: String =

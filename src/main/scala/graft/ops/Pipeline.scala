@@ -25,6 +25,24 @@ object Pipeline {
   val MaxTokens = 90
   val MinStopE4 = 500L
 
+  /** (doc_id, source, lang, n_tokens) — the whitespace token count every
+    * planning operator keys on, materialized ONCE per (session, dir).
+    * Eleven registry queries need nothing but this narrow frame, and each
+    * was independently re-reading and re-splitting the full text column —
+    * the two largest 1000×-stress walls (quantile_merge 8.0 s, round-10
+    * verdict #4) were exactly this re-tokenization. The persisted frame
+    * is four int/short-string columns (no text), so it is RAM-trivial at
+    * any corpus scale and every consumer below becomes a groupBy/window
+    * over longs. The oracle SQL for those consumers still derives counts
+    * from `documents` directly, so the correctness gate re-proves the
+    * equivalence per query. */
+  private[ops] def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"docs.tokens:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    }
+
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(col("text"), " "))
     val nStop = TextStats.hits(TextStats.Stopwords("en"))
@@ -109,10 +127,7 @@ object Pipeline {
       col("stop_ratio_e4") >= MinStopE4)
 
   def packSequences(spark: SparkSession, dir: String): DataFrame =
-    packWindow(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+    packWindow(docTokens(spark, dir).select("doc_id", "lang", "n_tokens"))
       .orderBy("doc_id")
 
   // ---- source_mix: data-mixing plan per source ----------------------------
@@ -128,8 +143,8 @@ object Pipeline {
     * multiply-divide then floor — bit-identical across engines while the
     * token totals stay under 2^53 (≈9e15 tokens ≫ any real corpus). */
   def sourceMix(spark: SparkSession, dir: String): DataFrame = {
-    val perSrc = Tables.documents(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perSrc = docTokens(spark, dir)
+      .select("source", "n_tokens")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
     val all = Window.partitionBy()
@@ -176,9 +191,8 @@ object Pipeline {
   val NumShards = 8
 
   def shardAssign(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+    docTokens(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
         (col("doc_id") % HashModPrime * HashMult % HashModPrime % NumShards).as("shard"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
@@ -242,9 +256,8 @@ object Pipeline {
   val WeightedK = 25
 
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docTokens(spark, dir)
+      .select("doc_id", "lang", "n_tokens")
       .where(col("n_tokens") > 0)
       .withColumn("wkey", expr(s"(doc_id % $HashModPrime * $HashMult % $HashModPrime) * 1000000 div n_tokens"))
       .withColumn("rnk", row_number().over(
@@ -283,9 +296,8 @@ object Pipeline {
     * language. The quantile and winsorize operators both consume this, so
     * the tie-break and tokenizer cannot desynchronize between them. */
   private def rankedByTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docTokens(spark, dir)
+      .select("doc_id", "lang", "n_tokens")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
@@ -441,8 +453,8 @@ object Pipeline {
     * double chain both engines share. Corpus-side cost is one map-side
     * -combined groupBy; everything after runs on #sources rows. */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val perSrc = Tables.documents(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perSrc = docTokens(spark, dir)
+      .select("source", "n_tokens")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
       .withColumn("temp_w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
@@ -507,8 +519,8 @@ object Pipeline {
   val TokenBudget = 10000000L
 
   def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
-    val perSrc = Tables.documents(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perSrc = docTokens(spark, dir)
+      .select("source", "n_tokens")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
       .withColumn("temp_w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
@@ -573,8 +585,7 @@ object Pipeline {
   val CurriculumRankBuckets = 8
 
   def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val docs = docTokens(spark, dir).select("doc_id", "n_tokens")
     val bucketed = docs
       .repartitionByRange(CurriculumRankBuckets, col("n_tokens").asc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -856,8 +867,8 @@ object Pipeline {
   val QSketchBuckets = 256L
 
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.documents(spark, dir)
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val hist = docTokens(spark, dir)
+      .select("lang", "n_tokens")
       .withColumn("b", least(lit(QSketchBuckets - 1), expr(s"n_tokens div $QSketchW")))
       .groupBy("lang", "b").agg(count(lit(1)).as("n_b"))
     val wCum = Window.partitionBy("lang").orderBy("b")
@@ -935,8 +946,8 @@ object Pipeline {
     * that tiny frame; estimates are the standard cumulative-window read
     * over ≤ QSketchBuckets rows per scope. */
   def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.documents(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val hist = docTokens(spark, dir)
+      .select("source", "n_tokens")
       .withColumn("b", least(lit(QSketchBuckets - 1), expr(s"n_tokens div $QSketchW")))
       .groupBy("source", "b").agg(count(lit(1)).as("n_b"))
     // THE merge: cell-wise sum of the per-source sketches
@@ -1038,8 +1049,8 @@ object Pipeline {
   val PadMax = 512L
 
   def paddingWaste(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docTokens(spark, dir)
+      .select("n_tokens")
       .withColumn("padded_len", expr(
         s"least($PadMax, ((n_tokens + ${PadMultiple - 1}) div $PadMultiple) * $PadMultiple)"))
       .withColumn("kept", least(col("n_tokens"), lit(PadMax)))

@@ -399,7 +399,24 @@ object Similarity {
       .head.getLong(0)
   }
 
+  /** The one cell-assignment frame every IVF consumer reads — flat exact
+    * argmax below [[graft.Knobs.ivfRouteHierCells]] cells, the two-level
+    * router (row 162) at or above it (round-10 verdict #6: the flat
+    * codegen centroid table and the N×cells assignment cost both grow
+    * unguarded with the derived cell count; the router holds assignment
+    * to ~2N√cells and its reference tables to ~√cells rows). The oracle
+    * CTEs switch on the SAME knob (see [[IvfAssignCtes]]), so the whole
+    * IVF family stays hash-checkable in either mode; IvfRouteSwitchSpec
+    * pins the two modes' rank-1 assignments against each other on the
+    * test corpus and the gate proves the hier mode end-to-end under
+    * GRAFT_IVF_ROUTE_CELLS override. */
   private def cellAssignments(spark: SparkSession, dir: String): DataFrame =
+    if (graft.Knobs.ivfRouteHier)
+      hierAssignments(spark, dir)
+        .select(col("avid"), col("cell").as("seed_id"), col("rnk"))
+    else flatCellAssignments(spark, dir)
+
+  private def flatCellAssignments(spark: SparkSession, dir: String): DataFrame =
     // referenced by both the cells and the probes branch — materialize
     // the k×NumCells assignment once (one small row per vector×seed)
     Tables.memoPersist(spark, s"sim.cellAssignments:$NumCells:$IvfIters:$dir") {
@@ -429,6 +446,13 @@ object Similarity {
     * pins the streaming router against the rank-1 rule here). */
   def cellAssignmentsProbe(spark: SparkSession, dir: String): DataFrame =
     cellAssignments(spark, dir)
+
+  /** Mode-pinned probes for IvfRouteSwitchSpec: the two routing modes'
+    * assignment frames regardless of which one the knob resolves. */
+  private[graft] def flatAssignmentsProbe(spark: SparkSession, dir: String): DataFrame =
+    flatCellAssignments(spark, dir)
+  private[graft] def hierAssignmentsProbe(spark: SparkSession, dir: String): DataFrame =
+    hierAssignments(spark, dir)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
@@ -769,8 +793,20 @@ object Similarity {
   }
 
   /** Oracle twin of [[cellAssignments]] + the cells / probes split —
-    * shared by ann_ivf and the IVFADC pair. */
+    * shared by ann_ivf and the IVFADC pair. Mirrors the flat→hier route
+    * switch: in hier mode the assign/cells/probes names are aliases over
+    * the two-level router's CTEs (safe: no registry SQL composes this
+    * with [[HierCtes]] — only the always-hier row-162 pair uses those
+    * directly). */
   private def IvfAssignCtes: String =
+    if (graft.Knobs.ivfRouteHier)
+      s"""$HierCtes,
+         |assign AS (SELECT avid, cell AS seed_id, rnk FROM hassign),
+         |cells AS (SELECT cid, cell, cv, cn2 FROM hcells),
+         |probes AS (SELECT qid, pcell FROM hprobes)""".stripMargin
+    else FlatAssignCtes
+
+  private def FlatAssignCtes: String =
     s"""assign AS (
        |  SELECT a.vec_id AS avid, s.seed_id,
        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
