@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once persisted layout for the shared index builds.
+  *
+  * Round-10 measurement: at the 100× stress point the memoized build
+  * family (decoded CDC feed, shingle/rep frames, quantized vectors,
+  * LSH pair scores, BM25 postings, IVF/PQ codebooks) costs 212.9 s of
+  * the 360.7 s registry wall — and every new session pays it again,
+  * because [[Tables.memoPersist]] caches per-JVM only. On a production
+  * cluster the same frames would be rebuilt per job over the same
+  * immutable corpus snapshot. The fix is the classic warehouse answer:
+  * build ONCE, write as BUCKETED parquet, and let every later session
+  * re-read the layout — with the bucket metadata letting Catalyst plan
+  * co-partitioned joins with ZERO exchange (the row-96 BucketedJoinSpec
+  * proof, now applied to the engine's own intermediates).
+  *
+  * Layout: `<root>/<fingerprint>/<key-slug>/` per memo key, where the
+  * fingerprint hashes the corpus directory identity — every table
+  * file's (name, length, mtime) — plus every GRAFT_* env override and
+  * a format version. Any data regen or knob flip yields a new
+  * fingerprint, so staleness is structural, not policed. A `_meta.json`
+  * sidecar records the bucket spec so a FRESH JVM can re-register the
+  * external bucketed table (`CREATE TABLE … CLUSTERED BY … LOCATION`)
+  * without rewriting a byte; stale fingerprints of the same corpus dir
+  * are pruned on first touch.
+  *
+  * Bucket key: the first id-like column present in the frame
+  * (doc_id / vec_id / aid / doc_a / rep / qid / …). Frames with no such
+  * column (tiny codebooks, global histograms) are written as plain
+  * parquet — their cost is O(knobs), not O(N), so re-read is free
+  * anyway. One file per bucket (the frame is repartitioned by the
+  * bucket key before the write), so the scan also reports the sortBy
+  * ordering and sort-merge joins skip their sorts.
+  *
+  * Enablement: `GRAFT_BUILD_CACHE=<dir>` env, or the
+  * `graft.build.cache` system property (Bench defaults it on; Verify
+  * leaves it off so the correctness gate always exercises the real
+  * compute path). Any cache-layer failure falls back to the plain
+  * in-memory build — the cache is an accelerator, never a correctness
+  * dependency.
+  */
+object BuildCache {
+  private val FormatVersion = 2
+
+  def root: Option[String] =
+    sys.env.get("GRAFT_BUILD_CACHE")
+      .orElse(Option(System.getProperty("graft.build.cache")))
+      .map(_.trim).filter(s => s.nonEmpty && s != "off")
+
+  /** Monotone counters for the bench artifact's cache-state line. */
+  @volatile var hits: Int = 0
+  @volatile var writes: Int = 0
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  /** Corpus + knob-env fingerprint (memoized per corpus dir). */
+  private val fps = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def fingerprint(dir: String): String = fps.getOrElseUpdate(dir, {
+    val sb = new StringBuilder(s"v$FormatVersion|$dir|")
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = hadoopFs(p)
+      val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      files.foreach { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach { f =>
+            sb.append(f.getPath.getName).append(':').append(f.getLen)
+              .append(':').append(f.getModificationTime).append('|')
+          }
+        else
+          sb.append(st.getPath.getName).append(':').append(st.getLen)
+            .append(':').append(st.getModificationTime).append('|')
+      }
+    } catch { case scala.util.control.NonFatal(_) => sb.append("nofs|") }
+    // every GRAFT_* env EXCEPT the ones that cannot affect a built
+    // frame's content (cache location, bench artifact plumbing) — an
+    // unknown future env lands in the hash, which errs toward rebuild
+    val NonPlan = Set("GRAFT_BUILD_CACHE", "GRAFT_BENCH_OUT", "GRAFT_BENCH_PREV")
+    sys.env.toSeq.filter(_._1.startsWith("GRAFT_"))
+      .filterNot(kv => NonPlan(kv._1)).sorted
+      .foreach { case (k, v) => sb.append(k).append('=').append(v).append('|') }
+    // FNV-1a 64-bit over the description — stable across JVMs
+    var h = 0xcbf29ce484222325L
+    sb.toString.getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    f"$h%016x"
+  })
+
+  /** Bucket-file count: ~256k rows per bucket of the largest corpus
+    * table, power-of-two, clamped to [32, 1024]. One global value per
+    * run so every cached frame co-buckets with every other (equal
+    * numBuckets is what lets two bucketed sides join exchange-free). */
+  def cacheBuckets(dir: String): Int =
+    sys.env.get("GRAFT_CACHE_BUCKETS").map(_.trim.toInt).getOrElse {
+      val n = Seq("documents", "embeddings", "events")
+        .map(t => Knobs.rowCount(dir, t)).max
+      val want = math.max(32L, n / (256L * 1024L))
+      var b = 32
+      while (b < want && b < 1024) b *= 2
+      b
+    }
+
+  private val IdCandidates =
+    Seq("doc_id", "vec_id", "aid", "doc_a", "rep", "qid", "event_id",
+      "user_id", "tok")
+
+  private def bucketColOf(df: DataFrame): Option[String] = {
+    val names = df.schema.fieldNames.toSet
+    IdCandidates.find(names.contains)
+  }
+
+  private def slug(key: String): String =
+    key.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
+      .replaceAll("_+", "_").stripPrefix("_").stripSuffix("_").take(48)
+
+  /** All memo keys end in ":<corpus dir>" by convention (Tables). */
+  private def dirOf(key: String): String = key.substring(key.lastIndexOf(':') + 1)
+
+  private def shortHash(s: String): String = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    f"$h%016x".take(10)
+  }
+
+  /** Remove sibling fingerprint dirs of the SAME corpus dir (a regen or
+    * knob flip made them unreachable); other corpora cached under the
+    * same root are untouched. */
+  private def pruneStale(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path, dir: String, keepFp: String): Unit =
+    try {
+      if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name != keepFp) {
+          val src = new org.apache.hadoop.fs.Path(st.getPath, "_source.txt")
+          val matches = fs.exists(src) && {
+            val in = fs.open(src)
+            try {
+              val buf = new Array[Byte](4096)
+              val n = in.read(buf)
+              n > 0 && new String(buf, 0, n, "UTF-8").trim == dir
+            } finally in.close()
+          }
+          if (matches) fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private val prunedRoots = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** The cache layer proper: return the frame for `key`, reading the
+    * persisted layout when present, writing it when absent. Any failure
+    * degrades to the plain in-memory `build`. */
+  def throughCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    root match {
+      case None => build
+      case Some(r) =>
+        try throughCache0(spark, r, key)(build)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"build cache bypassed for $key: ${e.getMessage}")
+            build
+        }
+    }
+
+  private def throughCache0(spark: SparkSession, r: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = dirOf(key)
+    val fp = fingerprint(dir)
+    val fpDir = s"$r/$fp"
+    val path = s"$fpDir/${slug(key)}_${shortHash(key)}"
+    val tbl = s"graft_cache_${slug(key)}_${shortHash(key + fp)}"
+    val fs = hadoopFs(new org.apache.hadoop.fs.Path(r))
+    if (prunedRoots.putIfAbsent(s"$r|$dir|$fp", true).isEmpty)
+      pruneStale(fs, new org.apache.hadoop.fs.Path(r), dir, fp)
+
+    def metaP = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    def okP = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+
+    if (spark.catalog.tableExists(tbl)) { hits += 1; spark.table(tbl) }
+    else if (fs.exists(okP) && fs.exists(metaP)) {
+      // fresh JVM over a warm layout: re-register, zero bytes rewritten
+      val in = fs.open(metaP)
+      val metaTxt =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8")
+        } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaTxt)
+      val bucketCol = Option(node.get("bucket")).map(_.asText).filter(_.nonEmpty)
+      val nBuckets = Option(node.get("n_buckets")).map(_.asInt).getOrElse(0)
+      val schema = spark.read.parquet(path).schema
+      val ddl = bucketCol match {
+        case Some(c) if nBuckets > 0 =>
+          s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($c) SORTED BY ($c) INTO $nBuckets BUCKETS " +
+            s"LOCATION '$path'"
+        case _ =>
+          s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET LOCATION '$path'"
+      }
+      spark.sql(ddl)
+      hits += 1
+      spark.table(tbl)
+    } else {
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        fs.delete(new org.apache.hadoop.fs.Path(path), true) // partial write
+      val df = build
+      val bucketCol = bucketColOf(df)
+      val n = cacheBuckets(dir)
+      bucketCol match {
+        case Some(c) =>
+          df.repartition(n, org.apache.spark.sql.functions.col(c))
+            .write.format("parquet").option("path", path)
+            .bucketBy(n, c).sortBy(c)
+            .mode("overwrite").saveAsTable(tbl)
+        case None =>
+          df.write.format("parquet").option("path", path)
+            .mode("overwrite").saveAsTable(tbl)
+      }
+      val meta =
+        s"""{"key":${JsonUtil.q(key)},"bucket":${JsonUtil.q(bucketCol.getOrElse(""))},"n_buckets":${if (bucketCol.isDefined) n else 0}}"""
+      val om = fs.create(metaP, true)
+      try om.write(meta.getBytes("UTF-8")) finally om.close()
+      val srcP = new org.apache.hadoop.fs.Path(fpDir, "_source.txt")
+      if (!fs.exists(srcP)) {
+        val os = fs.create(srcP, true)
+        try os.write(dir.getBytes("UTF-8")) finally os.close()
+      }
+      writes += 1
+      spark.table(tbl)
+    }
+  }
+}
