@@ -1149,4 +1149,99 @@ object Pipeline {
        |       n_docs - n_kept AS n_dropped, kept_fp_sum, fp_threshold
        |FROM t JOIN k ON t.source = k.source
        |ORDER BY t.source""".stripMargin
+
+  // ---- ccnet_bucket: head/middle/tail LM-proxy quality terciles -----------
+
+  /** CCNet-style corpus bucketing (Wenzek et al. 2020 §4.4): score every
+    * document with a wellformedness proxy, rank the corpus globally, and
+    * cut it into head / middle / tail terciles — the split CCNet ships as
+    * its quality axis (head = most fluent, trained on first). The LM
+    * perplexity of the paper is replaced by the engine's log-free df
+    * proxy (the doc_rarity precedent): per document, the tf-weighted mean
+    * power-of-2 rarity bucket of its tokens' corpus document frequencies,
+    * in e4 ticks — integer-exact, no float log, same monotone ordering
+    * signal. Output is the per (source × tercile) doc count and token
+    * mass: the table a curator reads to see which sources concentrate in
+    * the tail before sequencing training mixes.
+    *
+    * Scale shape: rides the memoized [[Ngrams.tfFrame]]; token df is one
+    * map-side-combined groupBy on the token, the doc score one keyed join
+    * + groupBy(doc) over (tok, tf) rows, and the global tercile uses the
+    * user_spend_decile two-phase distributed rank (range partition →
+    * local row_number → bounded broadcast offsets) — never a
+    * single-partition sort. Final rollup ≤ sources×3 keys. */
+  val CcnetRankBuckets = 8
+  val CcnetDfBuckets = 32
+
+  private def ccnetDfBucketCase(dfCol: String): String =
+    (0 until CcnetDfBuckets).map { k =>
+      val hi = (1L << (k + 1)) - 1
+      if (k == CcnetDfBuckets - 1) s"ELSE $k"
+      else s"WHEN $dfCol <= $hi THEN $k"
+    }.mkString("CASE ", " ", " END")
+
+  def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Ngrams.tfFrame(spark, dir)
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, "tok")
+      .withColumn("b", expr(ccnetDfBucketCase("df")).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("b")).as("wsum"), sum("tf").as("tf_sum"))
+      .select(col("doc_id"),
+        when(col("tf_sum") === 0, 0L)
+          .otherwise(floor(lit(10000.0) * col("wsum") / col("tf_sum")).cast("long"))
+          .as("score_e4"))
+    // two-phase exact global rank: head = highest mean-df (most fluent)
+    val bucketed = scored
+      .repartitionByRange(CcnetRankBuckets, col("score_e4").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("score_e4").desc, col("doc_id"))))
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum("n_in_bucket").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "n_total")
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("tercile", expr("(offset + local_rn - 1) * 3 div n_total + 1"))
+      .join(docTokens(spark, dir).select("doc_id", "source", "n_tokens"), "doc_id")
+      .groupBy("source", "tercile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("score_e4").as("min_score_e4"), max("score_e4").as("max_score_e4"))
+      .orderBy("source", "tercile")
+  }
+
+  val ccnetBucketSql: String =
+    s"""WITH cx AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM cx GROUP BY doc_id, tok),
+       |cdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
+       |cs AS (
+       |  SELECT doc_id,
+       |         CASE WHEN sum(tf) = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 *
+       |                sum(tf * (${ccnetDfBucketCase("df")}))
+       |                / sum(tf)) AS BIGINT)
+       |         END AS score_e4
+       |  FROM ctf JOIN cdf USING (tok) GROUP BY doc_id),
+       |cr AS (
+       |  SELECT doc_id, score_e4,
+       |         CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rnk,
+       |         CAST(count(*) OVER () AS BIGINT) AS n_total
+       |  FROM cs),
+       |cb AS (
+       |  SELECT doc_id, score_e4, (rnk - 1) * 3 // n_total + 1 AS tercile
+       |  FROM cr),
+       |cd AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT source, tercile, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       min(score_e4) AS min_score_e4, max(score_e4) AS max_score_e4
+       |FROM cb JOIN cd USING (doc_id)
+       |GROUP BY source, tercile ORDER BY source, tercile""".stripMargin
 }

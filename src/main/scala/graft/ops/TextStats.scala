@@ -243,4 +243,107 @@ object TextStats {
        |  ${fpSql("text")} AS fp,
        |  ${fpSql("text")} % 1024 AS fp_bucket
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- gopher_quality -----------------------------------------------------
+
+  /** Gopher-rule quality gate (Rae et al. 2021, "Scaling Language Models",
+    * Appendix A): the published per-document heuristics, rolled up per
+    * source as a rule-by-rule failure ledger so a curator can see WHICH
+    * rule removes mass from which source before gating. Four rules,
+    * thresholds adapted to this corpus' profile so each genuinely splits
+    * (the published symbol/bullet/ellipsis rules are degenerate on the
+    * synthetic punctuation-free text and are omitted):
+    *   wordcount  — token count within [GopherMinTokens, GopherMaxTokens]
+    *   wordlen    — mean word length (e4) within the fluency envelope
+    *   stopword   — at least GopherMinStop stopword hits
+    *   dominance  — top single token ≤ GopherMaxDomE4 of occurrences
+    *                (the "most common word" repetition rule)
+    * All counts are integer-exact; the per-doc mean word length and
+    * dominance share are single floor'd e4 divisions.
+    *
+    * Scale shape: the dominance statistic rides the memoized
+    * [[Ngrams.tfFrame]] (doc, tok, tf) build the TF-IDF/vocab family
+    * shares — one map-side-combined groupBy(doc) for (max tf, Σtf) — and
+    * joins back on doc_id; everything else is a narrow single-pass
+    * projection. The rollup is a ≤|sources|-key groupBy. No new
+    * full-text scan, no new shuffle family at 100 TB. */
+  val GopherMinTokens = 30L
+  val GopherMaxTokens = 80L
+  val GopherMinWlenE4 = 42000L
+  val GopherMaxWlenE4 = 46000L
+  val GopherMinStop = 2L
+  val GopherMaxDomE4 = 1500L
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val dom = Ngrams.tfFrame(spark, dir)
+      .groupBy("doc_id")
+      .agg(max("tf").as("top_c"), sum("tf").as("tf_sum"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        length(col("text")).as("n_chars_t"),
+        hits(Stopwords("en")).cast("long").as("n_stop"))
+      .join(dom, "doc_id")
+      .withColumn("wlen_e4",
+        ratioE4(col("n_chars_t") - (col("n_tok") - 1), col("n_tok")))
+      .withColumn("dom_e4", ratioE4(col("top_c"), col("tf_sum")))
+      .withColumn("f_wc",
+        (!col("n_tok").between(GopherMinTokens, GopherMaxTokens)).cast("long"))
+      .withColumn("f_wlen",
+        (!col("wlen_e4").between(GopherMinWlenE4, GopherMaxWlenE4)).cast("long"))
+      .withColumn("f_stop", (col("n_stop") < GopherMinStop).cast("long"))
+      .withColumn("f_dom", (col("dom_e4") > GopherMaxDomE4).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("f_wc").as("fail_wordcount"),
+        sum("f_wlen").as("fail_wordlen"),
+        sum("f_stop").as("fail_stopword"),
+        sum("f_dom").as("fail_dominance"),
+        sum(when(col("f_wc") + col("f_wlen") + col("f_stop") + col("f_dom") === 0, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
+  val gopherQualitySql: String = {
+    val stops = Stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH gt AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         length(text) AS n_chars_t,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |              t -> t IN ($stops))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |gx AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |gtf AS (SELECT doc_id, tok, count(*) AS tf FROM gx GROUP BY doc_id, tok),
+       |gd AS (
+       |  SELECT doc_id, CAST(max(tf) AS BIGINT) AS top_c,
+       |         CAST(sum(tf) AS BIGINT) AS tf_sum
+       |  FROM gtf GROUP BY doc_id),
+       |gr AS (
+       |  SELECT gt.source,
+       |         CASE WHEN n_tok = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 * (n_chars_t - (n_tok - 1)) / n_tok) AS BIGINT)
+       |         END AS wlen_e4,
+       |         CASE WHEN tf_sum = 0 THEN 0
+       |              ELSE CAST(floor(10000.0 * top_c / tf_sum) AS BIGINT)
+       |         END AS dom_e4,
+       |         n_tok, n_stop
+       |  FROM gt JOIN gd USING (doc_id)),
+       |gf AS (
+       |  SELECT source,
+       |         CASE WHEN n_tok BETWEEN $GopherMinTokens AND $GopherMaxTokens THEN 0 ELSE 1 END AS f_wc,
+       |         CASE WHEN wlen_e4 BETWEEN $GopherMinWlenE4 AND $GopherMaxWlenE4 THEN 0 ELSE 1 END AS f_wlen,
+       |         CASE WHEN n_stop < $GopherMinStop THEN 1 ELSE 0 END AS f_stop,
+       |         CASE WHEN dom_e4 > $GopherMaxDomE4 THEN 1 ELSE 0 END AS f_dom
+       |  FROM gr)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+       |       CAST(sum(f_wlen) AS BIGINT) AS fail_wordlen,
+       |       CAST(sum(f_stop) AS BIGINT) AS fail_stopword,
+       |       CAST(sum(f_dom) AS BIGINT) AS fail_dominance,
+       |       CAST(sum(CASE WHEN f_wc + f_wlen + f_stop + f_dom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM gf GROUP BY source ORDER BY source""".stripMargin
+  }
 }
