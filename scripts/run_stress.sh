@@ -14,6 +14,7 @@ for f in "$CH"/*.txt; do
   [ -s "$out" ] && { echo "skip $name (exists)"; continue; }
   echo "=== chunk $name ($(wc -w < "$f") queries) @ $SF ==="
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 GRAFT_BENCH_OUT=$out \
+    SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
     timeout 3600 sbt -batch "runMain graft.Bench $(cat "$f")" \
     > /tmp/stress_$TAG/$name.log 2>&1
   echo "chunk $name rc=$? $(tail -c 300 "$out" 2>/dev/null | head -c 120)"

@@ -222,17 +222,56 @@ object Dedup {
 
   // ---- minhash_est --------------------------------------------------------
 
-  /** Signature-agreement Jaccard estimate vs the exact value, per LSH
-    * candidate pair — the accuracy report for the minhash sketch itself
-    * (completing the estimate-vs-truth set with hll_distinct and
-    * cms_topk). The estimate is matching-positions/16 in e4 fixed point:
-    * 10000/16 = 625 exactly, so est_e4 = n_agree · 625 is pure int64.
-    * At 100 TB this is the cheap first-pass score a pipeline uses to
-    * SKIP the exact intersection for clearly-far pairs: it needs only
-    * the 16-element signatures already materialized for banding, not
-    * the shingle sets. Rides the memoized pair cache for the exact
-    * column; the signature join is co-partitioned on doc id. */
+  /** Signature-agreement Jaccard estimate vs the exact value, per
+    * DISTINCT-content candidate pair — the accuracy report for the
+    * minhash sketch itself (completing the estimate-vs-truth set with
+    * hll_distinct and cms_topk). The estimate is matching-positions/16
+    * in e4 fixed point: 10000/16 = 625 exactly, so est_e4 = n_agree ·
+    * 625 is pure int64. At 100 TB this is the cheap first-pass score a
+    * pipeline uses to SKIP the exact intersection for clearly-far
+    * pairs: it needs only the 16-element signatures already
+    * materialized for banding, not the shingle sets. */
   def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    // REP-level default (round 11 — the round-9 dedup_minhash contract
+    // split applied to the estimator report): one row per DISTINCT-content
+    // candidate pair, with group sizes and the implied member-pair count.
+    // The estimate and the exact Jaccard are both pure functions of the
+    // two shingle sets, so every member pair of two groups carries the
+    // SAME (est, exact, err) as its rep pair — the expanded report
+    // ([[minhashEstPairsFull]], opt-in) adds rows, never information.
+    // Within-group rows are exact by construction: identical sets give
+    // identical signatures (est = 16·625 = 10000, err = 0).
+    val mh = minhashes(spark, dir)
+    val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("grp"))
+    val agree = zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    val cross = repVerifiedPairs(spark, dir)
+      .join(mh.select(col("doc_id"), col("mh").as("mh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(mh.select(col("doc_id"), col("mh").as("mh_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("rep").as("doc_a"), col("grp").as("size_a")), "doc_a")
+      .join(sizes.select(col("rep").as("doc_b"), col("grp").as("size_b")), "doc_b")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("jaccard_e4"),
+        (aggregate(agree, lit(0), (a, x) => a + x) * lit(625L)).as("est_e4"),
+        col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+      .withColumn("abs_err_e4", abs(col("est_e4") - col("jaccard_e4")))
+    val within = sizes.where(col("grp") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(10000L).as("jaccard_e4"), lit(10000L).as("est_e4"),
+        col("grp").as("size_a"), col("grp").as("size_b"),
+        expr("grp * (grp - 1) div 2").as("n_pairs"),
+        lit(0L).as("abs_err_e4"))
+    cross.unionByName(within).orderBy("rep_a", "rep_b")
+  }
+
+  /** The expanded per-copy estimator report — the pre-round-11
+    * minhash_est contract, opt-in because its OUTPUT is quadratic in
+    * duplicate multiplicity (rides [[verifiedPairs]], the expanded pair
+    * frame — see [[dedupMinhashPairsFull]] for the precedent). */
+  def minhashEstPairsFull(spark: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(spark, dir)
     val agree = zip_with(col("mh_a"), col("mh_b"),
       (x, y) => when(x === y, 1).otherwise(0))
@@ -299,6 +338,41 @@ object Dedup {
   /** Oracle for [[minhashEst]] — declared after [[CandSqlCtes]] so the
     * interpolation sees the initialized value. */
   val minhashEstSql: String = {
+    val agreeTerms = (0 until NumPerms)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH $CandSqlCtes,
+       |groups AS (
+       |  SELECT min(doc_id) AS rep, count(*) AS grp
+       |  FROM shs GROUP BY list_sort(sh)),
+       |ag AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(($agreeTerms) * 625 AS BIGINT) AS est_e4
+       |  FROM cpairs p
+       |  JOIN mh a ON p.doc_a = a.doc_id
+       |  JOIN mh b ON p.doc_b = b.doc_id),
+       |xp AS (
+       |  SELECT s.doc_a AS rep_a, s.doc_b AS rep_b,
+       |    CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT) AS jaccard_e4,
+       |    ag.est_e4,
+       |    abs(ag.est_e4 - CAST(floor(10000.0 * s.isz / (s.sza + s.szb - s.isz)) AS BIGINT)) AS abs_err_e4,
+       |    ga.grp AS size_a, gb.grp AS size_b, ga.grp * gb.grp AS n_pairs
+       |  FROM csized s
+       |  JOIN ag ON s.doc_a = ag.doc_a AND s.doc_b = ag.doc_b
+       |  JOIN groups ga ON s.doc_a = ga.rep
+       |  JOIN groups gb ON s.doc_b = gb.rep),
+       |wi AS (
+       |  SELECT rep AS rep_a, rep AS rep_b, CAST(10000 AS BIGINT) AS jaccard_e4,
+       |    CAST(10000 AS BIGINT) AS est_e4, CAST(0 AS BIGINT) AS abs_err_e4,
+       |    grp AS size_a, grp AS size_b, grp * (grp - 1) // 2 AS n_pairs
+       |  FROM groups WHERE grp > 1)
+       |SELECT * FROM xp UNION ALL SELECT * FROM wi
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
+
+  /** Oracle for the expanded opt-in estimator report — the pre-round-11
+    * minhash_est SQL verbatim. */
+  val minhashEstPairsFullSql: String = {
     val agreeTerms = (0 until NumPerms)
       .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
       .mkString("\n      + ")
@@ -972,9 +1046,10 @@ object Dedup {
     * candidate τ, how many verified pairs qualify and how many distinct
     * documents they touch — the tuning curve consulted BEFORE fixing the
     * threshold that decides what fraction of a 100 TB corpus gets
-    * dropped. Reuses the memoized verifiedPairs frame (no new candidate
-    * generation); the sweep is a ≤|taus|-fold conditional aggregation
-    * plus one distinct-doc reduction per τ over the bounded pair set. */
+    * dropped. Rides the memoized REP-level frames (no new candidate
+    * generation, nothing quadratic in duplicate multiplicity); the sweep
+    * is a ≤|taus|-fold conditional aggregation plus one distinct-rep
+    * reduction per τ over the bounded rep-pair set. */
   val SweepTausE4 = Seq(5000L, 7000L, 8000L, 9000L)
 
   // ---- doc_rarity: rare-shingle noise detector ----------------------------
@@ -1107,14 +1182,38 @@ object Dedup {
        |FROM sdg ORDER BY source""".stripMargin
 
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(spark, dir)
+    // Arithmetic rewrite over the REP-level frames (round 11): the sweep
+    // used to filter the EXPANDED verifiedPairs frame — the one frame
+    // that is quadratic in duplicate multiplicity by contract (6.1 GB at
+    // the 100× stress point, the chunk's OOM wall) — even though its
+    // OUTPUT is |taus| count rows. Identical-set groups pair at J = 1,
+    // so for τ ≤ 1 every size-s group contributes C(s,2) pairs and all
+    // its members are touched; a qualifying cross rep pair contributes
+    // size_a·size_b pairs and touches every member of both groups. Both
+    // sums are id arithmetic over the bounded rep frames — the same
+    // collapse dedupMinhash ships — and the counts are IDENTICAL to
+    // filtering the expansion (the oracle still computes the expanded
+    // form). Flat in multiplicity; runs at the 1000× point.
+    val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("sz"))
+    val dupGroups = sizes.where(col("sz") >= 2)
+    val cross = repVerifiedPairs(spark, dir)
+      .join(sizes.select(col("rep").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("rep").as("doc_b"), col("sz").as("szb")), "doc_b")
     val taus = SweepTausE4.map { tau =>
-      val p = pairs.where(col("jaccard_e4") >= tau)
-      val docs = p.select(col("doc_a").as("d"))
-        .unionByName(p.select(col("doc_b").as("d"))).distinct()
-      p.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_docs_touched")))
-        .select(lit(tau).as("tau_e4"), col("n_pairs"), col("n_docs_touched"))
+      val qc = cross.where(col("jaccard_e4") >= tau)
+      val withinPairs = dupGroups
+        .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("wp"))
+      val crossPairs = qc
+        .agg(coalesce(sum(col("sza") * col("szb")), lit(0L)).as("cp"))
+      val touched = dupGroups.select(col("rep"))
+        .unionByName(qc.select(col("doc_a").as("rep")))
+        .unionByName(qc.select(col("doc_b").as("rep")))
+        .distinct()
+        .join(sizes, "rep")
+        .agg(coalesce(sum("sz"), lit(0L)).as("n_docs_touched"))
+      withinPairs.crossJoin(crossPairs).crossJoin(touched)
+        .select(lit(tau).as("tau_e4"),
+          (col("wp") + col("cp")).as("n_pairs"), col("n_docs_touched"))
     }
     taus.reduce(_ unionByName _).orderBy("tau_e4")
   }
