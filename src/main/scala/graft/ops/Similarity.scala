@@ -116,6 +116,47 @@ object Similarity {
 
   import org.apache.spark.sql.expressions.Window
 
+  // ---- identical-vector collapse (round 11) --------------------------------
+  //
+  // The round-8 rep collapse, applied to the EMBEDDING side: every pair
+  // operator below used to join at MEMBER level, so byte-identical
+  // vectors (the 100 TB reality the stress sets model at 100-1000 copies
+  // per vector: re-crawls, mirrors, template pages embed identically)
+  // made every bucket/cell join quadratic in duplicate multiplicity —
+  // the 1000× point spilled >45 GB of candidate shuffle and aborted.
+  // All similarity statistics (dot, n2, buckets, cells) are pure
+  // functions of the quantized vector, so the candidate space collapses
+  // to DISTINCT quantized vectors and member-level results are restored
+  // by id arithmetic afterwards — outputs bit-identical to the naive
+  // member-level joins (DupCollapseSpec proves it on a copy-heavy
+  // corpus; the oracles, which still compute the naive member-level
+  // form, prove it per query at the correctness gate).
+
+  /** (vec_id, gid): member → group-representative (min vec_id over the
+    * identical-qv group). One shuffle on the quantized vector. */
+  private def vecMembers(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.vecMembers:$dir") {
+      vectors(spark, dir).select(col("vec_id"), col("qv"))
+        .withColumn("gid", min("vec_id").over(Window.partitionBy("qv")))
+        .select("vec_id", "gid")
+    }
+
+  /** One row per DISTINCT quantized vector: the rep's payload columns
+    * plus the member count. qs/n2/buckets are functions of qv, so the
+    * rep row carries them for the whole group. */
+  private def vecGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.vecGroups:$PlanesPerTable:$NumTables:$dir") {
+      val cnt = vecMembers(spark, dir).groupBy("gid").agg(count(lit(1)).as("cnt"))
+      vectors(spark, dir).join(cnt, col("vec_id") === col("gid"))
+        .select(col("gid"), col("qv"), col("qs"), col("n2"), col("buckets"), col("cnt"))
+    }
+
+  /** The self-cosine through the SAME IEEE expression the pair paths
+    * use: n2/(sqrt(n2)·sqrt(n2)) is NOT exactly 1.0 for every n2 (sqrt
+    * rounds), and the collapse must reproduce the naive member-pair
+    * value bit-for-bit — never substitute a 1.0 literal. */
+  private def selfCos(n2: Column): Column = cosine(n2, n2, n2)
+
   // ---- ann_topk: brute-force cosine top-k for a bounded query set ---------
 
   val NumQueries = 5
@@ -164,34 +205,108 @@ object Similarity {
     *      persisted vectors frame only for pairs that survived dedup.
     * Persisted: annLsh ranks it directed, embedCosineDup thresholds it,
     * annRecall re-reads it through annLsh. */
-  private def scoredPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"sim.scoredPairs:$PlanesPerTable:$NumTables:$dir") {
-      val v = vectors(spark, dir)
-      val s = v.select(col("vec_id"),
+  /** DISTINCT-vector scored candidate pairs (ga < gb): the same three
+    * moves as ever — narrow signature self-join, dedup before scoring,
+    * packed payload fetch — but over [[vecGroups]], so the bucket join
+    * is flat in duplicate multiplicity. Within-group "pairs" are
+    * implicit (identical buckets collide in every table: n_tbl =
+    * NumTables, cos = [[selfCos]]) and are re-attached arithmetically
+    * by the consumers that need member-level rows. */
+  private def repScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.repScored:$PlanesPerTable:$NumTables:$dir") {
+      val g = vecGroups(spark, dir)
+      val s = g.select(col("gid"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-      val a = s.select(col("vec_id").as("aid"), col("tbl"), col("bucket"))
-      val b = s.select(col("vec_id").as("bid"), col("tbl").as("tbl_b"),
+      val a = s.select(col("gid").as("ga"), col("tbl"), col("bucket"))
+      val b = s.select(col("gid").as("gb"), col("tbl").as("tbl_b"),
         col("bucket").as("bucket_b"))
       val cand = a.join(b,
           col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
-            && col("aid") < col("bid"))
-        .groupBy("aid", "bid").agg(count(lit(1)).as("n_tbl"))
+            && col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("n_tbl"))
       // ship the PACKED vector through the per-candidate shuffles: the
-      // candidate side re-shuffles one payload per pair (tens of millions
-      // of rows at 100×), so payload width IS the build cost — 128 B
-      // packed vs 512 B + offsets as array<long>, bit-identical dots
-      val pa = v.select(col("vec_id").as("aid"), col("qs").as("qa"), col("n2").as("na2"))
-      val pb = v.select(col("vec_id").as("bid"), col("qs").as("qb"), col("n2").as("nb2"))
-      cand.join(pa, "aid").join(pb, "bid")
+      // candidate side re-shuffles one payload per pair, so payload
+      // width IS the build cost — 128 B packed vs 512 B + offsets as
+      // array<long>, bit-identical dots
+      val pa = g.select(col("gid").as("ga"), col("qs").as("qa"), col("n2").as("na2"))
+      val pb = g.select(col("gid").as("gb"), col("qs").as("qb"), col("n2").as("nb2"))
+      cand.join(pa, "ga").join(pb, "gb")
         .withColumn("cos", cosine(
           graft.functions.HashExprs.shortDot(col("qa"), col("qb")),
           col("na2"), col("nb2")))
-        .select("aid", "bid", "n_tbl", "cos")
+        .select("ga", "gb", "n_tbl", "cos")
+    }
+
+  /** The member-level expansion of [[repScoredPairs]] — EXACTLY the frame
+    * the old member-level bucket join produced (a member pair is a
+    * candidate iff its group pair is, with the same n_tbl and cos; an
+    * identical pair collides in every table at the self-cosine), but the
+    * quadratic term is now only the OUTPUT rows, never the join. Consumed
+    * by the expanded-contract opt-in report alone. */
+  private def scoredPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.scoredPairs:$PlanesPerTable:$NumTables:$dir") {
+      val m = vecMembers(spark, dir)
+      val cross = repScoredPairs(spark, dir)
+        .join(m.select(col("gid").as("ga"), col("vec_id").as("da")), "ga")
+        .join(m.select(col("gid").as("gb"), col("vec_id").as("db")), "gb")
+        .select(least(col("da"), col("db")).as("aid"),
+          greatest(col("da"), col("db")).as("bid"), col("n_tbl"), col("cos"))
+      val within = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+        .join(vecGroups(spark, dir).select(col("gid").as("wgid"), col("n2")),
+          col("x.gid") === col("wgid"))
+        .select(col("x.vec_id").as("aid"), col("y.vec_id").as("bid"),
+          lit(NumTables.toLong).as("n_tbl"), selfCos(col("n2")).as("cos"))
+      cross.unionByName(within)
     }
 
   // ---- ann_lsh: banded-LSH top-k for every vector --------------------------
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Collapsed top-k (round 11): every member of a group has the SAME
+    // ranked neighbor list except for the exclusion of itself — cos and
+    // n_tbl are functions of the group pair, and ties rank by bid. So
+    // the per-member top-k is the group's top-(k+1) entry prefix (built
+    // over directed rep pairs + the group's own members at the
+    // self-cosine, each target group contributing only its k+1 smallest
+    // member ids — any group puts at most k+1 entries in the prefix,
+    // and they are its smallest ids) with the member itself dropped and
+    // the list cut at k. Every join is prefix- or output-sized; nothing
+    // scales with duplicate multiplicity squared.
+    val kp = LshK + 1
+    val m = vecMembers(spark, dir)
+    val prefix = m
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("gid").orderBy("vec_id")))
+      .where(col("pos") <= kp)
+      .select(col("gid").as("dst"), col("vec_id").as("bid"))
+    val rp = repScoredPairs(spark, dir)
+    val directed = rp
+      .select(col("ga").as("src"), col("gb").as("dst"), col("n_tbl"), col("cos"))
+      .unionByName(rp
+        .select(col("gb").as("src"), col("ga").as("dst"), col("n_tbl"), col("cos")))
+      .unionByName(vecGroups(spark, dir)
+        .select(col("gid").as("src"), col("gid").as("dst"),
+          lit(NumTables.toLong).as("n_tbl"), selfCos(col("n2")).as("cos")))
+    val groupPrefix = directed.join(prefix, "dst")
+      .withColumn("gr", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("bid"))))
+      .where(col("gr") <= kp)
+      .select(col("src").as("gid"), col("bid"), col("n_tbl"), col("cos"))
+    m.join(groupPrefix, "gid")
+      .where(col("bid") =!= col("vec_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))))
+      .where(col("rnk") <= LshK)
+      .select(col("vec_id").as("aid"), col("rnk"), col("bid"), col("n_tbl"),
+        cosE6(col("cos")).as("cos_e6"))
+      .orderBy("aid", "rnk")
+  }
+
+  /** The pre-collapse member-level ranking, kept as the equivalence
+    * reference for DupCollapseSpec — NEVER registered as a query. */
+  private[graft] def annLshNaiveProbe(spark: SparkSession, dir: String): DataFrame = {
     val sp = scoredPairs(spark, dir)
     val directed = sp.union(
       sp.select(col("bid").as("aid"), col("aid").as("bid"), col("n_tbl"), col("cos")))
@@ -260,7 +375,36 @@ object Similarity {
 
   val DupThresholdE6 = 300000L // cos >= 0.30
 
-  def embedCosineDup(spark: SparkSession, dir: String): DataFrame =
+  /** REP-level default (round 11 — the dedup_minhash contract split
+    * applied to the embedding near-dup report): one row per
+    * DISTINCT-vector qualifying pair with group sizes and the implied
+    * member-pair count; within-group rows carry the self-cosine and
+    * C(cnt, 2). The expanded per-copy report is the opt-in
+    * [[embedCosineDupPairsFull]] — quadratic in duplicate multiplicity
+    * BY CONSTRUCTION (every copy pair of a near-dup group qualifies). */
+  def embedCosineDup(spark: SparkSession, dir: String): DataFrame = {
+    val g = vecGroups(spark, dir)
+    val cross = repScoredPairs(spark, dir)
+      .withColumn("cos_e6", cosE6(col("cos")))
+      .where(col("cos_e6") >= DupThresholdE6)
+      .join(g.select(col("gid").as("ga"), col("cnt").as("size_a")), "ga")
+      .join(g.select(col("gid").as("gb"), col("cnt").as("size_b")), "gb")
+      .select(col("ga").as("rep_a"), col("gb").as("rep_b"), col("n_tbl"),
+        col("cos_e6"), col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+    val within = g.where(col("cnt") >= 2)
+      .withColumn("cos_e6", cosE6(selfCos(col("n2"))))
+      .where(col("cos_e6") >= DupThresholdE6)
+      .select(col("gid").as("rep_a"), col("gid").as("rep_b"),
+        lit(NumTables.toLong).as("n_tbl"), col("cos_e6"),
+        col("cnt").as("size_a"), col("cnt").as("size_b"),
+        expr("cnt * (cnt - 1) div 2").as("n_pairs"))
+    cross.unionByName(within).orderBy("rep_a", "rep_b")
+  }
+
+  /** Expanded per-copy near-dup pair report — the pre-round-11
+    * embed_cosine_dup contract, opt-in (SURVEY row 180). */
+  def embedCosineDupPairsFull(spark: SparkSession, dir: String): DataFrame =
     scoredPairs(spark, dir)
       .withColumn("cos_e6", cosE6(col("cos")))
       .where(col("cos_e6") >= DupThresholdE6)
@@ -1116,7 +1260,40 @@ object Similarity {
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
-  def embedCosineDupSql: String =
+  /** Oracle twin of the rep-level default: groups = identical quantized
+    * vectors (a rep pair is a candidate in full banding iff it is in rep
+    * banding — identical vectors share every table bucket), within rows
+    * carry the SAME IEEE self-cosine expression the member pair would
+    * produce (n2/(sqrt(n2)·sqrt(n2)) — not a 1.0 literal). */
+  def embedCosineDupSql: String = {
+    val selfCosSql =
+      "CAST(n2 AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"
+    s"""WITH $VecCte,
+       |$ScoredPairsCte,
+       |egroups AS (
+       |  SELECT min(vec_id) AS gid, count(*) AS cnt, min(n2) AS n2
+       |  FROM vecs GROUP BY qv),
+       |ecx AS (
+       |  SELECT s.aid AS rep_a, s.bid AS rep_b, CAST(s.n_tbl AS BIGINT) AS n_tbl,
+       |         CAST(floor(s.cos * 1000000.0) AS BIGINT) AS cos_e6,
+       |         ga.cnt AS size_a, gb.cnt AS size_b, ga.cnt * gb.cnt AS n_pairs
+       |  FROM spaired s
+       |  JOIN egroups ga ON s.aid = ga.gid
+       |  JOIN egroups gb ON s.bid = gb.gid
+       |  WHERE CAST(floor(s.cos * 1000000.0) AS BIGINT) >= $DupThresholdE6),
+       |ewi AS (
+       |  SELECT gid AS rep_a, gid AS rep_b, CAST($NumTables AS BIGINT) AS n_tbl,
+       |         CAST(floor(($selfCosSql) * 1000000.0) AS BIGINT) AS cos_e6,
+       |         cnt AS size_a, cnt AS size_b, cnt * (cnt - 1) // 2 AS n_pairs
+       |  FROM egroups
+       |  WHERE cnt >= 2
+       |    AND CAST(floor(($selfCosSql) * 1000000.0) AS BIGINT) >= $DupThresholdE6)
+       |SELECT * FROM ecx UNION ALL SELECT * FROM ewi
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
+
+  /** Oracle for the expanded opt-in report — the pre-round-11 SQL. */
+  def embedCosineDupPairsFullSql: String =
     s"""WITH $VecCte,
        |$ScoredPairsCte
        |SELECT aid, bid, CAST(n_tbl AS BIGINT) AS n_tbl,
@@ -2111,6 +2288,43 @@ object Similarity {
     * scan. The keeper window partitions by the dropped id, whose candidate
     * rows are bounded by its own cell population. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    // Collapsed SemDeDup (round 11): the naive within-cell member join is
+    // quadratic in duplicate multiplicity (identical vectors share a
+    // cell BY CONSTRUCTION — the exact situation SemDeDup exists for).
+    // Collapse: a member b's best candidate from any group G is always
+    // G's MIN member id when that id is below b (candidates from G tie
+    // on cos, ties rank by id; and if min(G) ≥ b no member of G is
+    // below b) — so per member the candidate list is its group's
+    // DIRECTED qualifying group pairs filtered to gid < b, with the
+    // group's own gid standing in for the within-group candidates. The
+    // group-pair join is flat in multiplicity; the expansion is
+    // members × (few qualifying groups) — output-sized.
+    val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid").as("gid"), col("seed_id").as("cell"))
+    val cg = vecGroups(spark, dir).join(cellOf, "gid")
+      .select(col("cell"), col("gid"), col("qv"), col("n2"))
+    val a = cg.select(col("cell"), col("gid").as("src"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    val cross = a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .withColumn("cos_e6", cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
+      .select(col("cell"), col("src"), col("dst"), col("cos_e6"))
+    val self = cg.select(col("cell"), col("gid").as("src"), col("gid").as("dst"),
+      cosE6(selfCos(col("n2"))).as("cos_e6"))
+    val cand = cross.unionByName(self).where(col("cos_e6") >= DupThresholdE6)
+    vecMembers(spark, dir).join(cand, col("gid") === col("src"))
+      .where(col("dst") < col("vec_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_e6").desc, col("dst"))))
+      .where(col("rnk") === 1)
+      .select(col("cell"), col("vec_id"), col("dst").as("dup_of"), col("cos_e6"))
+      .orderBy("vec_id")
+  }
+
+  /** The pre-collapse member-level SemDeDup, kept as the equivalence
+    * reference for DupCollapseSpec — NEVER registered as a query. */
+  private[graft] def dedupSemanticNaiveProbe(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val members = cellAssignments(spark, dir).where(col("rnk") === 1)
       .select(col("avid"), col("seed_id").as("cell"))
@@ -2633,6 +2847,63 @@ object Similarity {
   val LnK = 5
 
   def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    // Collapsed cell-scoped kNN (round 11, the annLsh prefix argument):
+    // cos is a function of the (group, group) pair and ties rank by
+    // neighbor id, so every member of a group shares one ranked
+    // neighbor list except for the exclusion of itself. Build per
+    // group the top-(LnK+1) entry prefix over its cell's groups (self
+    // included at the self-cosine), each contributing its LnK+1
+    // smallest member ids WITH their labels; per member drop itself,
+    // cut at LnK, and vote. The cell join is flat in multiplicity;
+    // the expansion is members × (LnK+1) rows.
+    val kp = LnK + 1
+    val v = vectors(spark, dir)
+    val m = vecMembers(spark, dir)
+    val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid").as("gid"), col("seed_id").as("cell"))
+    val cg = vecGroups(spark, dir).join(cellOf, "gid")
+      .select(col("cell"), col("gid"), col("qv"), col("n2"))
+    val a = cg.select(col("cell"), col("gid").as("src"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    val directed = a
+      .join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
+      .unionByName(cg.select(col("gid").as("src"), col("gid").as("dst"),
+        selfCos(col("n2")).as("cos")))
+    val prefix = m
+      .join(v.select(col("vec_id"), col("label")), "vec_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("gid").orderBy("vec_id")))
+      .where(col("pos") <= kp)
+      .select(col("gid").as("dst"), col("vec_id").as("bid"), col("label").as("blabel"))
+    val groupPrefix = directed.join(prefix, "dst")
+      .withColumn("gr", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("bid"))))
+      .where(col("gr") <= kp)
+      .select(col("src").as("gid"), col("bid"), col("blabel"), col("cos"))
+    val voted = m
+      .join(v.select(col("vec_id"), col("label")), "vec_id")
+      .join(groupPrefix, "gid")
+      .where(col("bid") =!= col("vec_id"))
+      .withColumn("nrnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))))
+      .where(col("nrnk") <= LnK)
+      .groupBy("vec_id", "label", "blabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("votes").desc, col("blabel"))))
+      .where(col("vrnk") === 1)
+    voted.groupBy(col("label").as("true_label"), col("blabel").as("voted_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "voted_label")
+  }
+
+  /** The pre-collapse member-level kNN vote, kept as the equivalence
+    * reference for DupCollapseSpec — NEVER registered as a query. */
+  private[graft] def labelNoiseNaiveProbe(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val members = cellAssignments(spark, dir).where(col("rnk") === 1)
       .select(col("avid"), col("seed_id").as("cell"))
