@@ -25,7 +25,10 @@ class SemanticCurationSpec extends SparkSpec {
       assert(keeper < vid, s"keeper $keeper not smaller than dropped $vid")
       assert(cos >= Similarity.DupThresholdE6, s"pair ($keeper,$vid) below τ: $cos")
     }
-    val lsh = Similarity.embedCosineDup(spark, Sf0001)
+    // the expanded member-level report (row 180): the agreement check is
+    // about per-PAIR scores, which the rep-level default carries only at
+    // distinct-content granularity
+    val lsh = Similarity.embedCosineDupPairsFull(spark, Sf0001)
       .select("aid", "bid", "cos_e6").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val shared = sem.filter { case (vid, keeper, _) => lsh.contains((keeper, vid)) }
