@@ -1194,26 +1194,43 @@ object Dedup {
     // collapse dedupMinhash ships — and the counts are IDENTICAL to
     // filtering the expansion (the oracle still computes the expanded
     // form). Flat in multiplicity; runs at the 1000× point.
+    // Single-pass form: pairs(τ) = Σ C(s,2) over dup groups (τ-free for
+    // τ ≤ 1) + Σ sa·sb over qualifying cross pairs — a conditional sum
+    // per τ in ONE aggregation over the cross frame. Docs touched: a rep
+    // r's members are touched at τ iff size(r) ≥ 2 OR r has a cross pair
+    // with J ≥ τ — so join each rep its MAX cross Jaccard once, and the
+    // per-τ distinct-doc reduction becomes four conditional sums over
+    // one bounded rep frame (the previous 4-arm union+distinct re-read
+    // the pair frame 12×: 56 s at the 1000× point).
     val sizes = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("sz"))
-    val dupGroups = sizes.where(col("sz") >= 2)
     val cross = repVerifiedPairs(spark, dir)
       .join(sizes.select(col("rep").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("rep").as("doc_b"), col("sz").as("szb")), "doc_b")
+    val cpCols = SweepTausE4.map { tau =>
+      coalesce(sum(when(col("jaccard_e4") >= tau, col("sza") * col("szb"))
+        .otherwise(0L)), lit(0L)).as(s"cp_$tau")
+    }
+    val crossAgg = cross.agg(cpCols.head, cpCols.tail: _*)
+    val maxJ = repVerifiedPairs(spark, dir)
+      .select(col("doc_a").as("rep"), col("jaccard_e4"))
+      .unionByName(repVerifiedPairs(spark, dir)
+        .select(col("doc_b").as("rep"), col("jaccard_e4")))
+      .groupBy("rep").agg(max("jaccard_e4").as("max_j"))
+    val rdCols = coalesce(sum(when(col("sz") >= 2, expr("sz * (sz - 1) div 2"))
+        .otherwise(0L)), lit(0L)).as("wp") +:
+      SweepTausE4.map { tau =>
+        coalesce(sum(when(col("sz") >= 2 || col("max_j") >= tau, col("sz"))
+          .otherwise(0L)), lit(0L)).as(s"td_$tau")
+      }
+    val repAgg = sizes.join(maxJ, Seq("rep"), "left")
+      .agg(rdCols.head, rdCols.tail: _*)
     val taus = SweepTausE4.map { tau =>
-      val qc = cross.where(col("jaccard_e4") >= tau)
-      val withinPairs = dupGroups
-        .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("wp"))
-      val crossPairs = qc
-        .agg(coalesce(sum(col("sza") * col("szb")), lit(0L)).as("cp"))
-      val touched = dupGroups.select(col("rep"))
-        .unionByName(qc.select(col("doc_a").as("rep")))
-        .unionByName(qc.select(col("doc_b").as("rep")))
-        .distinct()
-        .join(sizes, "rep")
-        .agg(coalesce(sum("sz"), lit(0L)).as("n_docs_touched"))
-      withinPairs.crossJoin(crossPairs).crossJoin(touched)
+      // both sides are 1-row aggregates; the hint keeps the plan sweep's
+      // zero-CartesianProduct invariant
+      crossAgg.crossJoin(broadcast(repAgg))
         .select(lit(tau).as("tau_e4"),
-          (col("wp") + col("cp")).as("n_pairs"), col("n_docs_touched"))
+          (col("wp") + col(s"cp_$tau")).as("n_pairs"),
+          col(s"td_$tau").as("n_docs_touched"))
     }
     taus.reduce(_ unionByName _).orderBy("tau_e4")
   }
