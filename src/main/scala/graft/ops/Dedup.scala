@@ -483,20 +483,73 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Rep-level fingerprint-pair report (round 11 — the dedup_minhash
+    * contract split applied to both SimHash pair rows): one row per
+    * DISTINCT-fingerprint qualifying pair with group sizes and the
+    * implied member-pair count; within rows (identical fingerprint,
+    * Hamming 0) carry C(cnt, 2). Shared by both probe variants. */
+  private def repFpReport(spark: SparkSession, dir: String,
+      repPairs: DataFrame): DataFrame = {
+    val g = simhashReps(spark, dir).select(col("simhash"), col("rep"), col("cnt"))
+    val cross = repPairs
+      .join(g.select(col("simhash").as("sh_a"), col("rep").as("rep_a"),
+        col("cnt").as("size_a")), "sh_a")
+      .join(g.select(col("simhash").as("sh_b"), col("rep").as("rep_b"),
+        col("cnt").as("size_b")), "sh_b")
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        col("size_a"), col("size_b"), (col("size_a") * col("size_b")).as("n_pairs"))
+    val within = g.where(col("cnt") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"), lit(0L).as("hamming"),
+        col("cnt").as("size_a"), col("cnt").as("size_b"),
+        expr("cnt * (cnt - 1) div 2").as("n_pairs"))
+    cross.unionByName(within).orderBy("rep_a", "rep_b")
+  }
+
+  /** The candidate chain both single-probe variants share: bucket-join
+    * over distinct fingerprints, exact popcount filter. */
+  private def singleProbeRepPairs(spark: SparkSession, dir: String): DataFrame = {
     val r = simhashReps(spark, dir)
     val a = r.select(col("simhash").as("sh_a"), col("rep").as("rep_a"), col("bucket"))
     val b = r.select(col("simhash").as("sh_b"), col("rep").as("rep_b"),
       col("bucket").as("bucket_b"))
-    val repPairs = a
-      .join(b, col("bucket") === col("bucket_b") && col("rep_a") < col("rep_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("rep_a") < col("rep_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= MaxHamming)
       .select("sh_a", "sh_b", "hamming")
-    expandFpPairs(spark, dir, repPairs).orderBy("doc_a", "doc_b")
   }
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    repFpReport(spark, dir, singleProbeRepPairs(spark, dir))
+
+  /** Expanded per-copy report — the pre-round-11 contract, opt-in
+    * (SURVEY row 181): output quadratic in duplicate multiplicity. */
+  def dedupSimhashPairsFull(spark: SparkSession, dir: String): DataFrame =
+    expandFpPairs(spark, dir, singleProbeRepPairs(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Oracle twin of the rep-level default: groups = identical
+    * fingerprints (bucket is a prefix of the fingerprint, so one bucket
+    * per group; a rep pair is a candidate iff any member pair is). */
   def dedupSimhashPairsSql: String =
+    s"""WITH $SimhashCtes,
+       |sg AS (
+       |  SELECT simhash, min(doc_id) AS rep, count(*) AS cnt, min(bucket) AS bucket
+       |  FROM sh GROUP BY simhash),
+       |scx AS (
+       |  SELECT a.rep AS rep_a, b.rep AS rep_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+       |         a.cnt AS size_a, b.cnt AS size_b, a.cnt * b.cnt AS n_pairs
+       |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.rep < b.rep
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming),
+       |swi AS (
+       |  SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS BIGINT) AS hamming,
+       |         cnt AS size_a, cnt AS size_b, cnt * (cnt - 1) // 2 AS n_pairs
+       |  FROM sg WHERE cnt >= 2)
+       |SELECT * FROM scx UNION ALL SELECT * FROM swi
+       |ORDER BY rep_a, rep_b""".stripMargin
+
+  /** Oracle for the expanded opt-in — the pre-round-11 SQL verbatim. */
+  def dedupSimhashPairsFullSql: String =
     s"""WITH $SimhashCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -521,7 +574,9 @@ object Dedup {
   val MpBandBits = 15
   val MpMaxHamming = 3L
 
-  def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+  /** The multiprobe candidate chain over distinct fingerprints, shared
+    * by the rep-level default and the expanded opt-in. */
+  private def multiProbeRepPairs(spark: SparkSession, dir: String): DataFrame = {
     val mask = (1L << MpBandBits) - 1
     val r = simhashReps(spark, dir).select(col("rep"), col("simhash"))
     val bandStructs = (0 until MpBands).map { j =>
@@ -535,7 +590,7 @@ object Dedup {
       .select(col("rep"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("rep"), col("simhash"),
         col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val repPairs = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_val") === col("y.band_val") &&
@@ -544,10 +599,54 @@ object Dedup {
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= MpMaxHamming)
-    expandFpPairs(spark, dir, repPairs).orderBy("doc_a", "doc_b")
   }
 
+  def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    repFpReport(spark, dir, multiProbeRepPairs(spark, dir))
+
+  /** Expanded per-copy multiprobe report — pre-round-11 contract, opt-in
+    * (SURVEY row 182). */
+  def dedupSimhashMultiprobeFull(spark: SparkSession, dir: String): DataFrame =
+    expandFpPairs(spark, dir, multiProbeRepPairs(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Oracle twin of the rep-level multiprobe default (group-by-simhash
+    * band join — identical fingerprints share every band, so rep
+    * candidacy decides member candidacy). */
   def dedupSimhashMultiprobeSql: String = {
+    val mask = (1L << MpBandBits) - 1
+    val bandSelects = (0 until MpBands).map { j =>
+      s"SELECT rep, simhash, $j AS band_id, (simhash >> ${MpBandBits * j}) & $mask AS band_val FROM sg"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $SimhashCtes,
+       |sg AS (
+       |  SELECT simhash, min(doc_id) AS rep, count(*) AS cnt
+       |  FROM sh GROUP BY simhash),
+       |banded AS (
+       |  $bandSelects),
+       |mpairs AS (
+       |  SELECT DISTINCT x.simhash AS sh_a, y.simhash AS sh_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.rep < y.rep),
+       |mcx AS (
+       |  SELECT a.rep AS rep_a, b.rep AS rep_b,
+       |         CAST(bit_count(xor(p.sh_a, p.sh_b)) AS BIGINT) AS hamming,
+       |         a.cnt AS size_a, b.cnt AS size_b, a.cnt * b.cnt AS n_pairs
+       |  FROM mpairs p
+       |  JOIN sg a ON p.sh_a = a.simhash
+       |  JOIN sg b ON p.sh_b = b.simhash
+       |  WHERE bit_count(xor(p.sh_a, p.sh_b)) <= $MpMaxHamming),
+       |mwi AS (
+       |  SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS BIGINT) AS hamming,
+       |         cnt AS size_a, cnt AS size_b, cnt * (cnt - 1) // 2 AS n_pairs
+       |  FROM sg WHERE cnt >= 2)
+       |SELECT * FROM mcx UNION ALL SELECT * FROM mwi
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
+
+  /** Oracle for the expanded multiprobe opt-in — pre-round-11 SQL. */
+  def dedupSimhashMultiprobeFullSql: String = {
     val mask = (1L << MpBandBits) - 1
     val bandSelects = (0 until MpBands).map { j =>
       s"SELECT doc_id, $j AS band_id, (simhash >> ${MpBandBits * j}) & $mask AS band_val FROM sh"

@@ -21,7 +21,10 @@ class SimhashRecallSpec extends SparkSpec {
       if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= Dedup.MpMaxHamming
     } yield (ida, idb)).toSet
 
-    val found = Dedup.dedupSimhashMultiprobe(spark, Sf0001)
+    // the expanded member-level report (row 182): the recall guarantee is
+    // about every DOC pair, which the rep-level default carries only as
+    // implied counts
+    val found = Dedup.dedupSimhashMultiprobeFull(spark, Sf0001)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
