@@ -97,6 +97,30 @@ object Tables {
     if (narrow) df.repartition(cores) else df
   }
 
+  /** Range-bucketed frame with a PINNED physical layout for the
+    * two-phase distributed global rank (user_spend_decile and friends).
+    *
+    * The rank and offset branches both read this frame; without a pin,
+    * each branch triggers its OWN materialization of the
+    * repartitionByRange exchange, and AQE may hand the two runs
+    * different upstream partition layouts — RangePartitioner samples
+    * per input partition, so the two runs can draw DIFFERENT range
+    * boundaries, and `spark_partition_id()` then tags inconsistent
+    * pids: local ranks computed against one layout joined to offsets
+    * computed against another (observed at sf0.1: curriculum_plan
+    * emitted 11 "deciles", ccnet_bucket shifted one doc across a
+    * tercile boundary; sf0.01 coalesces to one partition and hides
+    * it). An eager localCheckpoint pins ONE materialization for both
+    * branches. On a multi-executor cluster a reliable checkpoint dir
+    * (or writing the bucketed frame) gives the same pin with executor
+    * -loss tolerance; the frame is the RANK input, already reduced, so
+    * the pinned footprint is small relative to the corpus. */
+  def pinRankBuckets(df: DataFrame, buckets: Int,
+      order: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(buckets, order: _*)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
+
   /** Memoized persist: build + `persist(MEMORY_AND_DISK)` a frame at most
     * once per (session, key). Spark's CacheManager already dedupes cached
     * data by plan, but re-calling persist() on a freshly built copy of the

@@ -174,9 +174,8 @@ object Ngrams {
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), sum("tf").as("n_occ"))
       .where(col("df") >= MinVocabDf)
-    val bucketed = v
-      .repartitionByRange(VocabRankBuckets, col("n_occ").desc, col("tok"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(v, VocabRankBuckets,
+      col("n_occ").desc, col("tok"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("pid").orderBy(col("n_occ").desc, col("tok"))))
     // tiny pid-indexed running offset (≤ VocabRankBuckets rows); its
@@ -214,9 +213,8 @@ object Ngrams {
 
   def ngramCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
     val tn = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n"))
-    val bucketed = tn
-      .repartitionByRange(VocabRankBuckets, col("n").desc, col("tok"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(tn, VocabRankBuckets,
+      col("n").desc, col("tok"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("pid").orderBy(col("n").desc, col("tok"))))
     val offsets = bucketed.groupBy("pid")

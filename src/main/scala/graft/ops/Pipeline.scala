@@ -586,9 +586,8 @@ object Pipeline {
 
   def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = docTokens(spark, dir).select("doc_id", "n_tokens")
-    val bucketed = docs
-      .repartitionByRange(CurriculumRankBuckets, col("n_tokens").asc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(docs, CurriculumRankBuckets,
+      col("n_tokens").asc, col("doc_id"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("pid").orderBy(col("n_tokens").asc, col("doc_id"))))
     val offsets = bucketed.groupBy("pid")
@@ -812,9 +811,8 @@ object Pipeline {
           col("doc_id") % HashModPrime * graft.functions.HashExprs.Mix2 % HashModPrime)
           .otherwise(
             col("doc_id") % HashModPrime * graft.functions.HashExprs.Mix3 % HashModPrime))
-    val bucketed = base
-      .repartitionByRange(OrderRankBuckets, col("epoch"), col("h"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(base, OrderRankBuckets,
+      col("epoch"), col("h"), col("doc_id"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("epoch", "pid").orderBy(col("h"), col("doc_id"))))
     val offsets = bucketed.groupBy("epoch", "pid")
@@ -1192,9 +1190,8 @@ object Pipeline {
           .otherwise(floor(lit(10000.0) * col("wsum") / col("tf_sum")).cast("long"))
           .as("score_e4"))
     // two-phase exact global rank: head = highest mean-df (most fluent)
-    val bucketed = scored
-      .repartitionByRange(CcnetRankBuckets, col("score_e4").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(scored, CcnetRankBuckets,
+      col("score_e4").desc, col("doc_id"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("pid").orderBy(col("score_e4").desc, col("doc_id"))))
     val offsets = bucketed.groupBy("pid")

@@ -758,9 +758,8 @@ object Queries {
       .where(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(cents(col("value"))).as("spend_cents"))
-    val bucketed = spend
-      .repartitionByRange(DecileRankBuckets, col("spend_cents").desc, col("user_id"))
-      .withColumn("pid", spark_partition_id())
+    val bucketed = Tables.pinRankBuckets(spend, DecileRankBuckets,
+      col("spend_cents").desc, col("user_id"))
     val ranked = bucketed.withColumn("local_rn", row_number().over(
       Window.partitionBy("pid").orderBy(col("spend_cents").desc, col("user_id"))))
     val offsets = bucketed.groupBy("pid")
