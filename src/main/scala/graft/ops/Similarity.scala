@@ -304,6 +304,35 @@ object Similarity {
       .orderBy("aid", "rnk")
   }
 
+  /** The ORIGINAL member-level bucket join (pre-round-11 scoredPairs
+    * verbatim) — the ground-truth reference DupCollapseSpec compares
+    * the rep-level expansion against, since no testdata corpus carries
+    * duplicate embeddings and the oracle gate therefore never
+    * exercises the within-group paths. NEVER registered as a query. */
+  private[graft] def scoredPairsMemberProbe(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val s = v.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val a = s.select(col("vec_id").as("aid"), col("tbl"), col("bucket"))
+    val b = s.select(col("vec_id").as("bid"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b"))
+    val cand = a.join(b,
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+          && col("aid") < col("bid"))
+      .groupBy("aid", "bid").agg(count(lit(1)).as("n_tbl"))
+    val pa = v.select(col("vec_id").as("aid"), col("qs").as("qa"), col("n2").as("na2"))
+    val pb = v.select(col("vec_id").as("bid"), col("qs").as("qb"), col("n2").as("nb2"))
+    cand.join(pa, "aid").join(pb, "bid")
+      .withColumn("cos", cosine(
+        graft.functions.HashExprs.shortDot(col("qa"), col("qb")),
+        col("na2"), col("nb2")))
+      .select("aid", "bid", "n_tbl", "cos")
+  }
+
+  /** The rep-level expansion under test (the [[scoredPairs]] frame). */
+  private[graft] def scoredPairsExpandedProbe(spark: SparkSession, dir: String): DataFrame =
+    scoredPairs(spark, dir)
+
   /** The pre-collapse member-level ranking, kept as the equivalence
     * reference for DupCollapseSpec — NEVER registered as a query. */
   private[graft] def annLshNaiveProbe(spark: SparkSession, dir: String): DataFrame = {

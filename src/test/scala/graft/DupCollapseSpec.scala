@@ -38,6 +38,23 @@ class DupCollapseSpec extends SparkSpec {
     out
   }
 
+  test("the member-pair expansion equals the ORIGINAL member-level bucket join") {
+    // annLshNaiveProbe rides the expansion itself, so this is the link
+    // that grounds the whole chain: rep bucket join + id arithmetic must
+    // reproduce the pre-round-11 member-level join exactly — same pairs,
+    // same n_tbl (identical vectors collide in every table), same cos
+    // through the same IEEE expressions
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("aid", "bid").collect().toSeq
+        .map(r => (r.getAs[Long]("aid"), r.getAs[Long]("bid"),
+          r.getAs[Long]("n_tbl"), r.getAs[Double]("cos")))
+    val fast = norm(Similarity.scoredPairsExpandedProbe(spark, dupDir))
+    val ref = norm(Similarity.scoredPairsMemberProbe(spark, dupDir))
+    assert(fast.nonEmpty)
+    assert(fast.exists { case (a, b, _, _) => (b - a) % 5000000L == 0 })
+    assert(fast == ref)
+  }
+
   test("annLsh collapse is row-identical to the naive member-level ranking") {
     val fast = Similarity.annLsh(spark, dupDir).collect().toSeq
     val ref = Similarity.annLshNaiveProbe(spark, dupDir).collect().toSeq
