@@ -64,18 +64,26 @@ object SpecificFilter {
     Seq("event_id", "user_id", "event_type", "value_cents", "k", "balance_cents")
 
   def filterTyped(spark: SparkSession, dir: String): DataFrame = {
+    // One-pass form (round 11): the explode(5 probe structs) fed a
+    // 5N-row aggregation — the largest absolute wall at the 1000×
+    // point (114 s at 100M events). The probes are now 2·|ProbedCols|
+    // conditional sums in a single map-side-combined pass, and the
+    // 1-row result is pivoted to the (colname, counts) contract with
+    // stack() — same output, same oracle, no 5N intermediate.
     val rawMap = map_from_arrays(col("columnnames"), col("columnvalues"))
-    val probes = ProbedCols.map { c =>
-      struct(lit(c).as("colname"),
-        when(array_contains(col("columnnames"), c), 1L).otherwise(0L).as("present"),
-        when(eqFilter(col("cmap"), lit(c), try_element_at(rawMap, lit(c))), 1L)
-          .otherwise(0L).as("selfmatch"))
+    val aggs = ProbedCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(array_contains(col("columnnames"), c), 1L).otherwise(0L))
+          .as(s"p_$i"),
+        sum(when(eqFilter(col("cmap"), lit(c), try_element_at(rawMap, lit(c))), 1L)
+          .otherwise(0L)).as(s"m_$i"))
     }
+    val stackArgs = ProbedCols.zipWithIndex
+      .map { case (c, i) => s"'$c', p_$i, m_$i" }.mkString(", ")
     ChangeFeed.decodedWithMap(spark, dir)
-      .select(explode(array(probes: _*)).as("p"))
-      .groupBy(col("p.colname").as("colname"))
-      .agg(sum("p.present").as("n_present"),
-        sum("p.selfmatch").as("n_self_match"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProbedCols.size}, $stackArgs) " +
+        "AS (colname, n_present, n_self_match)")
       .where(col("n_present") > 0)
       .orderBy("colname")
   }
