@@ -20,12 +20,23 @@ def main():
     prev = None
     if "--prev" in sys.argv:
         prev = json.load(open(sys.argv[sys.argv.index("--prev") + 1]))
-    queries, builds, errors = {}, {}, {}
+    queries, builds, errors, n_runs = {}, {}, {}, {}
     for f in sorted(glob.glob(f"{chunk_dir}/*.json")):
         d = json.load(open(f))
+        # Duplicate query names across chunk files are an authoring error
+        # (the same query measured twice would silently last-win); fail
+        # loudly instead of merging a lie.
+        dup = set(queries) & set(d.get("queries", {}))
+        if dup:
+            sys.exit(f"FATAL: query keys in multiple chunks: {sorted(dup)}")
         queries.update(d.get("queries", {}))
-        builds.update(d.get("builds", {}))
+        # Build keys legitimately repeat across chunks (each chunk JVM
+        # pays its own copy of a shared build) — SUM them, don't overwrite,
+        # so build_sec/total_sec reflect wall actually spent.
+        for k, v in d.get("builds", {}).items():
+            builds[k] = builds.get(k, 0.0) + v
         errors.update(d.get("errors", {}))
+        n_runs.update(d.get("n_runs", {}))
     exps = {}
     if prev:
         pq = prev.get("queries", {})
@@ -43,7 +54,14 @@ def main():
         "errors": errors,
         "queries": {k: round(v, 3) for k, v in sorted(queries.items())},
         "builds": {k: round(v, 3) for k, v in sorted(builds.items())},
+        # measurement passes per query; absent = 1 (2 = Bench's zero-wall
+        # re-measure fired for that query)
+        "n_runs": dict(sorted(n_runs.items())),
     }
+    zeros = [k for k, v in art["queries"].items()
+             if v == 0.0 and k not in errors]
+    if zeros:
+        sys.exit(f"FATAL: zero walls survived the re-measure rule: {zeros}")
     if exps:
         art["fitted_exponent_per_decade"] = dict(sorted(exps.items()))
     json.dump(art, open(out, "w"), indent=1)

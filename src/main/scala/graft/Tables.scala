@@ -111,15 +111,35 @@ object Tables {
     * emitted 11 "deciles", ccnet_bucket shifted one doc across a
     * tercile boundary; sf0.01 coalesces to one partition and hides
     * it). An eager localCheckpoint pins ONE materialization for both
-    * branches. On a multi-executor cluster a reliable checkpoint dir
-    * (or writing the bucketed frame) gives the same pin with executor
-    * -loss tolerance; the frame is the RANK input, already reduced, so
-    * the pinned footprint is small relative to the corpus. */
+    * branches. The frame is the RANK input, already reduced, so the
+    * pinned footprint is small relative to the corpus.
+    *
+    * Cluster posture: localCheckpoint stores blocks on executors, so an
+    * executor loss kills the job instead of recomputing. A deployment
+    * sets `GRAFT_RANK_PIN_DIR` (env or `graft.rank.pin.dir` sysprop) to
+    * a fault-tolerant path (HDFS/object store) and the pin becomes a
+    * RELIABLE checkpoint — same single-materialization guarantee,
+    * executor-loss tolerant. Local runs default to localCheckpoint
+    * (no dir to configure, no write amplification). */
+  def rankPinDir: Option[String] =
+    sys.env.get("GRAFT_RANK_PIN_DIR")
+      .orElse(Option(System.getProperty("graft.rank.pin.dir")))
+      .map(_.trim).filter(_.nonEmpty)
+
   def pinRankBuckets(df: DataFrame, buckets: Int,
-      order: org.apache.spark.sql.Column*): DataFrame =
-    df.repartitionByRange(buckets, order: _*)
+      order: org.apache.spark.sql.Column*): DataFrame = {
+    val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-      .localCheckpoint(true)
+    rankPinDir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir creates a fresh UUID subdir per call — set it
+        // once; an already-configured context dir is respected as-is
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        ranged.checkpoint(eager = true)
+      case None => ranged.localCheckpoint(true)
+    }
+  }
 
   /** Memoized persist: build + `persist(MEMORY_AND_DISK)` a frame at most
     * once per (session, key). Spark's CacheManager already dedupes cached

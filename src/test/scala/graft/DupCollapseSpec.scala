@@ -23,8 +23,25 @@ import org.apache.spark.sql.functions._
   */
 class DupCollapseSpec extends SparkSpec {
 
+  @volatile private var dupDirCreated: Option[String] = None
+
+  override def afterAll(): Unit = {
+    // the generated copy-heavy corpus is per-run scratch — delete it so
+    // repeated test runs don't accumulate parquet under the temp root
+    dupDirCreated.foreach { d =>
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+    super.afterAll()
+  }
+
   lazy val dupDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft-dupcorpus-").toString
+    dupDirCreated = Some(out)
     val e = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     (0 until 3).map { k =>
       e.select((col("vec_id") + lit(k * 5000000L)).as("vec_id"),
