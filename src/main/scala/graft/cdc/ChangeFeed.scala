@@ -146,7 +146,15 @@ object ChangeFeed {
     * every consumer that cares about write order (LWW snapshots, ordered
     * dumps) must use as the LSN tiebreak. */
   def decodedFrom(ev: DataFrame): DataFrame =
-    messagesFrom(ev)
+    decodeRawFrom(messagesFrom(ev))
+
+  /** Decode a raw `(lsn, payload)` change feed — the shape the JDBC
+    * polling source (graft.sources.JdbcChangeFeed) delivers — into one
+    * row per change element. [[decodedFrom]] is this decode over the
+    * synthesized batch feed; the composed streaming pipeline
+    * (JdbcPipelineSpec) runs it directly over the polled stream. */
+  def decodeRawFrom(raw: DataFrame): DataFrame =
+    raw
       .select(col("lsn"), from_json(col("payload"), ChangeSchema).as("doc"))
       .select(col("lsn"), posexplode(col("doc.change")).as(Seq("idx", "c")))
       .select(col("lsn"), col("idx").cast("long").as("idx"),
@@ -186,6 +194,11 @@ object ChangeFeed {
   /** Decoded records + the string-match column map (see [[textValueMap]]). */
   def decodedWithMapFrom(ev: DataFrame): DataFrame =
     decodedFrom(ev).withColumn("cmap", textValueMap)
+
+  /** [[decodeRawFrom]] + the string-match column map — the decode stage
+    * of the composed JDBC streaming pipeline. */
+  def decodedWithMapFromRaw(raw: DataFrame): DataFrame =
+    decodeRawFrom(raw).withColumn("cmap", textValueMap)
 
   /** Batch variant rides the memoized persisted decode — the map column is
     * one cheap projection over the cached frame, so filter_eq / filter_in /

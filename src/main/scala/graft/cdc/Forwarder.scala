@@ -127,13 +127,19 @@ object Forwarder {
     * column arrays). One shuffle on (base, entity); the window is a
     * per-key top-1, i.e. max-LSN semantics, skew-bounded by per-entity
     * change counts. */
-  def cdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+  def cdcSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotFromDecoded(spark, ChangeFeed.decodedWithMap(spark, dir))
+
+  /** Same LWW materialization over an already decoded+cmap frame — the
+    * batch reference the composed JDBC streaming pipeline's incremental
+    * snapshot state must converge to (JdbcPipelineSpec). */
+  def snapshotFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // statements inside one transaction document share the commit LSN;
     // array position is the write order, so it breaks the LWW tie
     val w = Window.partitionBy("base", "uid")
       .orderBy(col("lsn").desc, col("idx").desc)
-    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+    HyperRemap.remap(spark, withMap)
       .withColumn("uid", entityCol)
       .withColumn("rn", row_number().over(w))
       .withColumn("n_changes", count(lit(1)).over(
