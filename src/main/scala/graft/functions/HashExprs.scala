@@ -657,6 +657,60 @@ case class SimHashExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Big-endian unsigned integer field at a FIXED byte offset of a BINARY
+  * column — the EXIF/ISOBMFF-style header-field probe (magic number,
+  * dimension word, sample-rate word live at spec-pinned offsets of a
+  * media container). NULL when the payload is shorter than
+  * offset+width: a truncated header means "field absent", not an error
+  * — the same contract as a missing column in the CDC filters.
+  *
+  * This is the multimodal family's codegen'd member (SURVEY §2 row
+  * 183): unlike the row-28 mapPartitions decode stand-in, a header
+  * probe needs no codec, so it runs as a tight byte loop inside
+  * whole-stage codegen with column pruning and pushdown intact. Width
+  * is capped at 4 so the unsigned value always fits a long. */
+case class BinaryBeFieldExpr(child: Expression, offset: Int, width: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(offset >= 0 && width >= 1 && width <= 4,
+    s"binary_be_field: offset $offset / width $width out of contract")
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "binary_be_field"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.length < offset + width) null
+    else {
+      var x = 0L
+      var i = 0
+      while (i < width) { x = (x << 8) | (b(offset + i) & 0xffL); i += 1 }
+      x
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($c.length < ${offset + width}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $x = 0L;
+         |  for (int $i = 0; $i < $width; $i++) {
+         |    $x = ($x << 8) | ($c[$offset + $i] & 0xffL);
+         |  }
+         |  ${ev.value} = $x;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Shared affine-mix multipliers for the engine's portable hash family
     * (x % P * MixN % P, P prime). One definition point: the stratified
@@ -698,6 +752,10 @@ object HashExprs {
 
   def simHash(arr: Column, bits: Int): Column =
     GraftShim.column(SimHashExpr(GraftShim.expression(arr), bits))
+
+  def binaryBeField(payload: Column, offset: Int, width: Int): Column =
+    GraftShim.column(
+      BinaryBeFieldExpr(GraftShim.expression(payload), offset, width))
 
   def lshSignatures(qv: Column, weights: Array[Long], tables: Int, planes: Int): Column =
     GraftShim.column(

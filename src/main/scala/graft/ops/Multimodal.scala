@@ -73,6 +73,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- mm_header_fields ---------------------------------------------------
+
+  /** Fixed-offset header-field extraction over the binary payload — the
+    * EXIF/ISOBMFF-style probe (magic number at 0, a dimension word, a
+    * sample-rate word) a media pipeline runs BEFORE any codec: route,
+    * validate, and triage containers by header alone. Unlike the row-28
+    * decode stand-in this needs no codec, so it is the multimodal
+    * family's fully codegen'd member (SURVEY §2 row 183): three
+    * [[graft.functions.BinaryBeFieldExpr]] byte loops inside one
+    * whole-stage-codegen projection — no mapPartitions barrier, column
+    * pruning and pushdown intact (MultimodalSpec pins the plan shape).
+    * Truncated payloads yield NULL fields, not errors (short header =
+    * absent field, the CDC missing-column contract).
+    *
+    * Oracle equivalence rides the documented ASCII contract
+    * ([[mmFeatures]]): byte k of the UTF-8 payload is `ascii()` of text
+    * char k+1 while the corpus is pure ASCII. */
+  def mmHeaderFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        graft.functions.HashExprs.binaryBeField(col("payload"), 0, 4).as("magic_u32"),
+        graft.functions.HashExprs.binaryBeField(col("payload"), 4, 2).as("dim_u16"),
+        graft.functions.HashExprs.binaryBeField(col("payload"), 6, 3).as("rate_u24"))
+      .orderBy("doc_id")
+
+  val mmHeaderFieldsSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      |    AS media_type,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CASE WHEN length(text) >= 4 THEN CAST(
+      |    ascii(substr(text, 1, 1)) * 16777216 + ascii(substr(text, 2, 1)) * 65536 +
+      |    ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1)) AS BIGINT)
+      |  END AS magic_u32,
+      |  CASE WHEN length(text) >= 6 THEN CAST(
+      |    ascii(substr(text, 5, 1)) * 256 + ascii(substr(text, 6, 1)) AS BIGINT)
+      |  END AS dim_u16,
+      |  CASE WHEN length(text) >= 9 THEN CAST(
+      |    ascii(substr(text, 7, 1)) * 65536 + ascii(substr(text, 8, 1)) * 256 +
+      |    ascii(substr(text, 9, 1)) AS BIGINT)
+      |  END AS rate_u24
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- mm_frames ----------------------------------------------------------
 
   /** Frame sampling plumbing for the video rows: every FrameStride-th
