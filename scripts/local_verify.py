@@ -13,7 +13,9 @@ import duckdb
 import glob
 import json
 import math
+import os
 import sys
+import threading
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,12 +47,27 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        # Optional per-query oracle timeout (GRAFT_ORACLE_TIMEOUT seconds):
+        # at sf1-scale sweeps one pathological DuckDB plan must become a
+        # documented per-query blocker, not a hung gate. duckdb honors
+        # con.interrupt() from another thread.
+        timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        timer = None
+        if timeout_s > 0:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             odf = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                msg = f"oracle timeout after {timeout_s:.0f}s (DuckDB-side blocker)"
+            print(f"FAIL {name}: oracle error: {msg[:300]}")
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         sdf = con.sql(
             "SELECT * FROM read_parquet([" +
             ",".join(f"'{f}'" for f in files) + "])").df()
