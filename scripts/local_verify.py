@@ -2,6 +2,7 @@
 """Local mirror of the driver's correctness gate.
 
 Usage: python3 scripts/local_verify.py <sfdir> <outdir> [query ...]
+       [--json artifact.json]
 
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran. For each
 query: load the Spark parquet result, run the oracle SQL in DuckDB against
@@ -22,8 +23,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -40,11 +47,23 @@ def main():
         print("FAIL: selection matched no queries")
         sys.exit(2)
     n_pass = n_fail = 0
+    # Per-query records in the driver's CORRECTNESS_r{N}.json shape so a
+    # local sweep (e.g. the sf1-scale gate) can be committed as an artifact.
+    report = {}
+
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     for name in selected:
         sql = oracle[name]
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, err="no spark output")
             n_fail += 1
             continue
         # Optional per-query oracle timeout (GRAFT_ORACLE_TIMEOUT seconds):
@@ -63,6 +82,7 @@ def main():
             if "INTERRUPT" in msg.upper():
                 msg = f"oracle timeout after {timeout_s:.0f}s (DuckDB-side blocker)"
             print(f"FAIL {name}: oracle error: {msg[:300]}")
+            record(name, err=f"oracle error: {msg[:300]}")
             n_fail += 1
             continue
         finally:
@@ -74,10 +94,14 @@ def main():
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
         if ocols != scols:
             print(f"FAIL {name}: schema mismatch spark={scols} oracle={ocols}")
+            record(name, spark_rows=len(sdf), oracle_rows=len(odf),
+                   err=f"schema mismatch spark={scols} oracle={ocols}")
             n_fail += 1
             continue
         if len(odf) != len(sdf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            record(name, schema_match=True, spark_rows=len(sdf),
+                   oracle_rows=len(odf), err="row count mismatch")
             n_fail += 1
             continue
         odf, sdf = odf[ocols], sdf[ocols]
@@ -96,6 +120,9 @@ def main():
         if dtdiff:
             print(f"FAIL {name}: dtype-kind mismatch (spark, oracle): "
                   f"{dtdiff}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err=f"dtype-kind mismatch (spark, oracle): {dtdiff}")
             n_fail += 1
             continue
         bad = None
@@ -113,11 +140,21 @@ def main():
         if bad:
             c, i, a, b = bad
             print(f"FAIL {name}: col={c} row={i} spark={b!r} oracle={a!r}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err=f"value mismatch col={c} row={i} "
+                       f"spark={b!r} oracle={a!r}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     sys.exit(1 if n_fail else 0)
 
 

@@ -25,6 +25,16 @@ def main():
     import os
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # At N=1000 the lineitem copy is 600M rows; with insertion-order
+    # preservation DuckDB buffers the whole COPY result (~90 GB observed)
+    # before writing. Row order within a stress table is irrelevant —
+    # every consumer sorts or aggregates — so stream the copy under a
+    # hard memory ceiling instead.
+    con.sql("SET preserve_insertion_order=false")
+    con.sql(f"SET memory_limit='{os.environ.get('STRESS_GEN_MEM', '24GB')}'")
+    threads = os.environ.get("STRESS_GEN_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     k = f"(SELECT unnest(range({n})) AS k)"
     copies = {
         "documents": "SELECT doc_id + k*5000000 AS doc_id, text, lang, source, n_chars",
