@@ -58,7 +58,7 @@ CHUNKS = {
         repetition_filter gopher_quality ngram_topk ngram_pmi
         ngram_coverage_curve tfidf_topterms token_drift vocab_build
         oov_rate bpe_merges bpe_compression dsir_weights bm25_topk
-        retrieval_rrf
+        retrieval_rrf lm_fluency
     """,
     # Pipeline.scala + Clean.scala: corpus curation mechanics.
     "e_pipeline": """

@@ -352,16 +352,30 @@ object Ngrams {
   val PmiTopK = 20
   val MinPairCount = 5L
 
-  def ngramPmi(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(spark, dir)
-      .select(split(lower(trim(col("text"))), " ").as("tk"))
+  /** Adjacent-token pairs with their source doc: one explode over the
+    * token arrays. Query-local (each consumer aggregates it immediately
+    * into a far smaller frame). */
+  private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("tk"))
       .where(size(col("tk")) >= 2)
-    val bg = tk.select(explode(expr(
-      "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Corpus bigram counts (occurrences), materialized once per (session,
+    * dir) — the bigram-LM "training pass" shared by the PMI collocation
+    * miner and the fluency scorer. */
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"ngrams.bigram:$dir") {
+      bigramOccurrences(spark, dir)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    }
+
+  def ngramPmi(spark: SparkSession, dir: String): DataFrame = {
     val uni = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n_tok"))
-    val tot = bg.agg(count(lit(1)).as("n_big"))
-    bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val tot = bigramCounts(spark, dir).agg(sum("n_ab").as("n_big"))
+    bigramCounts(spark, dir)
       .where(col("n_ab") >= MinPairCount)
       .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), "a")
       .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), "b")
@@ -398,6 +412,80 @@ object Ngrams {
        |CROSS JOIN nb
        |ORDER BY lift_e6 DESC, p.a, p.b
        |LIMIT $PmiTopK""".stripMargin
+
+  // ---- lm_fluency: bigram-LM surprise scoring -----------------------------
+
+  /** Per-document fluency under a corpus-trained bigram language model —
+    * the perplexity-proxy filter of the CCNet lineage (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 — there a KenLM 5-gram; here the model is trained
+    * on the corpus itself): a document whose adjacent-token transitions
+    * are rare relative to each head token's frequency reads as disfluent
+    * (gibberish, shuffled boilerplate, OCR noise) and is a removal
+    * candidate. Per pair (a,b) the integer surprise is
+    * floor(1e6·n_a/n_ab) — monotone in -log P(b|a) = -log(n_ab/n_a), and
+    * ≥ 1e6 by construction; a float log() would not be bit-portable
+    * across engines (the tfidf/pmi integer trick). The document score is
+    * the floored mean surprise over its pairs; no smoothing is needed
+    * because the model is trained on the scoring corpus, so every scored
+    * pair has n_ab ≥ 1.
+    *
+    * Plan: bigram explode → co-partitioned join to the shared memoized
+    * bigram counts on (a,b) → broadcast-joined unigram totals would skew
+    * (token heads are Zipfian), so n_a joins on the token key instead,
+    * map-side-combined per-doc aggregation → global TakeOrdered(K) (the
+    * K most-surprising docs; bounded K rows per partition to the driver)
+    * → broadcast join of the K-row shortlist back to documents for
+    * lang/source. Output is K rows at every corpus size. */
+  val FluencyTopK = 20
+
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val uni = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n_a"))
+    val scored = bigramOccurrences(spark, dir)
+      .join(bigramCounts(spark, dir), Seq("a", "b"))
+      .join(uni.withColumnRenamed("tok", "a"), "a")
+      .withColumn("s", expr("CAST(floor(1.0e6 * n_a / n_ab) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("s").as("sum_s"))
+      .withColumn("surprise_e6", expr("sum_s div n_pairs"))
+      .orderBy(col("surprise_e6").desc, col("doc_id"))
+      .limit(FluencyTopK)
+    scored
+      .join(Tables.documents(spark, dir).select("doc_id", "lang", "source"), "doc_id")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("surprise_e6").desc, col("doc_id"))).cast("long"))
+      .select("rnk", "doc_id", "lang", "source", "n_pairs", "surprise_e6")
+      .orderBy("rnk")
+  }
+
+  val lmFluencySql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+       |  FROM documents
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+       |bgidx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tk),
+       |bg AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b FROM bgidx),
+       |pairs AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY a, b),
+       |ex AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |       FROM documents),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY tok),
+       |sc AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(CAST(floor(1.0e6 * u.n_a / p.n_ab) AS BIGINT)) AS BIGINT)
+       |           AS sum_s
+       |  FROM bg g
+       |  JOIN pairs p ON g.a = p.a AND g.b = p.b
+       |  JOIN uni u ON g.a = u.tok
+       |  GROUP BY g.doc_id),
+       |top AS (
+       |  SELECT doc_id, n_pairs, sum_s // n_pairs AS surprise_e6
+       |  FROM sc ORDER BY surprise_e6 DESC, doc_id LIMIT $FluencyTopK)
+       |SELECT CAST(row_number() OVER (ORDER BY t.surprise_e6 DESC, t.doc_id)
+       |         AS BIGINT) AS rnk,
+       |       t.doc_id, d.lang, d.source, t.n_pairs, t.surprise_e6
+       |FROM top t JOIN documents d USING (doc_id)
+       |ORDER BY rnk""".stripMargin
 
   // ---- bpe_merges: byte-pair-encoding merge-rule induction ----------------
 
