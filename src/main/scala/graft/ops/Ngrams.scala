@@ -430,21 +430,27 @@ object Ngrams {
     * because the model is trained on the scoring corpus, so every scored
     * pair has n_ab ≥ 1.
     *
-    * Plan: bigram explode → co-partitioned join to the shared memoized
-    * bigram counts on (a,b) → broadcast-joined unigram totals would skew
-    * (token heads are Zipfian), so n_a joins on the token key instead,
-    * map-side-combined per-doc aggregation → global TakeOrdered(K) (the
-    * K most-surprising docs; bounded K rows per partition to the driver)
-    * → broadcast join of the K-row shortlist back to documents for
+    * Plan: the per-pair surprise is precomputed on the SMALL side — the
+    * distinct-pair counts frame joins the unigram totals on the head
+    * token (both are aggregates, orders of magnitude under the
+    * occurrence frame) — so the dominant bigram-occurrence frame
+    * shuffles exactly once, on (a,b), into a co-partitioned join against
+    * the enriched pair table; joining occurrences to uni directly would
+    * re-shuffle the big frame a second time on the Zipf-skewed head
+    * token. Then a map-side-combined per-doc aggregation → global
+    * TakeOrdered(K) (bounded K rows per partition to the driver) →
+    * broadcast join of the K-row shortlist back to documents for
     * lang/source. Output is K rows at every corpus size. */
   val FluencyTopK = 20
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val uni = tfFrame(spark, dir).groupBy("tok").agg(sum("tf").as("n_a"))
-    val scored = bigramOccurrences(spark, dir)
-      .join(bigramCounts(spark, dir), Seq("a", "b"))
+    val pairSurprise = bigramCounts(spark, dir)
       .join(uni.withColumnRenamed("tok", "a"), "a")
       .withColumn("s", expr("CAST(floor(1.0e6 * n_a / n_ab) AS BIGINT)"))
+      .select("a", "b", "s")
+    val scored = bigramOccurrences(spark, dir)
+      .join(pairSurprise, Seq("a", "b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"), sum("s").as("sum_s"))
       .withColumn("surprise_e6", expr("sum_s div n_pairs"))
