@@ -853,17 +853,89 @@ object Dedup {
        |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Oracle chain for the cluster closure at REP level. The doc-level
+    * recursive closure is quadratic in duplicate multiplicity (`reach`
+    * holds every (node, reachable-label) pair, Σ component² rows) and
+    * times out at the sf1-scale sweep, so the oracle applies the same
+    * exact contraction the engine proves in [[repMembers]]: identical
+    * shingle sets ⇒ identical minhash signatures ⇒ identical band keys
+    * ⇒ every member pair of a group is an LSH candidate at Jaccard
+    * exactly 1 ≥ the threshold — each group is a clique whose min
+    * member is its rep, so contracting groups to reps preserves both
+    * component structure and min labels. The contraction is re-derived
+    * here in SQL from the raw shingle sets (grp partitions on the
+    * sorted set itself, not a fingerprint), and candidates, exact
+    * Jaccard verification, and the closure all still run independently
+    * in DuckDB — only the provably-redundant duplicate copies leave
+    * the recursion. */
+  private[ops] val RepVerifiedEdgesCtes: String =
+    s"""$ShSqlCte,
+       |$MinhashSqlCte,
+       |$BandsSqlCte,
+       |grp AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY list_sort(sh)) AS rep
+       |  FROM shs),
+       |gsz AS (
+       |  SELECT rep, CAST(count(*) AS BIGINT) AS gsz FROM grp GROUP BY rep),
+       |rbands AS (
+       |  SELECT b.doc_id, b.band_id, b.band_key
+       |  FROM bands b JOIN grp g ON b.doc_id = g.doc_id
+       |  WHERE g.rep = b.doc_id),
+       |rcpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rbands a JOIN rbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |rcsized AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh)) AS isz,
+       |         len(sa.sh) AS sza, len(sb.sh) AS szb
+       |  FROM rcpairs p
+       |  JOIN shs sa ON p.doc_a = sa.doc_id
+       |  JOIN shs sb ON p.doc_b = sb.doc_id),
+       |rverified AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM rcsized
+       |  WHERE CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT)
+       |        >= $ClusterMinJaccardE4),
+       |redges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM rverified
+       |  UNION SELECT doc_b, doc_a FROM rverified)""".stripMargin
+
+  /** Rep-level recursive closure + member expansion, shared by the
+    * cluster labels and the size histogram: min reachable rep per rep
+    * node, then every group member takes its rep's converged label
+    * (falling back to the rep itself for groups whose only edges are
+    * within-clique). Output domain unchanged from the doc-level form:
+    * members of any ≥2-member group plus members of groups whose rep
+    * carries a cross edge. */
+  private[ops] val RepClosureCtes: String =
+    s"""$RepVerifiedEdgesCtes,
+       |reach(node, m) AS (
+       |  SELECT a, a FROM redges
+       |  UNION
+       |  SELECT e.b, r.m FROM reach r JOIN redges e ON e.a = r.node),
+       |rcomp AS (
+       |  SELECT node AS rep, min(m) AS cluster_id FROM reach GROUP BY node),
+       |outreps AS (
+       |  -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE
+       |  -- context DuckDB 1.0 does not reliably dedup a named CTE built
+       |  -- from chained UNIONs (observed duplicates at sf0.01)
+       |  SELECT DISTINCT rep FROM (
+       |    SELECT rep FROM gsz WHERE gsz >= 2
+       |    UNION ALL SELECT doc_a FROM rverified
+       |    UNION ALL SELECT doc_b FROM rverified) u),
+       |comp AS (
+       |  SELECT g.doc_id, coalesce(rc.cluster_id, g.rep) AS cluster_id
+       |  FROM grp g
+       |  JOIN outreps o ON g.rep = o.rep
+       |  LEFT JOIN rcomp rc ON g.rep = rc.rep)""".stripMargin
+
   /** Recursive-CTE transitive closure: min reachable id per node — the
     * oracle computes the exact fixpoint the propagation loop converges
-    * to. */
+    * to, over the contracted rep graph (see [[RepVerifiedEdgesCtes]]). */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $VerifiedEdgesCtes,
-       |reach(node, m) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node)
-       |SELECT node AS doc_id, min(m) AS cluster_id
-       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE $RepClosureCtes
+       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
   // ---- dup_pagerank: authority scoring over the near-dup graph ------------
 
@@ -1223,14 +1295,7 @@ object Dedup {
       .orderBy("csize")
 
   def clusterSizeHistSql: String =
-    s"""WITH RECURSIVE $VerifiedEdgesCtes,
-       |reach(node, m) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
-       |comp AS (
-       |  SELECT node AS doc_id, min(m) AS cluster_id
-       |  FROM reach GROUP BY node),
+    s"""WITH RECURSIVE $RepClosureCtes,
        |cs AS (
        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
        |  FROM comp GROUP BY cluster_id)
@@ -1334,21 +1399,42 @@ object Dedup {
     taus.reduce(_ unionByName _).orderBy("tau_e4")
   }
 
+  /** Sweep oracle: one conditional-aggregation pass per frame instead of
+    * the previous 4 τ-arms × 3 correlated subqueries — DuckDB inlined
+    * each subquery and re-ran the whole banding chain 12×, which timed
+    * out at the sf1-scale sweep. `jp` (the expanded doc-level pair
+    * frame — kept doc-level deliberately, so the oracle still verifies
+    * the engine's rep-frame arithmetic against the brute-force
+    * expansion) is MATERIALIZED once; n_pairs(τ) is a conditional sum
+    * over it and n_docs_touched(τ) a conditional sum over each doc's
+    * max pair Jaccard. */
   def dedupThresholdSweepSql: String = {
+    val pCols = SweepTausE4.map { tau =>
+      s"CAST(coalesce(sum(CASE WHEN jaccard_e4 >= $tau THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_$tau"
+    }.mkString(",\n         ")
+    val tCols = SweepTausE4.map { tau =>
+      s"CAST(coalesce(sum(CASE WHEN mj >= $tau THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_$tau"
+    }.mkString(",\n         ")
     val arms = SweepTausE4.map { tau =>
-      s"""SELECT $tau AS tau_e4,
-         |  (SELECT count(*) FROM jp WHERE jaccard_e4 >= $tau) AS n_pairs,
-         |  (SELECT count(*) FROM (
-         |     SELECT doc_a AS d FROM jp WHERE jaccard_e4 >= $tau
-         |     UNION
-         |     SELECT doc_b FROM jp WHERE jaccard_e4 >= $tau)) AS n_docs_touched"""
-        .stripMargin
+      s"""SELECT CAST($tau AS BIGINT) AS tau_e4, pa.p_$tau AS n_pairs,
+         |       ta.t_$tau AS n_docs_touched
+         |FROM pa, ta""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $CandSqlCtes,
-       |jp AS (
+       |jp AS MATERIALIZED (
        |  SELECT doc_a, doc_b,
        |         CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT) AS jaccard_e4
-       |  FROM csized)
+       |  FROM csized),
+       |pa AS (
+       |  SELECT $pCols
+       |  FROM jp),
+       |touched AS (
+       |  SELECT d, max(j) AS mj FROM (
+       |    SELECT doc_a AS d, jaccard_e4 AS j FROM jp
+       |    UNION ALL SELECT doc_b, jaccard_e4 FROM jp) GROUP BY d),
+       |ta AS (
+       |  SELECT $tCols
+       |  FROM touched)
        |$arms
        |ORDER BY tau_e4""".stripMargin
   }
