@@ -2736,6 +2736,120 @@ object Similarity {
        |   / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS cov_e4
        |FROM cvg ORDER BY dim_i, dim_j""".stripMargin
 
+  // ---- embed_trunc_audit: Matryoshka truncation-fidelity audit -------------
+
+  /** Prefix-truncation depths audited: how much of each vector's energy
+    * and pairwise-cosine structure survives keeping only the first d of
+    * the 64 components (the Matryoshka-representation question a
+    * pipeline answers BEFORE committing a truncated index that is
+    * 64/d× smaller). */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Per truncation depth d: the captured-energy ratio (per-vector
+    * integer floor of 1e6·‖v[1..d]‖²/‖v‖², then the floored mean) and
+    * the cosine-fidelity envelope over the consecutive-id pair chain
+    * (|cos_d − cos_full| in 1e-6 ticks, mean + max). The chain is the
+    * bounded deterministic pair sample: N−1 pairs, never quadratic, and
+    * id-adjacency is corpus-order-stable so the audit is reproducible
+    * across runs and engines. Zero-norm vectors are excluded up front
+    * (the similarity-family contract) and pairs whose TRUNCATED norm
+    * vanishes are excluded per depth — cos_d would be 0/0.
+    *
+    * Scale shape: one explode(4)×scan for the energy term (map-side
+    * combine onto 4 keys), one co-partitioned self-join on vec_id±1 for
+    * the chain (linear, key cardinality = N), then the same 4-key
+    * reduction — nothing wider than the input crosses a shuffle, and
+    * the output is 4 rows regardless of N. All arithmetic is the
+    * portable int64 + correctly-rounded-double chain the rest of the
+    * family hash-matches DuckDB with. */
+  def embedTruncAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir).where(col("n2") > 0)
+      .select(col("vec_id"), col("qv"), col("n2"))
+    val dimsCol = explode(array(TruncDims.map(d => lit(d)): _*)).as("trunc_dim")
+    val en = v.select(col("qv"), col("n2"), dimsCol)
+      .withColumn("qd", slice(col("qv"), lit(1), col("trunc_dim")))
+      .withColumn("n2d", dot(col("qd"), col("qd")))
+      .groupBy("trunc_dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("(1000000 * n2d) div n2")).as("sum_e"))
+      .select(col("trunc_dim").cast("long").as("trunc_dim"), col("n_vecs"),
+        expr("sum_e div n_vecs").as("mean_energy_e6"))
+    val chain = v.as("a").join(v.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.qv").as("qa"), col("a.n2").as("na2"),
+        col("b.qv").as("qb"), col("b.n2").as("nb2"))
+      .withColumn("cos_full_e6", cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
+    val pr = chain.select(col("qa"), col("qb"), col("cos_full_e6"), dimsCol)
+      .withColumn("da", slice(col("qa"), lit(1), col("trunc_dim")))
+      .withColumn("db", slice(col("qb"), lit(1), col("trunc_dim")))
+      .withColumn("na2d", dot(col("da"), col("da")))
+      .withColumn("nb2d", dot(col("db"), col("db")))
+      .where(col("na2d") > 0 && col("nb2d") > 0)
+      .withColumn("cos_d_e6", cosE6(cosine(dot(col("da"), col("db")), col("na2d"), col("nb2d"))))
+      .withColumn("delta", abs(col("cos_d_e6") - col("cos_full_e6")))
+      .groupBy("trunc_dim")
+      .agg(count(lit(1)).as("n_pairs"), sum("delta").as("sum_d"),
+        max("delta").as("max_abs_delta_e6"))
+      .select(col("trunc_dim").cast("long").as("trunc_dim"), col("n_pairs"),
+        expr("sum_d div n_pairs").as("mean_abs_delta_e6"), col("max_abs_delta_e6"))
+    en.join(pr, "trunc_dim").orderBy("trunc_dim")
+  }
+
+  private val TruncDotSql =
+    "list_reduce(list_transform(range(1, len(%s) + 1), i -> %s[i] * %s[i]), (x, y) -> x + y)"
+
+  val embedTruncAuditSql: String = {
+    def dotS(a: String, b: String) = TruncDotSql.format(a, a, b)
+    s"""WITH $QvecsCte,
+       |v0 AS (SELECT vec_id, qv, $N2Sql AS n2 FROM qvecs),
+       |v AS (SELECT vec_id, qv, n2 FROM v0 WHERE n2 > 0),
+       |dims AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS trunc_dim),
+       |en0 AS (
+       |  SELECT d.trunc_dim, e.n2,
+       |         list_reduce(list_transform(list_slice(e.qv, 1, d.trunc_dim),
+       |           x -> x * x), (x, y) -> x + y) AS n2d
+       |  FROM v e, dims d),
+       |en AS (
+       |  SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+       |         CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(sum((1000000 * n2d) // n2) // count(*) AS BIGINT)
+       |           AS mean_energy_e6
+       |  FROM en0 GROUP BY trunc_dim),
+       |ch AS (
+       |  SELECT a.qv AS qa, a.n2 AS na2, b.qv AS qb, b.n2 AS nb2
+       |  FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id),
+       |pr0 AS (
+       |  SELECT d.trunc_dim,
+       |         CAST(floor(1000000.0 * CAST(${dotS("qa", "qb")} AS DOUBLE)
+       |           / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))) AS BIGINT)
+       |           AS cos_full_e6,
+       |         list_slice(qa, 1, d.trunc_dim) AS da,
+       |         list_slice(qb, 1, d.trunc_dim) AS db
+       |  FROM ch, dims d),
+       |pr1 AS (
+       |  SELECT trunc_dim, cos_full_e6,
+       |         ${dotS("da", "db")} AS dd,
+       |         ${dotS("da", "da")} AS na2d,
+       |         ${dotS("db", "db")} AS nb2d
+       |  FROM pr0),
+       |pr2 AS (
+       |  SELECT trunc_dim,
+       |         abs(CAST(floor(1000000.0 * CAST(dd AS DOUBLE)
+       |           / (sqrt(CAST(na2d AS DOUBLE)) * sqrt(CAST(nb2d AS DOUBLE)))) AS BIGINT)
+       |           - cos_full_e6) AS delta
+       |  FROM pr1 WHERE na2d > 0 AND nb2d > 0),
+       |pr AS (
+       |  SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+       |         CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(delta) // count(*) AS BIGINT) AS mean_abs_delta_e6,
+       |         max(delta) AS max_abs_delta_e6
+       |  FROM pr2 GROUP BY trunc_dim)
+       |SELECT en.trunc_dim, en.n_vecs, en.mean_energy_e6,
+       |       pr.n_pairs, pr.mean_abs_delta_e6, pr.max_abs_delta_e6
+       |FROM en JOIN pr ON en.trunc_dim = pr.trunc_dim
+       |ORDER BY en.trunc_dim""".stripMargin
+  }
+
   // ---- embed_whiten_audit: per-dim standardization parameters --------------
 
   /** Whitening/standardization parameter table — per dimension: exact

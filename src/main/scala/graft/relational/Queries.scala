@@ -382,6 +382,63 @@ object Queries {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---- events_rollup: multi-level rollup with grouping flags --------------
+
+  /** Native ROLLUP over (event_type, day-of-week): the (type, dow),
+    * (type), () subtotal levels in ONE pass, each row tagged with an
+    * explicit grouping id computed from per-column `grouping()` bits
+    * (gid = 2·grouping(type) + grouping(dow)) rather than the engines'
+    * `grouping_id()` — bit order is convention, the explicit sum is
+    * not. Rollup NULLs are re-sentineled ('ALL' / -1, values outside
+    * both domains) so the subtotal rows survive the hash compare and a
+    * consumer never confuses a subtotal with a data NULL. Day-of-week
+    * is the events_dow_hour pure epoch-integer derivation.
+    *
+    * Scale shape: Catalyst plans rollup as a 3×Expand feeding one
+    * map-side-combined partial aggregate — the fact table is read once
+    * and nothing wider than (≤5 types × 7 dows + levels) keys crosses
+    * the shuffle; the exact distinct-user count rides the standard
+    * two-phase distinct-aggregate expansion on (gid, keys, user_id),
+    * whose key cardinality is user-scale, never single-reducer. */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .withColumn("dow", expr("pmod((es - pmod(es, 86400)) div 86400 + 3, 7)"))
+      .select(col("event_type"), col("dow"), col("user_id"),
+        cents(col("value")).as("cents"))
+      .rollup("event_type", "dow")
+      .agg(
+        (grouping(col("event_type")) * 2 + grouping(col("dow")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_events"),
+        sum("cents").as("sum_cents"),
+        countDistinct("user_id").as("n_users"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("gid"), col("n_events"), col("sum_cents"), col("n_users"))
+      .orderBy("gid", "event_type", "dow")
+
+  val eventsRollupSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, user_id, cents,
+      |         (((es - ((es % 86400 + 86400) % 86400)) // 86400 + 3) % 7 + 7) % 7 AS dow
+      |  FROM e)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(dow, -1) AS dow,
+      |       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM d
+      |GROUP BY ROLLUP(event_type, dow)
+      |ORDER BY gid, event_type, dow""".stripMargin
+
   // ---- events_retention: week-over-week cohort retention ------------------
 
   /** Week-over-week retention: of the users active in week w, how many
