@@ -439,6 +439,55 @@ object Queries {
       |GROUP BY ROLLUP(event_type, dow)
       |ORDER BY gid, event_type, dow""".stripMargin
 
+  // ---- user_decay_score: half-life time-decayed activity scoring ----------
+
+  /** Per-user recency-weighted activity at the corpus high-water mark:
+    * each event contributes 1e6 halved once per elapsed 7-day half-life
+    * (piecewise-constant exponential decay), so the score is an EXACT
+    * integer sum — decay as a capped bit shift, never a Math.pow whose
+    * accumulation order the engines could disagree on. The shift count
+    * is clamped to 62 on BOTH engines: JVM long shifts use only the low
+    * 6 bits of the count, so an unclamped 64-period-old event would
+    * wrap to full weight instead of zero. This is the freshness prior a
+    * training pipeline mixes into sampling weights and a feature store
+    * serves as "recent engagement".
+    *
+    * Scale shape: the high-water mark is a 1-row aggregate broadcast
+    * under the fact scan (one pass, no window), then one map-side-
+    * combined groupBy on user_id — cardinality user-scale, no skew key,
+    * nothing wider than (user, 3 longs) crosses the shuffle. */
+  val DecayHalfLifeDays = 7L
+
+  def userDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+    val hi = ev.agg(max("es").as("hi_es"))
+    ev.crossJoin(broadcast(hi))
+      .withColumn("age_days", expr("(hi_es - es) div 86400"))
+      .withColumn("w", expr(
+        s"shiftright(1000000L, CAST(least(age_days div $DecayHalfLifeDays, 62) AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("w").as("decay_score"),
+        min("age_days").as("last_age_days"))
+      .orderBy("user_id")
+  }
+
+  val userDecayScoreSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+       |hi AS (SELECT max(es) AS hi_es FROM e),
+       |w AS (
+       |  SELECT user_id, (hi_es - es) // 86400 AS age_days,
+       |         CAST(1000000 AS BIGINT)
+       |           >> CAST(least((hi_es - es) // 86400 // $DecayHalfLifeDays, 62) AS INT)
+       |           AS w
+       |  FROM e, hi)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(w) AS BIGINT) AS decay_score,
+       |       min(age_days) AS last_age_days
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- events_retention: week-over-week cohort retention ------------------
 
   /** Week-over-week retention: of the users active in week w, how many

@@ -56,4 +56,21 @@ class RollupTruncSpec extends SparkSpec {
         r.getAs[Long]("max_abs_delta_e6"))
     }
   }
+
+  test("decay score is bounded by full weight and zero beyond the shift horizon") {
+    val rows = Queries.userDecayScore(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val s = r.getAs[Long]("decay_score")
+      val age = r.getAs[Long]("last_age_days")
+      assert(n > 0 && s >= 0 && age >= 0)
+      // every event weighs at most 1e6 (age 0) and at least
+      // 1e6 >> (last_age halved per 7-day half-life, capped)
+      assert(s <= 1000000L * n)
+      val minShift = math.min(age / Queries.DecayHalfLifeDays, 62L).toInt
+      assert(s >= (1000000L >> minShift),
+        s"freshest event (age $age d) must contribute its own weight: $s")
+    }
+  }
 }
