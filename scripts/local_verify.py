@@ -32,6 +32,14 @@ def main():
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
+    # Scaled sweeps run next to a large Spark JVM: without a cap DuckDB
+    # sizes itself to ~80% of physical RAM and the OOM killer takes the
+    # whole sweep down (observed exit 137 at the sfx100 point). Capped,
+    # it spills to disk instead and the sweep degrades per-query.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+        con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
