@@ -40,6 +40,13 @@ def main():
     if mem:
         con.sql(f"SET memory_limit='{mem}'")
         con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        # An unbounded spill is as fatal as unbounded RAM: one heavy
+        # oracle (ivfpq re-rank at the sfx100 point) filled the whole
+        # disk before erroring. Bound it so a spill-heavy oracle fails
+        # ITSELF and is recorded as a blocker, instead of starving every
+        # other process on the box.
+        con.sql("SET max_temp_directory_size='"
+                + os.environ.get("GRAFT_ORACLE_MAXSPILL", "20GB") + "'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
