@@ -39,7 +39,9 @@ def main():
     mem = os.environ.get("GRAFT_ORACLE_MEM", "")
     if mem:
         con.sql(f"SET memory_limit='{mem}'")
-        con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        # per-process spill dir: two parallel sweep batches must not
+        # share (or mutually clean up) one spill directory
+        con.sql(f"SET temp_directory='/tmp/duckdb_oracle_spill_{os.getpid()}'")
         # An unbounded spill is as fatal as unbounded RAM: one heavy
         # oracle (ivfpq re-rank at the sfx100 point) filled the whole
         # disk before erroring. Bound it so a spill-heavy oracle fails
