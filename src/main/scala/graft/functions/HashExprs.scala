@@ -711,6 +711,82 @@ case class BinaryBeFieldExpr(child: Expression, offset: Int, width: Int)
     copy(child = newChild)
 }
 
+/** Character-collision index of a STRING column in parts-per-million:
+  * floor(1e6 · Σ c·(c−1) / (n·(n−1))) over the per-character counts c of
+  * the n-character string — the probability that two characters drawn
+  * without replacement collide. This is the Simpson/collision form of
+  * character entropy: high ppm = a degenerate character distribution
+  * (`aaaa…`, base64 walls, padding runs), the repetitive-junk signal a
+  * perplexity filter would catch, in pure integer arithmetic (the
+  * project's log-free rule — no float log whose last-ulp could disagree
+  * with an oracle engine at a floor boundary). NULL for n < 2, where the
+  * collision probability is undefined.
+  *
+  * Two tight passes per row inside whole-stage codegen: a 65536-wide
+  * count array lives in operator mutable state (allocated once, not per
+  * row) and the second pass re-walks the string to sum AND zero exactly
+  * the entries this row touched — per-row cost O(n), never O(alphabet),
+  * and the array is clean for the next row. Counts are UTF-16
+  * code units, identical to per-character counts through the BMP (the
+  * corpus contract is ASCII text). Exact (no overflow) for n up to ~3.0M
+  * chars: 1e6·n² < 2^63. */
+case class CharCollisionExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_collision_ppm"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < 2) null
+    else {
+      val cnt = new Array[Int](65536)
+      var pairs2 = 0L
+      var i = 0
+      while (i < n) { cnt(s.charAt(i)) += 1; i += 1 }
+      i = 0
+      while (i < n) { // touched entries only: revisit via the string itself
+        val c = cnt(s.charAt(i))
+        if (c > 0) { pairs2 += c.toLong * (c - 1); cnt(s.charAt(i)) = 0 }
+        i += 1
+      }
+      1000000L * pairs2 / (n.toLong * (n - 1))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cnt = ctx.addMutableState("int[]", "ccCnt", v => s"$v = new int[65536];")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p2 = ctx.freshName("pairs2")
+      val cc = ctx.freshName("cc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |int $n = $s.length();
+         |if ($n < 2) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $p2 = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $cnt[$s.charAt($i)]++; }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    int $cc = $cnt[$s.charAt($i)];
+         |    if ($cc > 0) { $p2 += (long) $cc * ($cc - 1); $cnt[$s.charAt($i)] = 0; }
+         |  }
+         |  ${ev.value} = 1000000L * $p2 / ((long) $n * ($n - 1));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Shared affine-mix multipliers for the engine's portable hash family
     * (x % P * MixN % P, P prime). One definition point: the stratified
@@ -756,6 +832,9 @@ object HashExprs {
   def binaryBeField(payload: Column, offset: Int, width: Int): Column =
     GraftShim.column(
       BinaryBeFieldExpr(GraftShim.expression(payload), offset, width))
+
+  def charCollisionPpm(text: Column): Column =
+    GraftShim.column(CharCollisionExpr(GraftShim.expression(text)))
 
   def lshSignatures(qv: Column, weights: Array[Long], tables: Int, planes: Int): Column =
     GraftShim.column(

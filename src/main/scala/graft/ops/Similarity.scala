@@ -455,6 +455,85 @@ object Similarity {
       .select("aid", "bid", "n_tbl", "cos_e6")
       .orderBy("aid", "bid")
 
+  // ---- decontaminate_semantic: eval-set leakage by embedding ---------------
+
+  /** Semantic eval-set decontamination (SURVEY §2 row 185): label 0
+    * stands in for the held-out benchmark (the embedding-side twin of
+    * Dedup.EvalSource = 'src0'), and a TRAINING vector is contaminated
+    * when its cosine to ANY eval vector reaches [[DupThresholdE6]] among
+    * the LSH candidate pairs — the n-gram `decontaminate` pass re-run in
+    * embedding space, where a paraphrased benchmark item that shares no
+    * 13-gram still lands on its source. Output is the per-label audit
+    * ledger (counts + worst leak), not the flag list: the decision a
+    * data owner makes is "which slices are compromised".
+    *
+    * Scale shape: EXISTENCE, not enumeration — the flag is a max over a
+    * group's eval-adjacent candidates, so the work is one narrow
+    * bucket-join per the shared [[repScoredPairs]] frame (flat in
+    * duplicate multiplicity) + an aggregate; no member-level pair ever
+    * rides a shuffle. Within-group leakage (an identical copy of an
+    * eval vector in the training set) is attached arithmetically at the
+    * self-cosine, the same move as embed_cosine_dup's `within` leg. */
+  val EvalLabel = 0L
+
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val mem = vecMembers(spark, dir)
+      .join(vectors(spark, dir).select("vec_id", "label"), "vec_id")
+    val gEval = mem.where(col("label") === EvalLabel)
+      .select(col("gid")).distinct()
+    val pairs = repScoredPairs(spark, dir)
+    // best eval-adjacent cosine per group: cross-group via the candidate
+    // frame (both directions), within-group at the self-cosine
+    val cross = pairs
+      .join(gEval.withColumnRenamed("gid", "gb"), "gb")
+      .select(col("ga").as("gid"), col("cos"))
+      .unionByName(pairs
+        .join(gEval.withColumnRenamed("gid", "ga"), "ga")
+        .select(col("gb").as("gid"), col("cos")))
+    val self = vecGroups(spark, dir)
+      .join(gEval, "gid")
+      .select(col("gid"), selfCos(col("n2")).as("cos"))
+    val flagged = cross.unionByName(self)
+      .groupBy("gid").agg(max("cos").as("best"))
+      .where(cosE6(col("best")) >= DupThresholdE6)
+    mem.where(col("label") =!= EvalLabel)
+      .join(flagged, Seq("gid"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("best").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+        max(when(col("best").isNotNull, cosE6(col("best"))).otherwise(lit(-1L)))
+          .as("max_cos_e6"))
+      .orderBy("label")
+  }
+
+  /** Oracle twin: the naive member-level form — every training vector's
+    * best cosine over its eval-side candidate pairs (identical-vector
+    * pairs are ordinary candidates at member level: they share every
+    * bucket), flagged at the shared τ, rolled up per label. */
+  def decontaminateSemanticSql: String =
+    s"""WITH $VecCte,
+       |$ScoredPairsCte,
+       |dsev AS (SELECT vec_id FROM vecs WHERE label = $EvalLabel),
+       |dshit AS (
+       |  SELECT t, max(cos) AS best FROM (
+       |    SELECT s.aid AS t, s.cos FROM spaired s
+       |    JOIN dsev e ON s.bid = e.vec_id
+       |    UNION ALL
+       |    SELECT s.bid AS t, s.cos FROM spaired s
+       |    JOIN dsev e ON s.aid = e.vec_id) u
+       |  GROUP BY t),
+       |dsfl AS (
+       |  SELECT t, best FROM dshit
+       |  WHERE CAST(floor(best * 1000000.0) AS BIGINT) >= $DupThresholdE6)
+       |SELECT v.label, count(*) AS n_train,
+       |       CAST(sum(CASE WHEN f.best IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(max(CASE WHEN f.best IS NOT NULL
+       |                THEN CAST(floor(f.best * 1000000.0) AS BIGINT)
+       |                ELSE -1 END) AS BIGINT) AS max_cos_e6
+       |FROM vecs v LEFT JOIN dsfl f ON v.vec_id = f.t
+       |WHERE v.label <> $EvalLabel
+       |GROUP BY v.label ORDER BY v.label""".stripMargin
+
   // ---- ann_ivf: inverted-file index with nprobe cell search ---------------
 
   /** IVF parameters: NumCells centroids TRAINED by one Lloyd iteration

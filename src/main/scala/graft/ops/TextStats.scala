@@ -346,4 +346,60 @@ object TextStats {
        |       CAST(sum(CASE WHEN f_wc + f_wlen + f_stop + f_dom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
        |FROM gf GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- char_collision_audit ----------------------------------------------
+
+  /** Per-source character-repetitiveness ledger (SURVEY §2 row 186): the
+    * integer collision index floor(1e6·Σc(c−1)/(n(n−1))) per document —
+    * the log-free twin of character entropy (see
+    * [[graft.functions.CharCollisionExpr]]) — rolled up per source with
+    * a fixed junk flag at [[CollisionFlagPpm]] ppm. A wall of repeated
+    * characters scores ~1e6; normal word text in this corpus sits near
+    * 70k ppm, so the flag threshold marks the degenerate tail a
+    * perplexity filter would cut, without a model or a logarithm.
+    *
+    * Scale shape: one narrow codegen'd projection over the scan (the
+    * expression is O(n) per row, no explode of text into a char table —
+    * the declarative per-char histogram would shuffle |corpus| rows per
+    * CHARACTER) feeding a partial-aggregated groupBy on the low-card
+    * source key. Docs with n < 2 chars carry no collision signal and are
+    * excluded on BOTH sides of the gate. */
+  val CollisionFlagPpm = 80000L
+
+  def charCollisionAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.HashExprs.charCollisionPpm(col("text")).as("ppm"))
+      .where(col("ppm").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ppm") >= CollisionFlagPpm, 1L).otherwise(0L))
+          .as("n_flagged"),
+        expr("sum(ppm) div count(1)").as("avg_ppm"),
+        min("ppm").as("min_ppm"),
+        max("ppm").as("max_ppm"))
+      .orderBy("source")
+
+  /** Oracle twin: the per-character histogram spelled out relationally
+    * (unnest chars → counts → Σc(c−1)), the naive form the expression
+    * replaces. Character granularity matches the UTF-16 count through
+    * the BMP; the corpus contract is ASCII. */
+  val charCollisionAuditSql: String =
+    s"""WITH cch AS (
+       |  SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+       |  FROM documents WHERE length(text) >= 2),
+       |ccc AS (
+       |  SELECT doc_id, source, ch, count(*) AS c
+       |  FROM cch GROUP BY doc_id, source, ch),
+       |ccd AS (
+       |  SELECT doc_id, source, sum(c * (c - 1)) AS pairs2, sum(c) AS n
+       |  FROM ccc GROUP BY doc_id, source),
+       |ccp AS (
+       |  SELECT source, (1000000 * pairs2) // (n * (n - 1)) AS ppm FROM ccd)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN ppm >= $CollisionFlagPpm THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm,
+       |       CAST(min(ppm) AS BIGINT) AS min_ppm,
+       |       CAST(max(ppm) AS BIGINT) AS max_ppm
+       |FROM ccp GROUP BY source ORDER BY source""".stripMargin
 }
