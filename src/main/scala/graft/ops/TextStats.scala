@@ -368,9 +368,15 @@ object TextStats {
 
   def charCollisionAudit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // gate on the CHEAP length probe, not isNotNull(ppm): the latter
+      // pushes below the projection and evaluates the O(n) expression
+      // twice per row (once in the Filter, once in the Project). The two
+      // gates are equivalent by the expression's null contract (NULL iff
+      // text is null or under 2 chars) — the audited plan computes ppm
+      // exactly once.
+      .where(length(col("text")) >= 2)
       .select(col("source"),
         graft.functions.HashExprs.charCollisionPpm(col("text")).as("ppm"))
-      .where(col("ppm").isNotNull)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("ppm") >= CollisionFlagPpm, 1L).otherwise(0L))
