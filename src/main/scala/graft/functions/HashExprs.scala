@@ -787,6 +787,100 @@ case class CharCollisionExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * selection rule): hash every K-byte gram with the engine's rolling
+  * polynomial (h·P + byte mod M, the [[ByteRollHashExpr]] math), slide a
+  * W-gram window, keep each window's minimum, return the DISTINCT minima
+  * sorted ascending. Robust variant: ties and repeated selections
+  * collapse via the distinct set, so the output is a set function of the
+  * text — identical texts give identical arrays.
+  *
+  * One O(n) pass: the gram hash rolls (subtract the outgoing byte's
+  * P^(K-1) term, shift, add the incoming byte) instead of rehashing K
+  * bytes per position, and window minima come from a W-slot ring buffer
+  * (W is a small constant). The declarative equivalent —
+  * transform(sequence(...), i -> hash(substr(text, i, K))) + slice +
+  * array_min + array_distinct — allocates three interpreted array passes
+  * per document; this is one generated-code call per row.
+  *
+  * Documents shorter than K bytes have no gram → empty array; with
+  * 1 ≤ #grams < W the whole hash sequence is one window (its min is the
+  * single fingerprint), so every document with ≥ K bytes fingerprints.
+  */
+case class WinnowHashExpr(child: Expression, k: Int, w: Int,
+    prime: Long, mod: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, s"winnow needs k,w >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  // P^(K-1) mod M — the outgoing byte's positional weight
+  private val pk1: Long = {
+    var r = 1L; var i = 1
+    while (i < k) { r = r * prime % mod; i += 1 }
+    r
+  }
+
+  /** bytes → sorted distinct winnowed minima. Public: the generated code
+    * calls it through a codegen reference object (LshSignaturesExpr
+    * pattern) so eval and codegen share one implementation. */
+  def compute(bytes: Array[Byte]): Array[Long] = {
+    val nh = bytes.length - k + 1
+    if (nh <= 0) return Array.emptyLongArray
+    // effective window: texts with fewer than W grams winnow as ONE
+    // window over all their grams (min = single fingerprint), so every
+    // text with at least one gram fingerprints
+    val win = math.min(w, nh)
+    val ring = new Array[Long](win)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    // seed hash of gram 0
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * prime + (bytes(i) & 0xff)) % mod; i += 1 }
+    ring(0) = h
+    if (win == 1) seen.add(h) // gram 0 is its own window
+    var p = 1 // gram index; windows close at p = win-1 .. nh-1
+    while (p < nh) {
+      var t = (h - (bytes(p - 1) & 0xff) * pk1 % mod) % mod
+      if (t < 0) t += mod
+      h = (t * prime + (bytes(p + k - 1) & 0xff)) % mod
+      ring(p % win) = h
+      if (p >= win - 1) {
+        var m = ring(0); var j = 1
+        while (j < win) { if (ring(j) < m) m = ring(j); j += 1 }
+        seen.add(m)
+      }
+      p += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(compute(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnower", this,
+        classOf[WinnowHashExpr].getName)
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($ref.compute($c.getBytes()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Shared affine-mix multipliers for the engine's portable hash family
     * (x % P * MixN % P, P prime). One definition point: the stratified
@@ -825,6 +919,11 @@ object HashExprs {
 
   def ngramHashSet(toks: Column, n: Int, prime: Long, mod: Long): Column =
     GraftShim.column(NgramHashSetExpr(GraftShim.expression(toks), n, prime, mod))
+
+  def winnowFingerprints(s: Column, k: Int, w: Int,
+      prime: Long, mod: Long): Column =
+    GraftShim.column(
+      WinnowHashExpr(GraftShim.expression(s), k, w, prime, mod))
 
   def simHash(arr: Column, bits: Int): Column =
     GraftShim.column(SimHashExpr(GraftShim.expression(arr), bits))

@@ -1555,4 +1555,187 @@ object Dedup {
        |       CAST(sum(j) AS BIGINT) AS sum_jaccard_e4,
        |       CAST(sum(h) AS BIGINT) AS sum_hamming
        |FROM agr GROUP BY method ORDER BY method""".stripMargin
+
+  // ---- dedup_canonical: keep-one rewrite plan per near-dup cluster --------
+
+  /** The step a curation pipeline runs AFTER the cluster closure: pick one
+    * canonical document per converged near-dup cluster and account for what
+    * the rewrite drops. Keep rule: longest document wins (n_chars DESC),
+    * doc_id ASC tiebreak — deterministic, and "longest" is the standard
+    * near-dup keeper heuristic (supersets beat their fragments).
+    *
+    * Scale shape: rides the memoized converged labels (the closure loop
+    * runs once per session however many consumers), one equi-join to the
+    * documents frame for lengths, one window rank partitioned by
+    * cluster_id, one keyed aggregate — no new quadratic anything; output
+    * is one row per cluster. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = convergedClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("keep_doc_id"),
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        sum(when(col("rk") > 1, col("n_chars")).otherwise(lit(0L)))
+          .as("chars_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  def dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $RepClosureCtes,
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster_id,
+       |       max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+       |       count(*) AS n_members,
+       |       count(*) - 1 AS n_dropped,
+       |       CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+       |         AS chars_dropped
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // ---- winnow_overlap: MOSS-style winnowed-fingerprint overlap ------------
+
+  /** Winnowing parameters (Schleimer et al. 2003): K-byte grams, window
+    * of W gram hashes; guarantee threshold t = K + W - 1 = 11 — any
+    * shared substring of ≥ 11 chars shares at least one fingerprint. */
+  val WinnowK = 8
+  val WinnowW = 4
+  /** Fingerprints present in more than this many DISTINCT winnow sets are
+    * corpus boilerplate and are excluded from overlap counting (the MOSS
+    * "too common to be interesting" rule — and the df cap that keeps the
+    * fp bucket join from going quadratic on hot fingerprints). */
+  val WinnowMaxDf = 100L
+  /** Pairs must share at least this many retained fingerprints. */
+  val WinnowMinShared = 3L
+  /** ...and cover at least this fraction (1e-4 fixed point) of the
+    * smaller document's retained print set. The shared-count floor alone
+    * leaves the REPORT near-quadratic on a common-vocabulary corpus
+    * (sf0.001 measured: 87k pairs over 500 docs at ≥ 3 shared prints;
+    * 31 at ≥ 50% coverage) — the df-capped candidate join underneath is
+    * linear either way, this bounds the output contract. */
+  val WinnowMinCovE4 = 5000L
+
+  /** Per-document winnowed fingerprint sets (sorted distinct array),
+    * memoized: one codegen'd pass over the text column (rolling gram
+    * hash + ring-buffer window minima — see
+    * [[graft.functions.WinnowHashExpr]]). Documents shorter than K chars
+    * have no gram and drop out. */
+  private def winnowSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"dedup.winnow:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.HashExprs.winnowFingerprints(
+            col("text"), WinnowK, WinnowW, TextStats.FpPrime, P).as("fps"))
+        .where(size(col("fps")) > 0)
+    }
+
+  /** MOSS-style near-dup pair report over winnowed fingerprints: pairs of
+    * documents sharing ≥ [[WinnowMinShared]] retained winnow prints AND
+    * covering ≥ [[WinnowMinCovE4]] of the smaller retained print set,
+    * with the shared count and coverage = shared / min(|fps_a|, |fps_b|)
+    * in 1e-4 fixed point. Char-level and gap-tolerant where the MinHash
+    * family is token-shingle-set based: a doc that copies scattered
+    * ≥ (K+W−1)-char spans lights up here even when its token-set Jaccard
+    * is low.
+    *
+    * Rep-level contract (the family default since round 10): documents
+    * with IDENTICAL winnow sets collapse to one representative
+    * (rep = min doc_id); one row per distinct-content pair carrying both
+    * group sizes and n_pairs, within-group rows (identical sets, full
+    * coverage) carrying C(size, 2). The fp bucket join runs over
+    * representatives only and hot fingerprints are df-capped, so the
+    * candidate search is never quadratic in duplicate multiplicity. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grp = winnowSets(spark, dir)
+      .groupBy("fps").agg(min("doc_id").as("rep"), count(lit(1)).as("grp"))
+    val repFps = grp.select(col("rep"), explode(col("fps")).as("fp"))
+    val retained = repFps
+      .join(repFps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= WinnowMaxDf).select("fp"), "fp")
+    val nSel = retained.groupBy("rep").agg(count(lit(1)).as("n_sel"))
+    val sizes = grp.select(col("rep"), col("grp"), size(col("fps")).as("n_fp"))
+    val cross = retained.as("a")
+      .join(retained.as("b"),
+        col("a.fp") === col("b.fp") && col("a.rep") < col("b.rep"))
+      .groupBy(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= WinnowMinShared)
+      .join(nSel.select(col("rep").as("rep_a"), col("n_sel").as("na")), "rep_a")
+      .join(nSel.select(col("rep").as("rep_b"), col("n_sel").as("nb")), "rep_b")
+      .join(sizes.select(col("rep").as("rep_a"), col("grp").as("size_a")), "rep_a")
+      .join(sizes.select(col("rep").as("rep_b"), col("grp").as("size_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"), col("shared"),
+        floor(lit(10000.0) * col("shared") / least(col("na"), col("nb")))
+          .cast("long").as("cov_e4"),
+        col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("n_pairs"))
+      .where(col("cov_e4") >= WinnowMinCovE4)
+    val within = sizes.join(nSel, "rep")
+      .where(col("grp") > 1 && col("n_sel") >= WinnowMinShared)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        col("n_sel").as("shared"), lit(10000L).as("cov_e4"),
+        col("grp").as("size_a"), col("grp").as("size_b"),
+        expr("grp * (grp - 1) div 2").as("n_pairs"))
+    within.unionByName(cross).orderBy("rep_a", "rep_b")
+  }
+
+  def winnowOverlapSql: String = {
+    val gramHash = TextStats.fpSql(s"substr(text, i, $WinnowK)")
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |           list_transform(range(1, nh - wlen + 2),
+       |             j -> list_min(h[j : j + wlen - 1])))) AS fps
+       |  FROM (
+       |    SELECT doc_id, h, len(h) AS nh, LEAST($WinnowW, len(h)) AS wlen
+       |    FROM (
+       |      SELECT doc_id,
+       |             list_transform(range(1, len(text) - $WinnowK + 2),
+       |               i -> $gramHash) AS h
+       |      FROM documents WHERE len(text) >= $WinnowK) g) t),
+       |grp AS (
+       |  SELECT min(doc_id) AS rep, count(*) AS grp, fps
+       |  FROM ws GROUP BY fps),
+       |repfps AS (SELECT rep, unnest(fps) AS fp FROM grp),
+       |rf AS (
+       |  SELECT r.rep, r.fp FROM repfps r
+       |  JOIN (SELECT fp FROM repfps GROUP BY fp
+       |        HAVING count(*) <= $WinnowMaxDf) ok ON r.fp = ok.fp),
+       |nsel AS (SELECT rep, count(*) AS n_sel FROM rf GROUP BY rep),
+       |crossp AS (
+       |  SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS shared
+       |  FROM rf a JOIN rf b ON a.fp = b.fp AND a.rep < b.rep
+       |  GROUP BY a.rep, b.rep
+       |  HAVING count(*) >= $WinnowMinShared),
+       |crossed AS (
+       |  SELECT c.rep_a, c.rep_b, c.shared,
+       |         CAST(floor(10000.0 * c.shared / LEAST(na.n_sel, nb.n_sel))
+       |              AS BIGINT) AS cov_e4,
+       |         ga.grp AS size_a, gb.grp AS size_b,
+       |         ga.grp * gb.grp AS n_pairs
+       |  FROM crossp c
+       |  JOIN nsel na ON c.rep_a = na.rep
+       |  JOIN nsel nb ON c.rep_b = nb.rep
+       |  JOIN grp ga ON c.rep_a = ga.rep
+       |  JOIN grp gb ON c.rep_b = gb.rep
+       |  WHERE floor(10000.0 * c.shared / LEAST(na.n_sel, nb.n_sel))
+       |        >= $WinnowMinCovE4),
+       |within AS (
+       |  SELECT g.rep AS rep_a, g.rep AS rep_b, n.n_sel AS shared,
+       |         CAST(10000 AS BIGINT) AS cov_e4,
+       |         g.grp AS size_a, g.grp AS size_b,
+       |         g.grp * (g.grp - 1) // 2 AS n_pairs
+       |  FROM grp g JOIN nsel n ON g.rep = n.rep
+       |  WHERE g.grp > 1 AND n.n_sel >= $WinnowMinShared)
+       |SELECT * FROM within UNION ALL SELECT * FROM crossed
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
 }
