@@ -1631,11 +1631,15 @@ object Dedup {
     * have no gram and drop out. */
   private def winnowSets(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"dedup.winnow:$dir") {
+      // gate on the cheap length probe, not size(fps) > 0: the latter
+      // pushes below the projection and runs the O(n) winnow expression
+      // twice per row (the char_collision_audit lesson), and
+      // length(text) >= K is the oracle's own WHERE clause verbatim
       Tables.documents(spark, dir)
+        .where(length(col("text")) >= WinnowK)
         .select(col("doc_id"),
           graft.functions.HashExprs.winnowFingerprints(
             col("text"), WinnowK, WinnowW, TextStats.FpPrime, P).as("fps"))
-        .where(size(col("fps")) > 0)
     }
 
   /** MOSS-style near-dup pair report over winnowed fingerprints: pairs of
