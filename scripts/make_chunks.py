@@ -50,7 +50,7 @@ CHUNKS = {
         dedup_simhash dedup_simhash_multiprobe dedup_simhash_pairs
         dedup_threshold_sweep minhash_est shingle_df_hist doc_rarity
         cluster_size_hist graph_degree dup_pagerank source_diversity
-        decontaminate dedup_canonical winnow_overlap
+        decontaminate dedup_canonical winnow_overlap dedup_snm
     """,
     # TextStats/Ngrams/Retrieval: shares the memoized tf/token frames.
     "d_text": """

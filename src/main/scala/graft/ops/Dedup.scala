@@ -1602,6 +1602,99 @@ object Dedup {
        |         AS chars_dropped
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---- dedup_snm: sorted-neighborhood candidate generation ----------------
+
+  /** Sort-key prefix length and neighbor window — Hernández & Stolfo 1995
+    * ("The Merge/Purge Problem for Large Databases"): order the corpus by
+    * a discriminating key, compare each record only with its next
+    * [[SnmWindow]] neighbors in that order. */
+  val SnmKeyLen = 24
+  val SnmWindow = 4L
+  val SnmRankBuckets = 32
+
+  /** Sorted-neighborhood near-dup pass: a third, genuinely different
+    * BLOCKING method next to hash buckets (MinHash-LSH bands) and
+    * fingerprint buckets (SimHash) — candidate pairs come from adjacency
+    * in a global (normalized-prefix, doc_id) sort order, then get the
+    * family's exact shingle-Jaccard verification at the shared
+    * [[ClusterMinJaccardE4]] threshold. Window-bounded recall is the
+    * method's documented property (an M-copy run emits only W pairs per
+    * member), and its strength is the complement: key-adjacent
+    * near-dups with low shingle overlap never hash together but DO sort
+    * together.
+    *
+    * Scale shape: the global order is the engine's two-phase rank
+    * (range partition → per-partition row_number + broadcast bucket
+    * offsets — no single-reducer sort), neighbor pairing is an
+    * equi-join on rank+gap, verification re-joins the persisted shingle
+    * frame by id; output is ≤ W·N rows by construction. */
+  def dedupSnm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(norm, 1, SnmKeyLen).as("key"),
+        split(norm, " ").as("toks"))
+      .where(size(col("toks")) >= 2) // the shingle domain, exactly
+      .select("doc_id", "key")
+    val bucketed = Tables.pinRankBuckets(keyed, SnmRankBuckets,
+      col("key"), col("doc_id"))
+    val local = bucketed.withColumn("local_rn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("key"), col("doc_id"))))
+    val offsets = bucketed.groupBy("pid")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("offset", coalesce(sum("n_in_bucket").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    val ranked = local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("offset") + col("local_rn")).as("rnk"))
+    val pairs = ranked
+      .select(col("doc_id").as("doc_a"), col("rnk"),
+        explode(sequence(lit(1L), lit(SnmWindow))).as("rank_gap"))
+      .withColumn("rnk_b", col("rnk") + col("rank_gap"))
+      .join(ranked.select(col("doc_id").as("doc_b"),
+        col("rnk").as("rnk_b")), "rnk_b")
+      .select("doc_a", "doc_b", "rank_gap")
+    val sh = shingleSets(spark, dir)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("isz", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_e4",
+        floor(lit(10000.0) * col("isz") /
+          (size(col("sa")) + size(col("sb")) - col("isz"))).cast("long"))
+      .where(col("jaccard_e4") >= ClusterMinJaccardE4)
+      .select("doc_a", "doc_b", "rank_gap", "jaccard_e4")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSnmSql: String =
+    s"""WITH $ShSqlCte,
+       |k AS (
+       |  SELECT doc_id, substr(lower(trim(text)), 1, $SnmKeyLen) AS key
+       |  FROM documents
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+       |r AS (
+       |  SELECT doc_id, key,
+       |         CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rnk
+       |  FROM k),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         b.rnk - a.rnk AS rank_gap
+       |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow),
+       |v AS (
+       |  SELECT p.doc_a, p.doc_b, p.rank_gap,
+       |         len(list_intersect(sa.sh, sb.sh)) AS isz,
+       |         len(sa.sh) AS sza, len(sb.sh) AS szb
+       |  FROM p
+       |  JOIN shs sa ON p.doc_a = sa.doc_id
+       |  JOIN shs sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, rank_gap,
+       |       CAST(floor(10000.0 * isz / (sza + szb - isz)) AS BIGINT)
+       |         AS jaccard_e4
+       |FROM v
+       |WHERE floor(10000.0 * isz / (sza + szb - isz)) >= $ClusterMinJaccardE4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- winnow_overlap: MOSS-style winnowed-fingerprint overlap ------------
 
   /** Winnowing parameters (Schleimer et al. 2003): K-byte grams, window
