@@ -62,14 +62,16 @@ object Knobs {
 
   /** The derived (post-env-override) knob tuple a given corpus dir
     * yields — the flip-safety comparison key. */
-  private def derivedKnobs(dir: String): (Int, Int, Int, Int) = {
+  private def derivedKnobs(dir: String): (Int, Int, Int, Int, Long) = {
     def emb = rowCount(dir, "embeddings")
     def doc = rowCount(dir, "documents")
     (envInt("GRAFT_IVF_CELLS").getOrElse(ivfCellsFor(emb)),
       envInt("GRAFT_LSH_PLANES").getOrElse(lshPlanesFor(emb)),
       envInt("GRAFT_LSH_TABLES").getOrElse(lshTablesFor(
         envInt("GRAFT_LSH_PLANES").getOrElse(lshPlanesFor(emb)))),
-      envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse(simhashBucketBitsFor(doc)))
+      envInt("GRAFT_SIMHASH_BUCKET_BITS").getOrElse(simhashBucketBitsFor(doc)),
+      envInt("GRAFT_COMPACT_TARGET").map(_.toLong)
+        .getOrElse(compactTargetCharsFor(doc)))
   }
 
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -199,6 +201,23 @@ object Knobs {
   private def simhashBucketBitsFor(n: Long): Int =
     if (n <= 0) 16 else math.max(16, math.min(40, ceilLog2(n / 8.0)))
 
+  /** Compaction output-shard target size in CHARS (the corpus's portable
+    * byte proxy — n_chars is exact on both engines; real deployments
+    * would target file bytes). Derived: the target grows linearly with
+    * the document count past the 500-doc knee — target =
+    * floor · max(1, N/500) — so the PLAN stays scale-invariant (a
+    * source's bin count is governed by its share of the corpus, not by
+    * absolute size), and every gate corpus at or below 500 docs sits on
+    * the floor (2048 chars ⇒ ~4 bins per fixture source). At the 1000×
+    * point (5M docs) the derived target is ~20M chars ≈ a real 64-128 MB
+    * parquet shard — the small-file-compaction operating point. */
+  def compactTargetChars: Long =
+    envInt("GRAFT_COMPACT_TARGET").map(_.toLong)
+      .getOrElse(compactTargetCharsFor(docCount))
+
+  private def compactTargetCharsFor(n: Long): Long =
+    2048L * math.max(1L, n / 500L)
+
   /** The knob operating point as (knob, value) rows, in both sides of
     * the gate: the Spark frame evaluates the derivations at query time,
     * and the generated oracle SQL (same JVM, after noteDir) interpolates
@@ -214,7 +233,8 @@ object Knobs {
     "ivf_route_hier" -> (if (ivfRouteHier) 1L else 0L),
     "lsh_planes" -> lshPlanes.toLong,
     "lsh_tables" -> lshTables.toLong,
-    "simhash_bucket_bits" -> simhashBucketBits.toLong)
+    "simhash_bucket_bits" -> simhashBucketBits.toLong,
+    "compact_target_chars" -> compactTargetChars)
 
   def knobReport(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
