@@ -532,4 +532,58 @@ object Clean {
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---- dedup_normalized: normalization lift over exact dedup ---------------
+
+  /** How many duplicates only NORMALIZATION catches: each document keyed
+    * both exactly (lower+trim, the dedup_exact key) and normalized
+    * (non-alphanumeric runs collapsed to single spaces — the
+    * case/punctuation/whitespace-invariant key); a doc is a dup under a
+    * key if it is not its group's min doc_id. Per-source ledger:
+    * exact-dup count, normalized-dup count, and the lift (docs ONLY the
+    * normalized key catches) — sizes the win of the cheap normalization
+    * pass before any MinHash machinery runs.
+    *
+    * Scale: two window-min shuffles keyed by the two text keys (the hash
+    * shuffle every distributed dedup pays; on a real corpus the keys
+    * would be fingerprinted first — precedent Clean.scala segment fps),
+    * then one map-side-combined per-source rollup. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        lower(trim(col("text"))).as("ek"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("nk"))
+    keyed
+      .withColumn("e_keep", min("doc_id").over(Window.partitionBy("ek")))
+      .withColumn("n_keep", min("doc_id").over(Window.partitionBy("nk")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("e_keep"), 1L).otherwise(0L))
+          .as("n_exact_dups"),
+        sum(when(col("doc_id") =!= col("n_keep"), 1L).otherwise(0L))
+          .as("n_norm_dups"),
+        sum(when(col("doc_id") =!= col("n_keep") && col("doc_id") === col("e_keep"),
+          1L).otherwise(0L)).as("n_lift"))
+      .orderBy("source")
+  }
+
+  val dedupNormalizedSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |         lower(trim(text)) AS ek,
+      |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source,
+      |         min(doc_id) OVER (PARTITION BY ek) AS e_keep,
+      |         min(doc_id) OVER (PARTITION BY nk) AS n_keep
+      |  FROM k)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id <> e_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_exact_dups,
+      |       CAST(sum(CASE WHEN doc_id <> n_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_norm_dups,
+      |       CAST(sum(CASE WHEN doc_id <> n_keep AND doc_id = e_keep
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lift
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
 }

@@ -319,6 +319,38 @@ object Similarity {
         cosE6(col("cos")).as("cos_e6"))
   }
 
+  // ---- mutual_knn: reciprocity audit of the LSH neighbor graph ------------
+
+  /** Mutual-kNN degree histogram: how many of each vector's LSH top-k
+    * neighbors rank IT back — the symmetrized-graph density check run
+    * before trusting a kNN graph for clustering or SemDeDup-style
+    * curation (an asymmetric hub-dominated graph fragments under
+    * symmetrization). Output: mutual-degree d ∈ [0, k] → vector count +
+    * e4 share.
+    *
+    * Scale: rides the memoized [[listLsh]] frame (N×k rows, already
+    * paid by ann_lsh) — one self-equi-join on the reversed (aid, bid)
+    * key, one output-sized degree aggregate, one |k|+1-row histogram;
+    * nothing touches the 64-dim payload. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val l = listLsh(spark, dir).select(col("aid"), col("bid"))
+    val rev = l.select(col("bid").as("aid"), col("aid").as("bid"))
+    val mutual = l.join(rev, Seq("aid", "bid")).where(col("aid") < col("bid"))
+    val deg = mutual.select(col("aid").as("vid"))
+      .unionByName(mutual.select(col("bid").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    val hist = Tables.embeddings(spark, dir).select(col("vec_id").as("vid"))
+      .join(deg, Seq("vid"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("mutual_degree"))
+      .groupBy("mutual_degree").agg(count(lit(1)).as("n_vecs"))
+    hist
+      .withColumn("total", sum("n_vecs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("mutual_degree"), col("n_vecs"),
+        expr("(10000 * n_vecs) div total").as("share_e4"))
+      .orderBy("mutual_degree")
+  }
+
   /** The ORIGINAL member-level bucket join (pre-round-11 scoredPairs
     * verbatim) — the ground-truth reference DupCollapseSpec compares
     * the rep-level expansion against, since no testdata corpus carries
@@ -1018,6 +1050,37 @@ object Similarity {
        |       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rnk <= $LshK
        |ORDER BY aid, rnk""".stripMargin
+
+  def mutualKnnSql: String =
+    s"""WITH $VecCte,
+       |$ScoredPairsCte,
+       |directed AS (
+       |  SELECT aid, bid, cos FROM spaired
+       |  UNION ALL
+       |  SELECT bid AS aid, aid AS bid, cos FROM spaired),
+       |l AS (
+       |  SELECT aid, bid FROM (
+       |    SELECT aid, bid,
+       |           row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rnk
+       |    FROM directed)
+       |  WHERE rnk <= $LshK),
+       |m AS (
+       |  SELECT x.aid, x.bid FROM l x
+       |  JOIN l y ON x.aid = y.bid AND x.bid = y.aid
+       |  WHERE x.aid < x.bid),
+       |d AS (
+       |  SELECT vid, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT aid AS vid FROM m UNION ALL SELECT bid AS vid FROM m)
+       |  GROUP BY vid),
+       |alldeg AS (
+       |  SELECT coalesce(d.deg, 0) AS mutual_degree
+       |  FROM vecs v LEFT JOIN d ON v.vec_id = d.vid),
+       |h AS (
+       |  SELECT mutual_degree, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM alldeg GROUP BY mutual_degree)
+       |SELECT mutual_degree, n_vecs,
+       |       (10000 * n_vecs) // CAST(sum(n_vecs) OVER () AS BIGINT) AS share_e4
+       |FROM h ORDER BY mutual_degree""".stripMargin
 
   /** Oracle cosine between `vecs` alias `$a` (qv, n2) and a seeds alias
     * `$s` (sv, sn2) — one definition for every training/assignment CTE. */

@@ -33,6 +33,36 @@ object TextStats {
     when(den === 0, 0L)
       .otherwise(floor(lit(10000.0) * num / den).cast("long"))
 
+  /** The text_stats quality score as a standalone expression over any text
+    * column (stopword-ratio e4 + token-band bonus − punctuation penalty) —
+    * ONE definition shared by consumers that need the score without the
+    * full stats row (Profile.skylineDocs), kept in lockstep with the
+    * quality_e4 column textStats emits. */
+  def qualityE4OfText(text: Column): Column = {
+    val tk = split(text, " ")
+    val nTok = size(tk).cast("long")
+    val nStop = size(filter(tk,
+      t => t.isin(Stopwords("en").map(_.asInstanceOf[Any]): _*))).cast("long")
+    val nPunct = (length(text) - length(translate(text, ".,!?;:", ""))).cast("long")
+    ratioE4(nStop, nTok) +
+      when(nTok.between(20L, 60L), 1000L).otherwise(0L) -
+      when(nPunct * 10L > nTok, 500L).otherwise(0L)
+  }
+
+  /** DuckDB rendering of [[qualityE4OfText]] over a column reference. */
+  def qualityE4Sql(textCol: String): String = {
+    val stops = Stopwords("en").map(s => s"'$s'").mkString(", ")
+    s"""(CASE WHEN len(string_split($textCol, ' ')) = 0 THEN 0
+       |      ELSE CAST(floor(10000.0
+       |             * len(list_filter(string_split($textCol, ' '), t -> t IN ($stops)))
+       |             / len(string_split($textCol, ' '))) AS BIGINT) END
+       |   + CASE WHEN len(string_split($textCol, ' ')) BETWEEN 20 AND 60
+       |          THEN 1000 ELSE 0 END
+       |   - CASE WHEN (length($textCol) - length(translate($textCol, '.,!?;:', ''))) * 10
+       |              > len(string_split($textCol, ' '))
+       |          THEN 500 ELSE 0 END)""".stripMargin
+  }
+
   // ---- text_stats ---------------------------------------------------------
 
   /** BPE-ish subword segmentation: alpha runs, digit runs, and single
@@ -408,4 +438,74 @@ object TextStats {
        |       CAST(min(ppm) AS BIGINT) AS min_ppm,
        |       CAST(max(ppm) AS BIGINT) AS max_ppm
        |FROM ccp GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- readability: Flesch-band histogram per source ------------------------
+
+  /** Flesch reading-ease per document, integer-exact: syllables proxied
+    * by vowel groups (the standard regex heuristic), sentences by
+    * terminal-punctuation count (floor 1), and the score assembled from
+    * two floored single divisions of exact int64 counts —
+    * 206835 − floor(1015·W/S) − floor(84600·V/W), the published
+    * 206.835 − 1.015(W/S) − 84.6(V/W) scaled e3. Band edges at 90/70/
+    * 50/30 (very_easy…very_hard). Output: per (source, band) doc count,
+    * mean/min/max score — the reading-level profile of each source.
+    *
+    * Scale: one scan, three codegen'd regex/translate counters per row,
+    * one map-side-combined groupBy on ≤ |sources|×5 keys. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(size(toks).cast("long"), lit(1L))
+    val s = greatest(
+      (length(col("text")) - length(translate(col("text"), ".!?", ""))).cast("long"),
+      lit(1L))
+    val v = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0))).cast("long"),
+      lit(0L))
+    val score = lit(206835L) -
+      floor(lit(1015.0) * w / s).cast("long") -
+      floor(lit(84600.0) * v / w).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), score.as("flesch_e3"))
+      .withColumn("band",
+        when(col("flesch_e3") >= 90000L, "1_very_easy")
+          .when(col("flesch_e3") >= 70000L, "2_easy")
+          .when(col("flesch_e3") >= 50000L, "3_medium")
+          .when(col("flesch_e3") >= 30000L, "4_hard")
+          .otherwise("5_very_hard"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        // Flesch goes NEGATIVE on vowel-dense text, and Spark's integer
+        // `div` truncates toward zero while DuckDB's `//` floors — so the
+        // mean is an explicit double-floor, identical IEEE on both sides
+        expr("CAST(floor(CAST(sum(flesch_e3) AS DOUBLE) / count(1)) AS LONG)")
+          .as("avg_e3"),
+        min("flesch_e3").as("min_e3"),
+        max("flesch_e3").as("max_e3"))
+      .orderBy("source", "band")
+  }
+
+  val readabilitySql: String =
+    """WITH r AS (
+      |  SELECT source,
+      |         greatest(len(string_split(text, ' ')), 1) AS w,
+      |         greatest(length(text) - length(translate(text, '.!?', '')), 1) AS s,
+      |         len(regexp_extract_all(lower(text), '[aeiou]+')) AS v
+      |  FROM documents),
+      |sc AS (
+      |  SELECT source,
+      |         206835 - CAST(floor(1015.0 * w / s) AS BIGINT)
+      |                - CAST(floor(84600.0 * v / w) AS BIGINT) AS flesch_e3
+      |  FROM r),
+      |b AS (
+      |  SELECT source, flesch_e3,
+      |         CASE WHEN flesch_e3 >= 90000 THEN '1_very_easy'
+      |              WHEN flesch_e3 >= 70000 THEN '2_easy'
+      |              WHEN flesch_e3 >= 50000 THEN '3_medium'
+      |              WHEN flesch_e3 >= 30000 THEN '4_hard'
+      |              ELSE '5_very_hard' END AS band
+      |  FROM sc)
+      |SELECT source, band, count(*) AS n_docs,
+      |       CAST(floor(CAST(sum(flesch_e3) AS DOUBLE) / count(*)) AS BIGINT) AS avg_e3,
+      |       CAST(min(flesch_e3) AS BIGINT) AS min_e3,
+      |       CAST(max(flesch_e3) AS BIGINT) AS max_e3
+      |FROM b GROUP BY source, band ORDER BY source, band""".stripMargin
 }

@@ -1091,4 +1091,200 @@ object Queries {
        |SELECT bucket, n_keys, sum_rows,
        |       (10000 * sum_rows) // total_rows AS rows_share_e4
        |FROM jg CROSS JOIN jt ORDER BY bucket""".stripMargin
+
+  // ---- event_transitions: within-session Markov transition matrix ---------
+
+  /** First-order event-type transition counts WITHIN the 30-minute-gap
+    * sessions (the path-analysis primitive behind "what do users do
+    * next"): consecutive same-session event pairs (lead over the session
+    * order), counted per (from_type, to_type) with distinct users and the
+    * e4 share of all transitions leaving from_type.
+    *
+    * Scale: the session window and the lead window share ONE partitioning
+    * (user_id) — a single shuffle produces both; the transition groupBy
+    * is map-side combined onto at most |types|² keys, and the from-type
+    * total is a broadcast-sized window over those keys. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val trans = sessioned
+      .withColumn("to_type", lead("event_type", 1).over(bySession))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct("user_id").as("n_users"))
+    trans
+      .withColumn("from_total", sum("n_trans").over(
+        Window.partitionBy("from_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share_e4", expr("(10000 * n_trans) div from_total"))
+      .select("from_type", "to_type", "n_trans", "n_users", "share_e4")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Session CTE carrying event_type (SessionsCte drops it), shared by
+    * the transition and path oracles so the gap constant cannot drift. */
+  private val TypedSessionsCte: String =
+    """e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)""".stripMargin
+
+  val eventTransitionsSql: String =
+    s"""WITH $TypedSessionsCte,
+       |t AS (
+       |  SELECT user_id, event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id, session_id
+       |           ORDER BY ts, event_id) AS to_type
+       |  FROM sessions),
+       |g AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans,
+       |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n_trans, n_users,
+       |       (10000 * n_trans) // CAST(sum(n_trans) OVER
+       |         (PARTITION BY from_type) AS BIGINT) AS share_e4
+       |FROM g ORDER BY from_type, to_type""".stripMargin
+
+  // ---- session_paths: top ordered session-prefix paths ---------------------
+
+  /** Top-20 session paths: the ordered first-5 event types of each
+    * 30-minute-gap session joined with '>', counted per distinct path
+    * (sessions + distinct users), ranked by frequency with the path
+    * string as the tiebreak. The prefix pivot is 5 deterministic
+    * max(CASE rn=i) aggregates — never an order-dependent collect_list —
+    * so the path string is identical on both engines by construction.
+    *
+    * Scale: one shuffle on user_id for the session/rank windows, one
+    * map-side-combined groupBy on (user, session), one on the path
+    * strings (cardinality ≤ |types|⁵), then a top-20 TakeOrdered —
+    * no global sort materializes. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .where(col("rn") <= 5)
+    val steps = (1 to 5).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"s$i"))
+    sessioned
+      .groupBy("user_id", "session_id")
+      .agg(steps.head, steps.tail: _*)
+      .withColumn("path", concat_ws(">",
+        col("s1"), col("s2"), col("s3"), col("s4"), col("s5")))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH $TypedSessionsCte,
+       |r AS (
+       |  SELECT user_id, session_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id, session_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM sessions),
+       |p AS (
+       |  SELECT user_id, session_id,
+       |         concat_ws('>',
+       |           max(CASE WHEN rn = 1 THEN event_type END),
+       |           max(CASE WHEN rn = 2 THEN event_type END),
+       |           max(CASE WHEN rn = 3 THEN event_type END),
+       |           max(CASE WHEN rn = 4 THEN event_type END),
+       |           max(CASE WHEN rn = 5 THEN event_type END)) AS path
+       |  FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // ---- user_ltv: cohort cumulative-value curve -----------------------------
+
+  /** Cohort LTV curve: users cohorted by their first active week; for
+    * each (cohort_week, weeks-since-cohort offset) the cohort's
+    * CUMULATIVE cents and the integer per-user cumulative value. The
+    * retention row counts who comes back; this prices what the cohort is
+    * worth as it ages — the other half of cohort analysis.
+    *
+    * Scale: cohort assignment is one groupBy(user) min-week, re-joined on
+    * user_id (AQE-planned, both sides hash on the same key); everything
+    * after lives on ≤ weeks² cells, with the running sum windowed over
+    * the tiny (cohort, offset) grid. */
+  def userLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div 1000 div $WeekUs").as("week"),
+        cents(col("value")).as("cents"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("n_cohort_users"))
+    val cells = ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum("cents").as("cents"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_cents", sum("cents").over(
+        Window.partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_per_user", expr("cum_cents div n_cohort_users"))
+      .select("cohort_week", "week_offset", "n_cohort_users",
+        "cum_cents", "cum_per_user")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val userLtvSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekUs AS week,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |co AS (
+       |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+       |sz AS (
+       |  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+       |           AS n_cohort_users
+       |  FROM co GROUP BY cohort_week),
+       |cells AS (
+       |  SELECT co.cohort_week, ev.week - co.cohort_week AS week_offset,
+       |         CAST(sum(ev.cents) AS BIGINT) AS cents
+       |  FROM ev JOIN co ON ev.user_id = co.user_id
+       |  GROUP BY co.cohort_week, ev.week - co.cohort_week),
+       |cum AS (
+       |  SELECT cohort_week, week_offset,
+       |         CAST(sum(cents) OVER (PARTITION BY cohort_week
+       |           ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS cum_cents
+       |  FROM cells)
+       |SELECT c.cohort_week, c.week_offset, s.n_cohort_users, c.cum_cents,
+       |       c.cum_cents // s.n_cohort_users AS cum_per_user
+       |FROM cum c JOIN sz s ON c.cohort_week = s.cohort_week
+       |ORDER BY c.cohort_week, c.week_offset""".stripMargin
 }
