@@ -36,13 +36,14 @@ CHUNKS = {
         ann_ivfpq_rerank_recall ann_ivfpq_res_recall ann_ivfpq_res_search
         ann_ivfpq_search ann_lsh ann_mrr ann_nprobe_sweep ann_pq
         ann_pq_recall ann_pq_search ann_recall ann_topk knn_classify
-        label_noise lsh_bucket_stats embed_cosine_dup
+        label_noise lsh_bucket_stats embed_cosine_dup mutual_knn
     """,
     # Embedding analytics (same file, but stats-side builds).
     "b_embed": """
         embed_centroids embed_covariance embed_drift embed_label_margin
         embed_norm_audit embed_pca_power embed_prune embed_quant
-        embed_whiten_audit dedup_semantic
+        embed_whiten_audit dedup_semantic embed_trunc_audit
+        decontaminate_semantic
     """,
     # Dedup.scala family: shares shingle/minhash/rep-collapse frames.
     "c_dedup": """
@@ -51,6 +52,7 @@ CHUNKS = {
         dedup_threshold_sweep minhash_est shingle_df_hist doc_rarity
         cluster_size_hist graph_degree dup_pagerank source_diversity
         decontaminate dedup_canonical winnow_overlap dedup_snm
+        dedup_normalized
     """,
     # TextStats/Ngrams/Retrieval: shares the memoized tf/token frames.
     "d_text": """
@@ -58,7 +60,7 @@ CHUNKS = {
         repetition_filter gopher_quality ngram_topk ngram_pmi
         ngram_coverage_curve tfidf_topterms token_drift vocab_build
         oov_rate bpe_merges bpe_compression dsir_weights bm25_topk
-        retrieval_rrf lm_fluency
+        retrieval_rrf lm_fluency char_collision_audit readability
     """,
     # Pipeline.scala + Clean.scala: corpus curation mechanics.
     "e_pipeline": """
@@ -69,6 +71,7 @@ CHUNKS = {
         source_quality_matrix lang_quantiles lang_trim quantile_sketch
         quantile_merge segment_dedup segment_keep_k pii_scrub pii_audit
         substring_dup corpus_diff curation_e2e source_copy_matrix
+        skyline_docs table_profile compaction_plan
     """,
     # Relational/events queries (Queries.scala).
     "f_rel": """
@@ -77,7 +80,9 @@ CHUNKS = {
         events_pivot events_retention events_funnel events_hopping
         events_props_stats events_dow_hour event_anomalies funnel_latency
         funnel_latency_hist user_window_1h user_spend_decile
-        user_activity_gini join_salted join_skew_audit
+        user_activity_gini join_salted join_skew_audit events_rollup
+        user_decay_score event_transitions session_paths user_ltv
+        benford_audit user_burstiness zorder_layout
     """,
     # CDC family: shares the decoded change-feed frame.
     "g_cdc": """
