@@ -52,7 +52,7 @@ CHUNKS = {
         dedup_threshold_sweep minhash_est shingle_df_hist doc_rarity
         cluster_size_hist graph_degree dup_pagerank source_diversity
         decontaminate dedup_canonical winnow_overlap dedup_snm
-        dedup_normalized
+        dedup_normalized dup_triangles
     """,
     # TextStats/Ngrams/Retrieval: shares the memoized tf/token frames.
     "d_text": """

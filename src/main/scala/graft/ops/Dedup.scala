@@ -853,6 +853,93 @@ object Dedup {
        |SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  // ---- dup_triangles ------------------------------------------------------
+
+  /** Triangle census + global clustering coefficient of the verified
+    * near-dup graph — read alongside the degree histogram before the
+    * closure: a high coefficient with few triangles says tight template
+    * cliques; many wedges with few triangles says hub-and-spoke
+    * boilerplate whose closure will chain.
+    *
+    * Exact member-level counts by REP arithmetic (never the expanded
+    * edge set): the member graph is within-group cliques ∪ complete
+    * bipartite graphs on rep edges (identical shingle sets share bands,
+    * candidacy, and Jaccard — the clique theorem the closure already
+    * rides), so
+    *   triangles = Σ_groups C(g,3)                      (pure within)
+    *             + Σ_rep-edges (A,B) C(a,2)·b + a·C(b,2) (two-in-one-group)
+    *             + Σ_rep-triangles (A,B,C) a·b·c         (all distinct)
+    *   wedges    = Σ_groups g·C(deg,2), deg = (g−1) + Σ_{B∈N(A)} b
+    *   edges     = Σ_groups C(g,2) + Σ_rep-edges a·b
+    * with the rep triangles from ONE ordered two-hop equi-join on the
+    * (tiny) rep edge list. The only double is the final coefficient:
+    * 3T (exact int64) through one textually identical IEEE divide on
+    * both engines. */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val gsz = repMembers(spark, dir).groupBy("rep").agg(count(lit(1)).as("g"))
+    val re = thresholdedRepPairs(spark, dir).select("doc_a", "doc_b")
+    val tri = re.as("e1")
+      .join(re.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(re.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("ta"), col("e1.doc_b").as("tb"),
+        col("e2.doc_b").as("tc"))
+    val triMass = tri
+      .join(gsz.select(col("rep").as("ta"), col("g").as("ga")), "ta")
+      .join(gsz.select(col("rep").as("tb"), col("g").as("gb")), "tb")
+      .join(gsz.select(col("rep").as("tc"), col("g").as("gc")), "tc")
+      .agg(coalesce(sum(col("ga") * col("gb") * col("gc")), lit(0L)).as("t3"))
+    val edgeMass = re
+      .join(gsz.select(col("rep").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(gsz.select(col("rep").as("doc_b"), col("g").as("gb")), "doc_b")
+      .agg(
+        coalesce(sum(expr(
+          "(ga * (ga - 1) div 2) * gb + ga * (gb * (gb - 1) div 2)")), lit(0L))
+          .as("t2"),
+        coalesce(sum(col("ga") * col("gb")), lit(0L)).as("e_cross"))
+    val withinMass = gsz.agg(
+      coalesce(sum(expr("g * (g - 1) * (g - 2) div 6")), lit(0L)).as("t1"),
+      coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("e_within"))
+    val contrib = re
+      .join(gsz.select(col("rep").as("doc_b"), col("g").as("nsz")), "doc_b")
+      .select(col("doc_a").as("rep"), col("nsz"))
+      .union(re
+        .join(gsz.select(col("rep").as("doc_a"), col("g").as("nsz")), "doc_a")
+        .select(col("doc_b").as("rep"), col("nsz")))
+    val wedges = gsz
+      .join(contrib.groupBy("rep").agg(sum("nsz").as("cd")), Seq("rep"), "left")
+      .withColumn("d", col("g") - 1 + coalesce(col("cd"), lit(0L)))
+      .agg(coalesce(sum(expr("g * (d * (d - 1) div 2)")), lit(0L)).as("w"))
+    triMass.crossJoin(edgeMass).crossJoin(withinMass).crossJoin(wedges)
+      .withColumn("tt", col("t1") + col("t2") + col("t3"))
+      .select(
+        (col("e_within") + col("e_cross")).as("n_edges"),
+        col("w").as("n_wedges"),
+        col("tt").as("n_triangles"),
+        expr("""CASE WHEN w > 0
+                |     THEN CAST(floor(1.0e6 * (3 * tt) / w) AS BIGINT)
+                |     ELSE 0 END""".stripMargin).as("global_cc_e6"))
+  }
+
+  /** Oracle: the member-level census spelled out on the expanded edge
+    * set (fine at oracle scales; the engine never materializes it). */
+  val dupTrianglesSql: String =
+    s"""WITH $VerifiedEdgesCtes,
+       |ue AS (SELECT a, b FROM edges WHERE a < b),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS tt FROM ue e1
+       |  JOIN ue e2 ON e1.b = e2.a
+       |  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
+       |wd AS (
+       |  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ue)
+       |SELECT ne.e AS n_edges, wd.w AS n_wedges, tri.tt AS n_triangles,
+       |       CASE WHEN wd.w > 0
+       |            THEN CAST(floor(1.0e6 * (3 * tri.tt) / wd.w) AS BIGINT)
+       |            ELSE 0 END AS global_cc_e6
+       |FROM ne CROSS JOIN wd CROSS JOIN tri""".stripMargin
+
   /** Oracle chain for the cluster closure at REP level. The doc-level
     * recursive closure is quadratic in duplicate multiplicity (`reach`
     * holds every (node, reachable-label) pair, Σ component² rows) and
