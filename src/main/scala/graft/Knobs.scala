@@ -119,6 +119,24 @@ object Knobs {
   /** Document-corpus size of the current directory. */
   def docCount: Long = if (currentDir.isEmpty) 0L else rowCount(currentDir, "documents")
 
+  /** Event-stream size of the current directory. */
+  def evCount: Long = if (currentDir.isEmpty) 0L else rowCount(currentDir, "events")
+
+  /** Rank-bucket count for the layout planners' two-phase global ranks
+    * (zorder_layout / compaction_plan): ⌈events/3M⌉ clamped to [8, 32].
+    * Each bucket is one rank-sort task, so the knee trades range-exchange
+    * overhead — dominant at small N: 32 buckets measured ~2× slower than
+    * 8 at the 10M-event point — against per-task sort volume — dominant
+    * at large N: 8 buckets meant 12.5M-row single-task sorts at the
+    * 100M-event point, 254 s vs 99 s. The derived value cannot change
+    * results: file ids come from the exact GLOBAL rank, bucket-count
+    * invariant. Override via GRAFT_LAYOUT_RANK_BUCKETS. */
+  def layoutRankBuckets: Int = envInt("GRAFT_LAYOUT_RANK_BUCKETS")
+    .getOrElse(layoutRankBucketsFor(evCount))
+
+  private def layoutRankBucketsFor(n: Long): Int =
+    math.max(8L, math.min(32L, n / 3000000L)).toInt
+
   private def envInt(name: String): Option[Int] =
     sys.env.get(name).map(_.trim.toInt)
 
@@ -234,7 +252,8 @@ object Knobs {
     "lsh_planes" -> lshPlanes.toLong,
     "lsh_tables" -> lshTables.toLong,
     "simhash_bucket_bits" -> simhashBucketBits.toLong,
-    "compact_target_chars" -> compactTargetChars)
+    "compact_target_chars" -> compactTargetChars,
+    "layout_rank_buckets" -> layoutRankBuckets.toLong)
 
   def knobReport(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

@@ -164,13 +164,12 @@ object Layout {
   // ---- compaction_plan: small-file compaction planner ----------------
 
   /** Range buckets for the two-phase per-source running total. */
-  /** 32, not 8: the rank's per-task sort holds N/buckets rows, and at the
-    * 1000× point (100M events) 8 buckets meant 12.5M-row single-task
-    * sorts ×2 layouts — measured 254 s; at 32 the same point is 3.1M
-    * rows/task on a 32-core box. The file assignment is bucket-count
-    * invariant (f derives from the exact GLOBAL rank), so the oracle
-    * hash is unchanged. */
-  val LayoutRankBuckets = 32
+  /** Derived, not fixed (see [[graft.Knobs.layoutRankBuckets]]): 8 and 32
+    * each lose a decade — 8 buckets meant 12.5M-row single-task rank
+    * sorts at the 100M-event point (254 s vs 99 s at 32), while 32 paid
+    * ~2× range-exchange overhead at the 10M point. Bucket count cannot
+    * change results: file ids derive from the exact GLOBAL rank. */
+  def LayoutRankBuckets: Int = graft.Knobs.layoutRankBuckets
 
   /** Small-file compaction plan per source: documents are laid out in
     * their natural ingest order (doc_id) and folded greedily into
