@@ -80,7 +80,7 @@ CHUNKS = {
         events_pivot events_retention events_funnel events_hopping
         events_props_stats events_dow_hour event_anomalies funnel_latency
         funnel_latency_hist user_window_1h user_spend_decile
-        user_activity_gini join_salted join_skew_audit events_rollup
+        user_activity_gini join_salted join_skew_audit events_rollup k_anonymity
         user_decay_score event_transitions session_paths user_ltv
         benford_audit user_burstiness zorder_layout
     """,

@@ -1229,6 +1229,107 @@ object Queries {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // ---- k_anonymity: re-identification risk audit ----------------------------
+
+  /** k-anonymity (Sweeney 2002) over behavioral quasi-identifiers: each
+    * user is reduced to the profile (most-active day-of-week, dominant
+    * event type, log2 activity band) an adversary could reconstruct from
+    * side channels; users sharing a profile form an equivalence class of
+    * size k, and small-k classes are the re-identification risk the
+    * release audit must count BEFORE the events table ships anywhere —
+    * the structural complement of the pattern-based pii_scrub.
+    *
+    * Argmaxes are deterministic (count desc, then the attribute value) —
+    * a window rank, never an order-dependent first(). Output: k-band
+    * (1 / 2-4 / 5-9 / 10+) → class and user counts + the e4 share of
+    * users at risk (k < 5).
+    *
+    * Scale: one shuffle keyed by user (both argmax windows and the band
+    * aggregate ride the same clustering), one map-side-combined class
+    * aggregate on ≤ 7·|types|·bands keys, a ≤ 4-row banding. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .withColumn("dow", expr("pmod((es - pmod(es, 86400)) div 86400 + 3, 7)"))
+      .select("user_id", "dow", "event_type")
+    def dominant(attr: String): DataFrame =
+      ev.groupBy("user_id", attr).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("cnt").desc, col(attr))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col(attr).as(s"top_$attr"))
+    val profile = dominant("dow")
+      .join(dominant("event_type"), "user_id")
+      .join(ev.groupBy("user_id").agg(count(lit(1)).as("n_events")), "user_id")
+      // floor(log2(n)) as length(bin(n))−1: EXACT integer log2 on both
+      // engines — a floating ln(x)/ln(2) rounds below the true value at
+      // exact powers of two (ln(8)/ln(2) = 2.999…96 → floor 2, not 3)
+      .withColumn("band", (length(bin(col("n_events"))) - 1).cast("long"))
+    val classes = profile.groupBy("top_dow", "top_event_type", "band")
+      .agg(count(lit(1)).as("k"))
+    classes
+      .withColumn("k_band",
+        when(col("k") === 1, "1_unique")
+          .when(col("k") <= 4, "2_k2_4")
+          .when(col("k") <= 9, "3_k5_9")
+          .otherwise("4_k10_plus"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_users"))
+      .withColumn("total_users", sum("n_users").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("at_risk_e4", expr(
+        "CASE WHEN k_band IN ('1_unique', '2_k2_4') " +
+          "THEN (10000 * n_users) div total_users ELSE 0 END"))
+      .select("k_band", "n_classes", "n_users", "at_risk_e4")
+      .orderBy("k_band")
+  }
+
+  val kAnonymitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         (((CAST(floor(epoch(ts)) AS BIGINT)
+      |            - ((CAST(floor(epoch(ts)) AS BIGINT) % 86400 + 86400) % 86400))
+      |           // 86400 + 3) % 7 + 7) % 7 AS dow
+      |  FROM events),
+      |dd AS (
+      |  SELECT user_id, dow AS top_dow FROM (
+      |    SELECT user_id, dow,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY count(*) DESC, dow) AS rn
+      |    FROM e GROUP BY user_id, dow) WHERE rn = 1),
+      |dt AS (
+      |  SELECT user_id, event_type AS top_event_type FROM (
+      |    SELECT user_id, event_type,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY count(*) DESC, event_type) AS rn
+      |    FROM e GROUP BY user_id, event_type) WHERE rn = 1),
+      |nu AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM e GROUP BY user_id),
+      |prof AS (
+      |  SELECT dd.user_id, dd.top_dow, dt.top_event_type,
+      |         CAST(length(bin(nu.n_events)) - 1 AS BIGINT) AS band
+      |  FROM dd JOIN dt ON dd.user_id = dt.user_id
+      |  JOIN nu ON dd.user_id = nu.user_id),
+      |cls AS (
+      |  SELECT top_dow, top_event_type, band, CAST(count(*) AS BIGINT) AS k
+      |  FROM prof GROUP BY top_dow, top_event_type, band),
+      |bnd AS (
+      |  SELECT CASE WHEN k = 1 THEN '1_unique'
+      |              WHEN k <= 4 THEN '2_k2_4'
+      |              WHEN k <= 9 THEN '3_k5_9'
+      |              ELSE '4_k10_plus' END AS k_band, k
+      |  FROM cls),
+      |g AS (
+      |  SELECT k_band, CAST(count(*) AS BIGINT) AS n_classes,
+      |         CAST(sum(k) AS BIGINT) AS n_users
+      |  FROM bnd GROUP BY k_band)
+      |SELECT k_band, n_classes, n_users,
+      |       CASE WHEN k_band IN ('1_unique', '2_k2_4')
+      |            THEN (10000 * n_users) // CAST(sum(n_users) OVER () AS BIGINT)
+      |            ELSE 0 END AS at_risk_e4
+      |FROM g ORDER BY k_band""".stripMargin
+
   // ---- user_ltv: cohort cumulative-value curve -----------------------------
 
   /** Cohort LTV curve: users cohorted by their first active week; for
