@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""SURVEY.md structural gate (round-13 verdict ask #6).
+
+Asserts the §2 inventory table stays well-formed so row numbers remain a
+stable citation key across rounds:
+  1. row numbers are exactly 1..N, unique and monotone (no duplicates,
+     no gaps — the round-12 table reused 188/189);
+  2. the §7 prose row count ("All N inventory rows") matches the table;
+  3. every non-test-only row names at least one `queries` key in
+     backticks (the coverage contract column is populated).
+
+Run:  python3 scripts/check_survey.py   (exit 0 = green)
+"""
+import re
+import sys
+import pathlib
+
+survey = (pathlib.Path(__file__).parent.parent / "SURVEY.md").read_text()
+
+rows = []
+in_s2 = False
+for line in survey.split("\n"):
+    if line.startswith("## §2"):
+        in_s2 = True
+        continue
+    if in_s2 and line.startswith("## §") and not line.startswith("## §2"):
+        in_s2 = False
+    m = re.match(r"^\| (\d+) \|", line)
+    if in_s2 and m:
+        rows.append((int(m.group(1)), line))
+
+errors = []
+nums = [n for n, _ in rows]
+expect = list(range(1, len(rows) + 1))
+if nums != expect:
+    dups = sorted({n for n in nums if nums.count(n) > 1})
+    gaps = sorted(set(expect) - set(nums))
+    errors.append(f"row numbers not 1..{len(rows)} monotone-unique: "
+                  f"dups={dups} gaps={gaps}")
+
+m = re.search(r"All (\d+) inventory rows", survey)
+if not m:
+    errors.append('§7 prose count ("All N inventory rows") not found')
+elif int(m.group(1)) != len(rows):
+    errors.append(f"§7 prose says {m.group(1)} rows, table has {len(rows)}")
+
+for n, line in rows:
+    # rows contain unescaped '|' inside prose (|types|² etc.), so a naive
+    # cell split is unreliable — gate on the whole line: every row either
+    # names a backticked snake_case queries key or is a test-only row
+    # (keys cell starts with an em-dash marker "— (").
+    has_key = re.search(r"`[a-z][a-z0-9_]*`", line)
+    is_test = "— (" in line or "test-only" in line
+    if not has_key and not is_test:
+        errors.append(f"row {n}: no backticked queries key and no test-only marker")
+
+if errors:
+    for e in errors:
+        print(f"SURVEY GATE FAIL: {e}", file=sys.stderr)
+    sys.exit(1)
+print(f"SURVEY gate green: {len(rows)} rows, numbering 1..{len(rows)}, "
+      f"prose count matches, every non-test row names a key")

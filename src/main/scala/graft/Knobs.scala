@@ -135,7 +135,7 @@ object Knobs {
     .getOrElse(layoutRankBucketsFor(evCount))
 
   private def layoutRankBucketsFor(n: Long): Int =
-    math.max(8L, math.min(32L, n / 3000000L)).toInt
+    math.max(8L, math.min(32L, (n + 2999999L) / 3000000L)).toInt
 
   private def envInt(name: String): Option[Int] =
     sys.env.get(name).map(_.trim.toInt)

@@ -93,6 +93,8 @@ object Tables {
       }
       m
     }
+    // bounded-collect: plan-time metadata probe only (partition COUNT,
+    // no rows move); memoized per session. CollectGateSpec-audited.
     val narrow = perSession.getOrElseUpdate(key, df.rdd.getNumPartitions < cores)
     if (narrow) df.repartition(cores) else df
   }

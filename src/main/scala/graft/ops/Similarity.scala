@@ -624,6 +624,9 @@ object Similarity {
     * form and to the oracle. The collect here is the same data movement
     * the broadcast already did, one hop earlier. */
   private def nearestCell(v: DataFrame, seeds: DataFrame): DataFrame = {
+    // bounded-collect: ≤ ⌈4√N⌉ centroid rows (ivfCells cap) — the same
+    // data movement broadcast() did, one hop earlier; also serves the
+    // Lloyd training pulls (k×Dim centroid sums). CollectGateSpec-audited.
     val rows = seeds.select("seed_id", "sv", "sn2").collect()
     // Degenerate-input contract (round-10 advice): the replaced
     // crossJoin(broadcast(seeds)) form lazily produced an EMPTY
@@ -2383,6 +2386,8 @@ object Similarity {
     // sf0.1 while its four legs cost ~2.0 s run standalone (the round-11
     // verdict's one real perf residual).
     def leg(name: String, df: DataFrame): Array[(String, Long, Long)] =
+      // bounded-collect: ≤ NumQueries×k rows per leg (knob product,
+      // N-independent). CollectGateSpec-audited.
       df.collect().map(r => (name, r.getLong(0), r.getLong(1)))
     val lists =
       leg("exact", listExact(spark, dir).where(col("rnk") <= k)
@@ -3070,6 +3075,8 @@ object Similarity {
 
   def embedPcaPower(spark: SparkSession, dir: String): DataFrame = {
     val m = Array.ofDim[Long](Dim, Dim)
+    // bounded-collect: the 2080-value upper-triangle Gram aggregate —
+    // N-independent by construction. CollectGateSpec-audited.
     embedCovariance(spark, dir).select("dim_i", "dim_j", "cov_e4").collect()
       .foreach { r =>
         val i = r.getLong(0).toInt

@@ -1241,8 +1241,9 @@ object Queries {
     *
     * Argmaxes are deterministic (count desc, then the attribute value) —
     * a window rank, never an order-dependent first(). Output: k-band
-    * (1 / 2-4 / 5-9 / 10+) → class and user counts + the e4 share of
-    * users at risk (k < 5).
+    * (1 / 2-4 / 5-9 / 10+) → class and user counts; each risky band
+    * (k < 5) reports its OWN e4 user share — per-band, not the
+    * combined k<5 share (sum the two bands for the overall risk).
     *
     * Scale: one shuffle keyed by user (both argmax windows and the band
     * aggregate ride the same clustering), one map-side-combined class
@@ -1356,7 +1357,12 @@ object Queries {
       .withColumn("cum_cents", sum("cents").over(
         Window.partitionBy("cohort_week").orderBy("week_offset")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum_per_user", expr("cum_cents div n_cohort_users"))
+      // explicit double-floor, NOT integer div: Spark `div` truncates
+      // toward zero while DuckDB `//` floors, so a negative cumulative
+      // (possible in principle — amounts are not sign-constrained) would
+      // diverge by 1; the readability/user_burstiness convention applies
+      .withColumn("cum_per_user", expr(
+        "CAST(floor(CAST(cum_cents AS DOUBLE) / n_cohort_users) AS LONG)"))
       .select("cohort_week", "week_offset", "n_cohort_users",
         "cum_cents", "cum_per_user")
       .orderBy("cohort_week", "week_offset")
@@ -1528,7 +1534,8 @@ object Queries {
        |           AS cum_cents
        |  FROM cells)
        |SELECT c.cohort_week, c.week_offset, s.n_cohort_users, c.cum_cents,
-       |       c.cum_cents // s.n_cohort_users AS cum_per_user
+       |       CAST(floor(CAST(c.cum_cents AS DOUBLE) / s.n_cohort_users)
+       |         AS BIGINT) AS cum_per_user
        |FROM cum c JOIN sz s ON c.cohort_week = s.cohort_week
        |ORDER BY c.cohort_week, c.week_offset""".stripMargin
 }
