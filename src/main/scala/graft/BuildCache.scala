@@ -115,6 +115,22 @@ object BuildCache {
     IdCandidates.find(names.contains)
   }
 
+  /** Keys whose layout is PARTITIONED (hive-style dirs) instead of
+    * bucketed: the decoded CDC feed partitions by (tbl, kind) so the
+    * per-table routed filter family (the reference routes every change
+    * per (table, change-kind) BEFORE specific filters —
+    * src/forwarder/mod.rs:106-126) reads only its tables' files. A
+    * partition column must be low-cardinality and lead every hot
+    * predicate; (tbl, kind) is ≤ #tables × 3 dirs at any corpus size. */
+  private val PartitionRules: Seq[(String, Seq[String])] =
+    Seq("cdc.decoded" -> Seq("tbl", "kind"))
+
+  private def partitionColsFor(key: String, df: DataFrame): Seq[String] =
+    PartitionRules.collectFirst {
+      case (p, cols) if (key == p || key.startsWith(p + ":")) &&
+        cols.forall(df.schema.fieldNames.contains) => cols
+    }.getOrElse(Nil)
+
   private def slug(key: String): String =
     key.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
       .replaceAll("_+", "_").stripPrefix("_").stripSuffix("_").take(48)
@@ -232,9 +248,17 @@ object BuildCache {
   }
 
   /** Register the completed layout at `path` as external table `tbl`
-    * (bucket spec from the `_meta.json` sidecar) and return it. */
+    * (bucket spec from the `_meta.json` sidecar) and return it.
+    * PARTITIONED layouts skip the catalog: a schema-pinned path read
+    * gives hive-style partition discovery + pruning directly, and the
+    * stored build-order DDL re-imposes original column order and types
+    * (partition reads would otherwise move partition columns last and
+    * string-type them). `marker` tags the read with an inert option so
+    * its plan is NOT sameResult with the memoPersist-cached read — the
+    * pruned view must reach the FILE scan, not the in-memory cache. */
   private def registerLayout(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, path: String, tbl: String): DataFrame = {
+      fs: org.apache.hadoop.fs.FileSystem, path: String, tbl: String,
+      marker: Boolean = false): DataFrame = {
     val metaP = new org.apache.hadoop.fs.Path(path, "_meta.json")
     val in = fs.open(metaP)
     val metaTxt =
@@ -248,18 +272,53 @@ object BuildCache {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaTxt)
     val bucketCol = Option(node.get("bucket")).map(_.asText).filter(_.nonEmpty)
     val nBuckets = Option(node.get("n_buckets")).map(_.asInt).getOrElse(0)
-    val schema = spark.read.parquet(path).schema
-    val ddl = bucketCol match {
-      case Some(c) if nBuckets > 0 =>
-        s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
-          s"CLUSTERED BY ($c) SORTED BY ($c) INTO $nBuckets BUCKETS " +
-          s"LOCATION '$path'"
-      case _ =>
-        s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET LOCATION '$path'"
+    val partDdl = Option(node.get("schema_ddl")).map(_.asText).filter(_.nonEmpty)
+    partDdl match {
+      case Some(d) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(d)
+        val rd = spark.read.schema(schema)
+        (if (marker) rd.option("graft.layout.view", "pruned") else rd)
+          .parquet(path)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case None =>
+        val schema = spark.read.parquet(path).schema
+        val ddl = bucketCol match {
+          case Some(c) if nBuckets > 0 =>
+            s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET " +
+              s"CLUSTERED BY ($c) SORTED BY ($c) INTO $nBuckets BUCKETS " +
+              s"LOCATION '$path'"
+          case _ =>
+            s"CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET LOCATION '$path'"
+        }
+        spark.sql(ddl)
+        spark.table(tbl)
     }
-    spark.sql(ddl)
-    spark.table(tbl)
   }
+
+  /** Read-only view of an already-persisted layout for `key`, bypassing
+    * both the build and the in-memory persist: None when the cache is
+    * off, the layout absent, or any cache-layer failure occurs. The
+    * routed CDC filter family reads the tbl/kind-partitioned decoded
+    * feed through this — a static table predicate then becomes a
+    * PartitionFilters entry on the file scan (files of other tables are
+    * never opened), where the memoPersist view would scan the whole
+    * in-memory relation. */
+  def layoutFor(spark: SparkSession, key: String): Option[DataFrame] =
+    root.flatMap { r =>
+      try {
+        val dir = dirOf(key)
+        val fp = fingerprint(dir)
+        val path = s"$r/$fp/${slug(key)}_${shortHash(key)}"
+        val tbl = s"graft_cache_${slug(key)}_${shortHash(key + fp)}"
+        val fs = hadoopFs(new org.apache.hadoop.fs.Path(r))
+        val okP = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val metaP = new org.apache.hadoop.fs.Path(path, "_meta.json")
+        if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
+        else if (fs.exists(okP) && fs.exists(metaP))
+          Some(registerLayout(spark, fs, path, tbl, marker = true))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Concurrent-writer protocol (round 12): build the layout in a
     * UNIQUE hidden tmp dir next to the final path, write `_meta.json`
@@ -274,10 +333,22 @@ object BuildCache {
   private[graft] def writeLayout(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
       nBuckets: Int, key: String): Boolean = {
-    val bucketCol = bucketColOf(df)
+    val partCols = partitionColsFor(key, df)
+    val bucketCol = if (partCols.nonEmpty) None else bucketColOf(df)
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"$path.tmp-$uniq"
-    bucketCol match {
+    if (partCols.nonEmpty) {
+      // Hive-style partition dirs. Row-to-file salting: hash over the
+      // full row spreads each partition's rows across ~nBuckets/8 write
+      // tasks, so the write parallelizes at any corpus size while the
+      // file count stays ~nBuckets (a bare partitionBy would emit
+      // one file per (upstream task × partition) — thousands at 1000×).
+      import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+      val salt = math.max(1, nBuckets / 8)
+      val saltCol = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt))
+      df.repartition(nBuckets, partCols.map(col) :+ saltCol: _*)
+        .write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp)
+    } else bucketCol match {
       case Some(c) =>
         // bucketBy requires a table write; stage under a throwaway name,
         // then drop the catalog entry (external table: files stay put)
@@ -290,8 +361,16 @@ object BuildCache {
       case None =>
         df.write.mode("overwrite").parquet(tmp)
     }
+    // partitioned layouts record the build-order schema DDL: a partition
+    // read surfaces partition columns LAST and as path strings, so the
+    // re-read must re-impose the original order and types to stay
+    // byte-identical with the cache-off build
+    val partsJson = partCols.map(JsonUtil.q).mkString("[", ",", "]")
+    val ddlJson =
+      if (partCols.nonEmpty) s""","partitions":$partsJson,"schema_ddl":${JsonUtil.q(df.schema.toDDL)}"""
+      else ""
     val meta =
-      s"""{"key":${JsonUtil.q(key)},"bucket":${JsonUtil.q(bucketCol.getOrElse(""))},"n_buckets":${if (bucketCol.isDefined) nBuckets else 0}}"""
+      s"""{"key":${JsonUtil.q(key)},"bucket":${JsonUtil.q(bucketCol.getOrElse(""))},"n_buckets":${if (bucketCol.isDefined) nBuckets else 0}$ddlJson}"""
     val om = fs.create(new org.apache.hadoop.fs.Path(tmp, "_meta.json"), true)
     try om.write(meta.getBytes("UTF-8")) finally om.close()
     // FileContext.rename, NOT FileSystem.rename: the latter "helpfully"

@@ -27,24 +27,40 @@ object SpecificFilter {
 
   // ---- queries ------------------------------------------------------------
 
-  /** eq probe on user_id=7 (a text-typed identifier, so it matches both
-    * the event-row statement and a purchase's balance statement). Deletes
-    * expose no columns at all (empty columnnames, mirroring wal2json
-    * oldkeys), so they are excluded by the missing-column rule, not by an
-    * explicit kind test. */
+  /** The full subscription `insert|update:cpustats:user_id.eq.7`, in the
+    * reference's evaluation ORDER: route per (table, change-kind) FIRST,
+    * then apply the specific filter to the routed subset only — a
+    * subscription always names one table and the forwarder tests
+    * has_table && has_flag before touching SpecificFilter
+    * (src/api/query.rs:34-50, src/forwarder/mod.rs:106-126). The routed
+    * base is 'cpustats', whose raw set is {cpustats, _hyper_1_*} via the
+    * hypertable remap — a STATIC predicate, so on the build cache's
+    * (tbl, kind)-partitioned decoded layout the route is a partition
+    * PRUNE: other tables' files are never opened (round-12 verdict ask
+    * #4; FilterPruningSpec pins PartitionFilters in the plan). Deletes
+    * would also fall out via the missing-column rule (empty columnnames,
+    * mirroring wal2json oldkeys); the explicit kind route is the
+    * reference's bit test, and it prunes the kind=delete dirs too. */
   def filterEq(spark: SparkSession, dir: String): DataFrame = {
-    val d = ChangeFeed.decodedWithMap(spark, dir)
-    d.where(eqFilter(col("cmap"), lit("user_id"), lit("7")))
+    val d = ChangeFeed.decodedPrunedWithMap(spark, dir)
+    d.where(HyperRemap.routesTo("cpustats"))
+      .where(col("kind").isin("insert", "update"))
+      .where(eqFilter(col("cmap"), lit("user_id"), lit("7")))
       .select(col("lsn"), col("idx"), col("kind"), col("tbl"))
       .orderBy("lsn", "idx")
   }
 
-  /** in probe on k ∈ {10,20,30,42,77}. k exists only on event-row
-    * statements, so balance statements fall out via the missing-column
-    * rule. */
+  /** The subscription `insert|update:swapstats:k.in.10,20,30,42,77` —
+    * same route-then-filter order as [[filterEq]], on a base with no
+    * hypertable chunks (one raw table ⇒ the prune keeps exactly one tbl
+    * dir). k exists only on event-row statements, so balance statements
+    * fall out via the missing-column rule (and via the route: they land
+    * on cpustats). */
   def filterIn(spark: SparkSession, dir: String): DataFrame = {
-    val d = ChangeFeed.decodedWithMap(spark, dir)
-    d.where(inFilter(col("cmap"), lit("k"), lit("10,20,30,42,77")))
+    val d = ChangeFeed.decodedPrunedWithMap(spark, dir)
+    d.where(HyperRemap.routesTo("swapstats"))
+      .where(col("kind").isin("insert", "update"))
+      .where(inFilter(col("cmap"), lit("k"), lit("10,20,30,42,77")))
       .select(col("lsn"), col("idx"), try_element_at(col("cmap"), lit("k")).as("k"))
       .orderBy("lsn", "idx")
   }
@@ -91,15 +107,19 @@ object SpecificFilter {
   // ---- oracle -------------------------------------------------------------
 
   val filterEqSql: String =
-    s"""WITH ${ChangeFeed.FeedCte}
-       |SELECT lsn, idx, kind, tbl FROM feed
-       |WHERE kind <> 'delete' AND CAST(user_id AS VARCHAR) = '7'
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte}
+       |SELECT lsn, idx, kind, tbl FROM routed
+       |WHERE base = 'cpustats' AND kind IN ('insert', 'update')
+       |  AND CAST(user_id AS VARCHAR) = '7'
        |ORDER BY lsn, idx""".stripMargin
 
   val filterInSql: String =
-    s"""WITH ${ChangeFeed.FeedCte}
-       |SELECT lsn, idx, k FROM feed
-       |WHERE idx = 0 AND kind <> 'delete' AND k IN ('10','20','30','42','77')
+    s"""WITH ${ChangeFeed.FeedCte},
+       |${HyperRemap.RoutedCte}
+       |SELECT lsn, idx, k FROM routed
+       |WHERE base = 'swapstats' AND kind IN ('insert', 'update')
+       |  AND k IN ('10','20','30','42','77')
        |ORDER BY lsn, idx""".stripMargin
 
   /** Mirror of [[filterTyped]]: unnest each change's (name, type) pairs
