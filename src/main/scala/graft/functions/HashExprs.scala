@@ -711,6 +711,93 @@ case class BinaryBeFieldExpr(child: Expression, offset: Int, width: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries over a BINARY payload — the
+  * LBFS/rsync rolling-cut scheme (Muthitacharoen et al. SOSP'01), i.e.
+  * row 89's insertion-robust chunking applied at BYTE level to the
+  * multimodal payload so binary corpora dedup at sub-payload
+  * granularity. The engine's K-byte gram hash (the [[WinnowHashExpr]]
+  * roll: subtract the outgoing byte's P^(K-1) term, shift, add the
+  * incoming byte) is evaluated at every byte position; a chunk CLOSES
+  * after the gram's last byte when
+  * `gram % p2 * mix % p2 % boundaryMod == 0` — the row-89 contentChunks
+  * flag rule verbatim, so both chunkers cut on the same hash family.
+  * The gram stream rolls CONTINUOUSLY across cuts (cut decisions depend
+  * only on the local K bytes — inserting bytes re-synchronizes within K,
+  * the CDC property); each chunk carries its own rolling polynomial
+  * fingerprint, reset at the cut. A payload shorter than K bytes has no
+  * gram and is one whole-payload chunk; the tail after the last cut is
+  * the final chunk. Returns array<struct<start, len, fp>> in one
+  * generated call per row (the reference-object pattern) — no per-byte
+  * explode, no mapPartitions barrier. */
+case class BinaryCdcChunksExpr(child: Expression, k: Int, boundaryMod: Long,
+    prime: Long, mod: Long, p2: Long, mix: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && boundaryMod >= 1 && p2 >= 1,
+    s"binary_cdc_chunks: k=$k boundaryMod=$boundaryMod p2=$p2 out of contract")
+
+  override def inputTypes: Seq[GraftShim.AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "binary_cdc_chunks"
+
+  // P^(K-1) mod M — the outgoing byte's positional weight
+  private val pk1: Long = {
+    var r = 1L; var i = 1
+    while (i < k) { r = r * prime % mod; i += 1 }
+    r
+  }
+
+  /** bytes → chunk rows. Public: eval and codegen share it through a
+    * codegen reference object. */
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var fp = 0L
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      fp = (fp * prime + b) % mod
+      if (i < k) h = (h * prime + b) % mod
+      else {
+        var t = (h - (bytes(i - k) & 0xff) * pk1 % mod) % mod
+        if (t < 0) t += mod
+        h = (t * prime + b) % mod
+      }
+      if (i >= k - 1 && h % p2 * mix % p2 % boundaryMod == 0) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          start.toLong, (i - start + 1).toLong, fp)
+        start = i + 1
+        fp = 0L
+      }
+      i += 1
+    }
+    if (start < n)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        start.toLong, (n - start).toLong, fp)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("cdcChunker", this,
+        classOf[BinaryCdcChunksExpr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Character-collision index of a STRING column in parts-per-million:
   * floor(1e6 · Σ c·(c−1) / (n·(n−1))) over the per-character counts c of
   * the n-character string — the probability that two characters drawn
@@ -988,6 +1075,11 @@ object HashExprs {
   def binaryBeField(payload: Column, offset: Int, width: Int): Column =
     GraftShim.column(
       BinaryBeFieldExpr(GraftShim.expression(payload), offset, width))
+
+  def binaryCdcChunks(payload: Column, k: Int, boundaryMod: Long,
+      prime: Long, mod: Long, p2: Long, mix: Long): Column =
+    GraftShim.column(BinaryCdcChunksExpr(
+      GraftShim.expression(payload), k, boundaryMod, prime, mod, p2, mix))
 
   def charCollisionPpm(text: Column): Column =
     GraftShim.column(CharCollisionExpr(GraftShim.expression(text)))

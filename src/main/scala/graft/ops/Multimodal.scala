@@ -121,6 +121,106 @@ object Multimodal {
       |  END AS rate_u24
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mm_content_chunks ---------------------------------------------------
+
+  /** Content-defined chunking of the BINARY payload (round-12 verdict ask
+    * #8): the LBFS/rsync rolling-cut scheme — row 89's insertion-robust
+    * chunking applied at byte level — as one codegen'd
+    * [[graft.functions.BinaryCdcChunksExpr]] call per payload, cutting on
+    * the same hash family as the token chunker (gram fp % P2 · mix % P2 %
+    * BoundaryMod == 0). Per-payload ledger: chunk count, byte mass
+    * (= payload length by construction — a built-in boundary self-check),
+    * largest chunk, order-independent fp sum, and n_shared_chunks = this
+    * payload's chunks whose fingerprint recurs in ≥ 2 distinct payloads
+    * corpus-wide — the binary-level dedup signal (shared intro/outro
+    * bytes, embedded assets) that whole-payload checksums miss.
+    *
+    * Scale shape: chunking is scan-side codegen (no explode until the
+    * bounded chunk rows, no mapPartitions barrier — MultimodalSpec pins
+    * the plan); the dedup pass is one fp-keyed groupBy + a co-keyed
+    * self-join shipping (fp, doc_id) pairs only — payload bytes never
+    * enter a shuffle. Oracle equivalence rides the documented ASCII
+    * contract ([[mmFeatures]]). */
+  val CdcK = 8
+  val CdcBoundaryMod = 64L
+
+  def mmContentChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("media_type"),
+        explode(graft.functions.HashExprs.binaryCdcChunks(col("payload"),
+          CdcK, CdcBoundaryMod, TextStats.FpPrime, TextStats.FpMod,
+          Pipeline.HashModPrime, graft.functions.HashExprs.Mix3)).as("c"))
+      .select(col("doc_id"), col("media_type"),
+        col("c.len").as("clen"), col("c.fp").as("fp"))
+    val shared = chunks.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("fp"), lit(1L).as("is_shared"))
+    chunks.join(shared, Seq("fp"), "left")
+      .groupBy("doc_id", "media_type")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("clen").as("n_chunk_bytes"),
+        max("clen").as("max_chunk"),
+        (sum("fp") % TextStats.FpMod).as("fp_sum"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared_chunks"))
+      .orderBy("doc_id")
+  }
+
+  val mmContentChunksSql: String = {
+    val p2 = Pipeline.HashModPrime
+    val mix = graft.functions.HashExprs.Mix3
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+       |      AS media_type,
+       |    text, len(text) AS n
+       |  FROM documents WHERE len(text) >= 1),
+       |g AS (
+       |  SELECT doc_id, media_type, text, n,
+       |    list_filter(list_transform(range(1, greatest(n - $CdcK + 2, 1)),
+       |      i -> CASE WHEN ${TextStats.fpSql(s"substr(text, CAST(i AS INT), $CdcK)")}
+       |                     % $p2 * $mix % $p2 % $CdcBoundaryMod = 0
+       |                THEN i + $CdcK - 1 END), x -> x IS NOT NULL) AS cut
+       |  FROM d),
+       |e AS (
+       |  SELECT doc_id, media_type, text, n,
+       |    CASE WHEN len(cut) > 0 AND cut[len(cut)] = n THEN cut
+       |         ELSE list_append(cut, CAST(n AS BIGINT)) END AS ends
+       |  FROM g),
+       |x AS (
+       |  SELECT doc_id, media_type, text, ends,
+       |         unnest(range(1, len(ends) + 1)) AS ci
+       |  FROM e),
+       |ck AS (
+       |  SELECT doc_id, media_type,
+       |    CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INT) - 1] END AS sb,
+       |    ends[CAST(ci AS INT)] AS eb, text
+       |  FROM x),
+       |cf AS (
+       |  SELECT doc_id, media_type, CAST(eb - sb AS BIGINT) AS clen,
+       |    ${TextStats.fpSql("substr(text, CAST(sb AS INT) + 1, CAST(eb - sb AS INT))")} AS fp
+       |  FROM ck),
+       |sh AS (
+       |  SELECT fp FROM (
+       |    SELECT fp, count(DISTINCT doc_id) AS nd FROM cf GROUP BY fp)
+       |  WHERE nd >= 2)
+       |SELECT c.doc_id, c.media_type,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(c.clen) AS BIGINT) AS n_chunk_bytes,
+       |  CAST(max(c.clen) AS BIGINT) AS max_chunk,
+       |  CAST(sum(c.fp) % ${TextStats.FpMod} AS BIGINT) AS fp_sum,
+       |  CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared_chunks
+       |FROM cf c LEFT JOIN sh s ON c.fp = s.fp
+       |GROUP BY c.doc_id, c.media_type
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // ---- mm_frames ----------------------------------------------------------
 
   /** Frame sampling plumbing for the video rows: every FrameStride-th

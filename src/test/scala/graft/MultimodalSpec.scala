@@ -32,6 +32,76 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("binary_be_field"), s"expression missing:\n$plan")
   }
 
+  test("binary_cdc_chunks: chunker runs codegen'd, pre-aggregation plan is barrier-free") {
+    // pin the plan of the chunk frame itself (the query's aggregation
+    // stages shuffle count-only rows — the contract is that CHUNKING
+    // never leaves whole-stage codegen)
+    val df = Tables.documents(spark, Sf0001)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.binaryCdcChunks(col("p"),
+          Multimodal.CdcK, Multimodal.CdcBoundaryMod, TextStats.FpPrime,
+          TextStats.FpMod, graft.ops.Pipeline.HashModPrime,
+          graft.functions.HashExprs.Mix3)).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), s"barrier in plan:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), s"barrier in plan:\n$plan")
+    assert(plan.contains("binary_cdc_chunks"), s"expression missing:\n$plan")
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+
+  test("binary_cdc_chunks: chunks tile the payload and cuts are content-defined") {
+    val rows = Tables.documents(spark, Sf0001).limit(300)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"),
+        graft.functions.HashExprs.binaryCdcChunks(col("p"),
+          Multimodal.CdcK, Multimodal.CdcBoundaryMod, TextStats.FpPrime,
+          TextStats.FpMod, graft.ops.Pipeline.HashModPrime,
+          graft.functions.HashExprs.Mix3).as("cs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("p")
+      val cs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("cs"))
+      // tiling: starts are contiguous, lens sum to the payload length
+      var expectStart = 0L
+      cs.foreach { c =>
+        assert(c.getLong(0) == expectStart, s"gap at doc ${r.getLong(0)}")
+        assert(c.getLong(1) >= 1)
+        expectStart += c.getLong(1)
+      }
+      assert(expectStart == payload.length.toLong, s"doc ${r.getLong(0)} not tiled")
+      // per-chunk fp equals a fresh polynomial hash of the chunk bytes
+      cs.take(3).foreach { c =>
+        val (s, l) = (c.getLong(0).toInt, c.getLong(1).toInt)
+        val ref = (s until s + l).foldLeft(0L)((h, i) =>
+          (h * TextStats.FpPrime + (payload(i) & 0xff)) % TextStats.FpMod)
+        assert(c.getLong(2) == ref, s"fp mismatch at doc ${r.getLong(0)}")
+      }
+    }
+
+    // the CDC property: prepending bytes re-synchronizes — all but the
+    // first few chunk fingerprints of the shifted payload recur
+    val base = rows.map(r => r.getAs[Array[Byte]]("p")).maxBy(_.length)
+    import spark.implicits._
+    def chunkFps(b: Array[Byte]): Seq[Long] = {
+      val bdf = Seq(Tuple1(b)).toDF("p")
+        .select(graft.functions.HashExprs.binaryCdcChunks(col("p"),
+          Multimodal.CdcK, Multimodal.CdcBoundaryMod, TextStats.FpPrime,
+          TextStats.FpMod, graft.ops.Pipeline.HashModPrime,
+          graft.functions.HashExprs.Mix3).as("cs"))
+      bdf.collect().head.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(2))
+    }
+    val orig = chunkFps(base)
+    val shifted = chunkFps("INSERTED-PREFIX-BYTES ".getBytes("UTF-8") ++ base)
+    assert(orig.size >= 4, "fixture doc must chunk several times")
+    val recurring = orig.toSet.intersect(shifted.toSet).size
+    assert(recurring >= orig.size - 2,
+      s"insertion must re-synchronize: only $recurring of ${orig.size} fps recur")
+  }
+
   test("binary_be_field matches a byte-loop reference, incl. short payloads") {
     val rows = Tables.documents(spark, Sf0001).limit(200)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
