@@ -97,7 +97,7 @@ CHUNKS = {
         doc_chunks chunk_boilerplate bloom_decontaminate dedup_incremental
         content_chunks source_overlap hll_distinct hll_merge cms_topk
         cms_merge jaccard_prefix containment_join mm_features mm_frames
-        mm_header_fields frame_dedup knob_report
+        mm_header_fields mm_content_chunks frame_dedup knob_report
     """,
 }
 

@@ -6,7 +6,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,7 +71,8 @@ private[sources] class JdbcChangeFeedTable(options: CaseInsensitiveStringMap)
               throw new IllegalArgumentException("jdbc_change_feed: url option is required")),
             table = Option(opts.get("table")).getOrElse("changes"),
             startLsn = Option(opts.get("startLsn")).map(_.toLong).getOrElse(0L),
-            numPartitions = Option(opts.get("numPartitions")).map(_.toInt).getOrElse(1))
+            numPartitions = Option(opts.get("numPartitions")).map(_.toInt).getOrElse(1),
+            maxLsnPerTrigger = Option(opts.get("maxLsnPerTrigger")).map(_.toLong))
       }
     }
 }
@@ -87,8 +88,9 @@ private[sources] case class LsnRangePartition(
     url: String, table: String, lo: Long, hi: Long) extends InputPartition
 
 private[sources] class JdbcChangeFeedStream(
-    url: String, table: String, startLsn: Long, numPartitions: Int)
-  extends MicroBatchStream {
+    url: String, table: String, startLsn: Long, numPartitions: Int,
+    maxLsnPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = LsnOffset(startLsn)
 
@@ -97,16 +99,40 @@ private[sources] class JdbcChangeFeedStream(
   /** One max(lsn) poll per trigger — the feed's high-water probe. An
     * empty/absent table keeps the prior position (no regression of the
     * confirmed LSN, ever). */
-  override def latestOffset(): Offset = {
+  private def highWater(): Long = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement()
         .executeQuery(s"SELECT MAX(lsn) FROM $table")
       val hi = if (rs.next()) { val v = rs.getLong(1); if (rs.wasNull()) startLsn else v }
         else startLsn
-      LsnOffset(math.max(hi, startLsn))
+      math.max(hi, startLsn)
     } finally conn.close()
   }
+
+  override def latestOffset(): Offset = LsnOffset(highWater())
+
+  /** Bounded admission (the row-161 backpressure contract on the JDBC
+    * path): with `maxLsnPerTrigger` set, a backlogged change table
+    * drains in bounded (confirmed, confirmed + max] windows instead of
+    * one unbounded catch-up batch — the replay posture a 100 TB feed
+    * needs after downtime. LSNs are dense in the synthesized feed, so an
+    * LSN bound IS a row bound; on a sparse production feed it bounds the
+    * scanned key range, which is the quantity the upstream index prices. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[LsnOffset].lsn
+    val hi = highWater()
+    val bounded = limit match {
+      case m: ReadMaxRows => math.min(hi, lo + m.maxRows())
+      case _ => maxLsnPerTrigger.fold(hi)(m => math.min(hi, lo + m))
+    }
+    LsnOffset(math.max(bounded, lo))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxLsnPerTrigger.fold(ReadLimit.allAvailable())(m => ReadLimit.maxRows(m))
+
+  override def reportLatestOffset(): Offset = LsnOffset(highWater())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LsnOffset].lsn
