@@ -42,7 +42,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dependency.
   */
 object BuildCache {
-  private val FormatVersion = 2
+  // v3: cdc.decoded became a (tbl, kind)-partitioned layout (round 13) —
+  // the version is part of the fingerprint, so pre-partition layouts
+  // invalidate structurally instead of being silently read unpartitioned
+  private val FormatVersion = 3
 
   def root: Option[String] =
     sys.env.get("GRAFT_BUILD_CACHE")
