@@ -1321,23 +1321,36 @@ object Dedup {
     * (floor(1e4·Σdf / n) — one integer division, order-independent
     * sums), ties to the smaller doc_id.
     *
-    * Scale shape: rides the memoized shingle-set frame the whole dedup
-    * family shares; the df table is the shingle_df_hist aggregation
-    * (map-side-combined, count-only rows), the per-doc score one keyed
-    * join + groupBy on (hash, id) pairs, and the global bottom-N is
-    * sort+limit (TakeOrderedAndProject) — the rank window only ever sees
-    * the bounded RarityTopN-row result. */
+    * Scale shape (rep-level since round 13): the score is a pure function
+    * of the shingle SET given the corpus-wide df table, so every member of
+    * an identical-set group ([[repMembers]]) shares one score, and df —
+    * which counts DOCUMENTS containing a shingle — is recovered exactly as
+    * the group-size-weighted rep df (Σ over reps containing h of |G|).
+    * The explode + df join therefore run over DISTINCT shingle sets, not
+    * copies (the doc-level join was the family's one remaining
+    * copy-linear member: 44.5 s min-of-3 at the 5M-doc stress point,
+    * where reps number ~5k). The global bottom-N docs can only come from
+    * the bottom-N groups ordered by best-member key (mean, rep): any
+    * other group is preceded by ≥N group minima, hence by ≥N docs — so
+    * the member expansion is a broadcast of ≤N rep rows, and the rank
+    * window only ever sees the bounded RarityTopN-row result. */
   val RarityTopN = 20L
 
   def docRarity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ex = shingleSets(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    ex.join(dfreq, "h")
-      .groupBy("doc_id")
+    val members = repMembers(spark, dir)
+    val gsz = members.groupBy("rep").agg(count(lit(1)).as("g"))
+    val rex = shingleSets(spark, dir)
+      .join(members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+      .join(gsz.withColumnRenamed("rep", "doc_id"), "doc_id")
+      .select(col("doc_id").as("rep"), col("g"), explode(col("sh")).as("h"))
+    val dfreq = rex.groupBy("h").agg(sum("g").as("df"))
+    val repScore = rex.join(dfreq, "h")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
       .withColumn("mean_df_e4", expr("(10000 * sum_df) div n_shingles"))
+      .orderBy(col("mean_df_e4").asc, col("rep")).limit(RarityTopN.toInt)
+    members.join(broadcast(repScore), "rep")
       .orderBy(col("mean_df_e4").asc, col("doc_id")).limit(RarityTopN.toInt)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("mean_df_e4").asc, col("doc_id"))).cast("long"))
