@@ -24,10 +24,20 @@ object Forwarder {
   /** Same chain over an already-decoded (+cmap) frame — the batch entry
     * feeds the memoized persisted decode through here so fan-out shares it
     * with every other CDC query instead of re-running the JSON path. */
-  def fanoutFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame = {
+  def fanoutFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame =
+    fanoutOver(spark, withMap,
+      Subscription.validated(spark).where(col("routable")))
+
+  /** Fan-out against an explicit (already validated+routable) subscription
+    * frame — the auth-restricted path passes its connect-time-gated subset
+    * so unauthorized legs are never materialized at all (the reference
+    * model: auth runs per connect, the forwarder only ever holds accepted
+    * sessions — src/api/auth.rs:126-224, src/forwarder/mod.rs:55-69). */
+  def fanoutOver(spark: SparkSession, withMap: DataFrame,
+                 subsDf: DataFrame): DataFrame = {
     val changes = HyperRemap.remap(spark, withMap)
       .withColumn("kflag", ChangeFeed.kindFlag)
-    val subs = Subscription.validated(spark).where(col("routable"))
+    val subs = subsDf
       .select("sub_id", "flag", "tbl", "fcol", "fop", "fval")
       .withColumnRenamed("tbl", "sub_tbl")
     // Dispatch on the parsed op: '' means no (or malformed) filter, which

@@ -1557,7 +1557,7 @@ object Dedup {
     * minhash AND simhash are pure functions of the normalized text, so
     * every member pair of two text groups lands in the same agreement
     * bucket with the same (jaccard, hamming) as the rep pair. */
-  private def textGroups(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def textGroups(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"dedup.textGroups:$dir") {
       import org.apache.spark.sql.expressions.Window
       Tables.documents(spark, dir)

@@ -433,14 +433,21 @@ object Ngrams {
     * Plan: the per-pair surprise is precomputed on the SMALL side — the
     * distinct-pair counts frame joins the unigram totals on the head
     * token (both are aggregates, orders of magnitude under the
-    * occurrence frame) — so the dominant bigram-occurrence frame
-    * shuffles exactly once, on (a,b), into a co-partitioned join against
-    * the enriched pair table; joining occurrences to uni directly would
-    * re-shuffle the big frame a second time on the Zipf-skewed head
-    * token. Then a map-side-combined per-doc aggregation → global
-    * TakeOrdered(K) (bounded K rows per partition to the driver) →
-    * broadcast join of the K-row shortlist back to documents for
-    * lang/source. Output is K rows at every corpus size. */
+    * occurrence frame, and both ride the memoized doc-level builds the
+    * PMI/BPE family shares: the corpus totals are identical whether
+    * counted over copies or over distinct texts). The SCORING side is
+    * rep-level (round 13, the doc_rarity contraction): a document's
+    * (n_pairs, sum_s) is a pure function of its normalized text given
+    * the pair table, so the bigram-occurrence explode + (a,b) join run
+    * only over [[Dedup.textGroups]] distinct-text reps — cost tracks
+    * distinct content, not copy count (the doc-level join was 73 s at
+    * the 5M-doc stress point, the family's last copy-linear scorer).
+    * The top-K docs provably come from the top-K text groups ordered by
+    * best-member key (surprise DESC, rep ASC): any other group is
+    * preceded by ≥ K group minima — so the member expansion is a
+    * broadcast of ≤ K rep rows → TakeOrdered(K) → broadcast join back
+    * to documents for lang/source. Output is K rows at every corpus
+    * size. */
   val FluencyTopK = 20
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
@@ -449,14 +456,24 @@ object Ngrams {
       .join(uni.withColumnRenamed("tok", "a"), "a")
       .withColumn("s", expr("CAST(floor(1.0e6 * n_a / n_ab) AS BIGINT)"))
       .select("a", "b", "s")
-    val scored = bigramOccurrences(spark, dir)
+    val tg = Dedup.textGroups(spark, dir)
+    val repBg = Tables.documents(spark, dir)
+      .join(tg.where(col("doc_id") === col("trep")).select("doc_id"), "doc_id")
+      .select(col("doc_id").as("trep"), split(lower(trim(col("text"))), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("trep"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("trep"), col("p.a").as("a"), col("p.b").as("b"))
+    val repScored = repBg
       .join(pairSurprise, Seq("a", "b"))
-      .groupBy("doc_id")
+      .groupBy("trep")
       .agg(count(lit(1)).as("n_pairs"), sum("s").as("sum_s"))
       .withColumn("surprise_e6", expr("sum_s div n_pairs"))
+      .orderBy(col("surprise_e6").desc, col("trep"))
+      .limit(FluencyTopK)
+    tg.join(broadcast(repScored), "trep")
       .orderBy(col("surprise_e6").desc, col("doc_id"))
       .limit(FluencyTopK)
-    scored
       .join(Tables.documents(spark, dir).select("doc_id", "lang", "source"), "doc_id")
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("surprise_e6").desc, col("doc_id"))).cast("long"))

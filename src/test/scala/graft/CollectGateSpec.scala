@@ -10,8 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * SURVEY §5's rule: no `.collect()` in any query path EXCEPT bounded,
   * N-independent aggregates — today the centroid pull NearestCellExpr
   * embeds (which also serves Lloyd training), the 2080-value Gram buffer
-  * behind embed_pca_power, and the ≤ NumQueries×k retrieval lists
-  * ann_agreement intersects. A new collect/toLocalIterator added without
+  * behind embed_pca_power, the ≤ NumQueries×k retrieval lists
+  * ann_agreement intersects, and the seed-bounded connect-time
+  * auth-routed table set behind auth_restrict's partition prune. A new
+  * collect/toLocalIterator added without
   * review is how a distributed operator quietly becomes a driver loop at
   * 100 TB, so the invariant is enforced structurally: every occurrence in
   * main source must carry a `bounded-collect` marker within the five
@@ -38,7 +40,7 @@ class CollectGateSpec extends AnyFunSuite {
   /** The reviewed whitelist size. Adding a legitimate bounded collect
     * means: write the marker comment with the N-independence argument,
     * then bump this constant in the same change. */
-  private val ExpectedSites = 5
+  private val ExpectedSites = 6
 
   private def mainSources: Seq[Path] =
     Files.walk(Paths.get("src/main/scala")).iterator().asScala

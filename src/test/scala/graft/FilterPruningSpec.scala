@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{ChangeFeed, HyperRemap, SpecificFilter}
+import graft.cdc.{ChangeFeed, Forwarder, HyperRemap, SpecificFilter, Subscription}
 
 /** Partition pruning of the routed CDC filter family (round-12 verdict
   * ask #4): the BuildCache persists the decoded change feed PARTITIONED
@@ -110,6 +110,33 @@ class FilterPruningSpec extends SparkSpec {
       assert(scans.nonEmpty)
       val pf = scans.head.partitionFilters.map(_.sql).mkString(" AND ")
       assert(pf.contains("tbl") && pf.contains("swapstats"), pf)
+    }
+  }
+
+  test("auth_restrict gates at connect time and prunes to the accepted route") {
+    val corpus = tempCorpus()
+    // the pre-round-13 shape: full fan-out, unauthorized legs discarded
+    // afterwards — the gate-then-fanout rewrite must emit identical rows
+    val expected = Forwarder.fanout(spark, corpus)
+      .join(broadcast(Subscription.authAllowed(spark)), Seq("sub_id"))
+      .select("sub_id", "lsn", "idx", "base", "kind")
+      .orderBy("sub_id", "lsn", "idx")
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty, "fixture must deliver some authorized rows")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-bc-").toString
+    withCache(root) {
+      val s2 = Tables.tune(spark.newSession())
+      val df = Subscription.authRestrict(s2, corpus)
+      assert(df.collect().map(_.toSeq).toSeq == expected,
+        "gate-then-fanout must equal fanout-then-gate")
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .filter(_.relation.partitionSchema.nonEmpty)
+      assert(scans.nonEmpty,
+        s"no partitioned file scan in plan:\n${df.queryExecution.executedPlan}")
+      val pf = scans.head.partitionFilters.map(_.sql).mkString(" AND ")
+      assert(pf.contains("tbl") && pf.contains("cpustats"),
+        s"PartitionFilters must carry the accepted subscriptions' route: $pf")
     }
   }
 
