@@ -60,3 +60,52 @@ if errors:
     sys.exit(1)
 print(f"SURVEY gate green: {len(rows)} rows, numbering 1..{len(rows)}, "
       f"prose count matches, every non-test row names a key")
+
+# ---- round-14 invariants (round-13 verdict ask #6): prose must track the
+# spec constants and the committed artifacts, by construction -------------
+
+import json
+
+root = pathlib.Path(__file__).parent.parent
+errors2 = []
+
+# 4. collect-site count prose == CollectGateSpec.ExpectedSites
+spec = (root / "src/test/scala/graft/CollectGateSpec.scala").read_text()
+m_spec = re.search(r"ExpectedSites = (\d+)", spec)
+m_prose = re.search(r"site count\s+pinned at (\d+)", survey)
+if not m_spec:
+    errors2.append("CollectGateSpec.ExpectedSites not found")
+elif not m_prose:
+    errors2.append('SURVEY collect-count prose ("site count pinned at N") not found')
+elif m_spec.group(1) != m_prose.group(1):
+    errors2.append(f"SURVEY says collect sites pinned at {m_prose.group(1)}, "
+                   f"CollectGateSpec pins {m_spec.group(1)}")
+
+# 5. crossJoin-site count prose == CrossJoinGateSpec.ExpectedSites (when prose states one)
+xspec_p = root / "src/test/scala/graft/CrossJoinGateSpec.scala"
+if xspec_p.exists():
+    m_xspec = re.search(r"ExpectedSites = (\d+)", xspec_p.read_text())
+    m_xprose = re.search(r"crossJoin sites?\s+pinned at (\d+)", survey)
+    if m_xspec and m_xprose and m_xspec.group(1) != m_xprose.group(1):
+        errors2.append(f"SURVEY says crossJoin sites pinned at {m_xprose.group(1)}, "
+                       f"CrossJoinGateSpec pins {m_xspec.group(1)}")
+
+# 6. the 1000x headline total quoted in SURVEY == the newest committed
+#    1000x stress artifact's total_sec
+arts = sorted(root.glob("BENCH_stress_r*_1000x.json"))
+m_head = re.search(r"1000× headline: (\d+) queries, (\d+) errors, ([\d.]+) s total", survey)
+if arts and m_head:
+    art = json.load(open(arts[-1]))
+    want = (art.get("n_queries"), art.get("n_errors"), art.get("total_sec"))
+    got = (int(m_head.group(1)), int(m_head.group(2)), float(m_head.group(3)))
+    if want != got:
+        errors2.append(f"SURVEY 1000× headline {got} != {arts[-1].name} {want}")
+elif not m_head:
+    errors2.append('SURVEY 1000× headline prose not found')
+
+if errors2:
+    for e in errors2:
+        print(f"SURVEY GATE FAIL: {e}", file=sys.stderr)
+    sys.exit(1)
+print("SURVEY artifact invariants green: collect-count prose == spec constant, "
+      "crossJoin prose (if stated) == spec constant, 1000× headline == committed artifact")

@@ -95,10 +95,22 @@ object Bench {
     // baseline is the per-query MIN across all of them, so a regression
     // masked by comparing only against a slow round n-1 (round-11
     // verdict: ngram_pmi vs round 9) is still flagged.
+    // Round-13 verdict ask #2: a single-sample run compared against
+    // pinned minima manufactured 8 false flags at a UNIFORM 1.52× —
+    // external box load, the third consecutive round of the same class.
+    // So the rule is noise-aware by construction: (a) compute this run's
+    // median per-query inflation vs the baseline (uniform load shows up
+    // here, a plan regression does not move the median of 190 queries),
+    // (b) deflate each wall by that median, (c) flag only if the
+    // DEFLATED wall still regresses by ≥ 1 s AND ≥ 1.5× — i.e. the query
+    // is slower than the rest of its own run says the box was.
+    // median_inflation is carried in the artifact so the adjudication is
+    // on the record; >= 3 interleaved samples (scripts/bench_diff.py)
+    // remain the settle-it-for-good path.
     val prevPaths = sys.env.getOrElse("GRAFT_BENCH_PREV", "BENCH_full_last.json")
       .split(',').map(_.trim).filter(_.nonEmpty)
-    val regressions: Seq[(String, Double, Double)] =
-      if (only.nonEmpty) Seq.empty
+    val (regressions: Seq[(String, Double, Double)], medianInflation: Double) =
+      if (only.nonEmpty) (Seq.empty, 1.0)
       else {
         val prior = scala.collection.mutable.Map.empty[String, Double]
         prevPaths.foreach { p =>
@@ -116,11 +128,20 @@ object Bench {
             }
           } catch { case _: Throwable => () }
         }
-        results.flatMap { case (k, v) =>
+        val ratios = results.flatMap { case (k, v) =>
+          prior.get(k).collect { case old if old >= 0.25 => v / old }
+        }.sorted
+        val medInf =
+          if (ratios.isEmpty) 1.0
+          else ratios(ratios.size / 2)
+        val flagged = results.flatMap { case (k, v) =>
+          val vAdj = v / math.max(1.0, medInf) // only deflate, never inflate
           prior.get(k).collect {
-            case old if v - old >= 1.0 && math.max(v, old) >= 0.25 => (k, old, v)
+            case old if vAdj - old >= 1.0 && vAdj >= 1.5 * old &&
+              math.max(v, old) >= 0.25 => (k, old, v)
           }
         }.sortBy { case (_, old, v) => old - v }.take(8)
+        (flagged, medInf)
       }
     val regs = regressions
       .map { case (k, old, v) => s"""${JsonUtil.q(k)}:{"old":${f(old)},"new":${f(v)}}""" }
@@ -142,7 +163,7 @@ object Bench {
     val nr = nRuns.filter(_._2 > 1)
       .map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"n_runs":$nr,"build_cache":"$cacheState","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"median_inflation":${f(medianInflation)},"regression_rule":"deflate by median inflation vs baseline, then delta>=1s AND ratio>=1.5x","n_runs":$nr,"build_cache":"$cacheState","sf":"$sfDir"}"""
     println(line)
     // Persist the full line too: the driver's artifact has repeatedly
     // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so

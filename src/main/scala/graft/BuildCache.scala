@@ -316,10 +316,17 @@ object BuildCache {
         val fs = hadoopFs(new org.apache.hadoop.fs.Path(r))
         val okP = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val metaP = new org.apache.hadoop.fs.Path(path, "_meta.json")
-        if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
-        else if (fs.exists(okP) && fs.exists(metaP))
+        // A session reading ONLY through this path must still renew the
+        // fingerprint dir's lease, or a sibling session's pruneStale can
+        // delete the files out from under a long-lived reader mid-query
+        // (same liveness contract as throughCache0's hit path).
+        if (spark.catalog.tableExists(tbl)) {
+          touchLease(fs, s"$r/$fp")
+          Some(spark.table(tbl))
+        } else if (fs.exists(okP) && fs.exists(metaP)) {
+          touchLease(fs, s"$r/$fp")
           Some(registerLayout(spark, fs, path, tbl, marker = true))
-        else None
+        } else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -336,7 +343,23 @@ object BuildCache {
   private[graft] def writeLayout(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
       nBuckets: Int, key: String): Boolean = {
-    val partCols = partitionColsFor(key, df)
+    // Hive-style partition dirs do not round-trip empty strings (Spark
+    // reads the "" partition value back as null), and null values land in
+    // __HIVE_DEFAULT_PARTITION__ — either would break the documented
+    // byte-equality between cache-on and cache-off builds if a malformed
+    // wal2json change carried tbl='' or kind=''. Demote such a build to
+    // the unpartitioned layout: correctness (byte-equality) outranks
+    // pruning, and the probe is a one-time cost on the cold build.
+    val partCols = {
+      val want = partitionColsFor(key, df)
+      if (want.isEmpty) want
+      else {
+        import org.apache.spark.sql.functions.col
+        val dirty = df.where(want.map(c =>
+          col(c).isNull || col(c) === "").reduce(_ || _)).limit(1)
+        if (dirty.isEmpty) want else Seq.empty
+      }
+    }
     val bucketCol = if (partCols.nonEmpty) None else bucketColOf(df)
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"$path.tmp-$uniq"

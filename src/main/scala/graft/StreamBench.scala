@@ -61,7 +61,8 @@ object StreamBench {
         s""","n_batches":${r.nBatches},"max_batch_rows":${r.maxBatchRows}""" +
         s""","delivered_rows":${r.deliveredRows},"state_rows":${r.stateRows}""" +
         s""","distinct_entities":${r.distinctEntities}""" +
-        s""","sustained":${r.drainLagMs <= 3 * triggerMs + 5000},"batches":$batches}"""
+        s""","sustained":${r.drainLagMs <= 3 * triggerMs + 5000}""" +
+        s""","e2e_note":"insert attribution is the containing 100 ms pacing slice's commit; e2e_ms can read low by <=1 slice","batches":$batches}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -101,6 +101,7 @@ object Forwarder {
   def cdcLag(spark: SparkSession, dir: String): DataFrame = {
     val perBase = perBaseOffsets(spark, dir)
     val hiWater = perBase.agg(max("max_lsn").as("global_lsn"))
+    // bounded-cross: broadcast 1-row global high-water
     perBase.crossJoin(broadcast(hiWater))
       .withColumn("lag", col("global_lsn") - col("max_lsn"))
       .select("base", "n_changes", "max_lsn", "global_lsn", "lag")
@@ -158,6 +159,80 @@ object Forwarder {
       .select(col("base"), col("uid"), col("lsn").as("last_lsn"),
         col("kind").as("last_kind"), col("n_changes"))
       .orderBy("base", "uid")
+  }
+
+  // ---- cdc_snapshot_inc: incremental state maintenance ≡ full replay ------
+
+  /** Keyed routed view shared by the state/merge family: one row per
+    * change with its entity key, the minimal columns state needs. */
+  private def routedKeyed(spark: SparkSession, dir: String): DataFrame =
+    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+      .withColumn("uid", entityCol)
+      .select("base", "uid", "lsn", "idx", "kind")
+
+  /** LWW state WITH tombstones over a keyed routed frame — the
+    * checkpointable representation: unlike [[snapshotFromDecoded]]'s
+    * report (which drops deleted entities), state must REMEMBER the
+    * delete so a later merge can distinguish "deleted at LSN d" from
+    * "never existed" (wal2json oldkeys semantics survive the
+    * checkpoint). Schema: (base, uid, last_lsn, last_idx, last_kind,
+    * n_changes). One shuffle on (base, uid). */
+  def snapshotState(routed: DataFrame): DataFrame =
+    routed.groupBy("base", "uid")
+      .agg(max(struct(col("lsn"), col("idx"))).as("last"),
+        expr("max_by(kind, struct(lsn, idx))").as("last_kind"),
+        count(lit(1)).as("n_changes"))
+      .select(col("base"), col("uid"), col("last.lsn").as("last_lsn"),
+        col("last.idx").as("last_idx"), col("last_kind"), col("n_changes"))
+
+  /** Merge a checkpointed state (feed ≤ L) with the delta of changes in
+    * (L, L']: each state row re-enters the LWW fold carrying its last
+    * write's (lsn, idx) and its accumulated change count; delta rows
+    * carry weight 1. max_by over (lsn, idx) is associative, so
+    * merge(state(≤L), delta(L,L']) ≡ state(≤L') exactly — the
+    * reference's confirmed-LSN resume (src/cdc/replication.rs:95-282)
+    * applied to STATE rather than offsets. Cost: one shuffle keyed on
+    * (base, uid) over |state| + |delta| rows — at 100 TB this tracks the
+    * delta plus the entity count, never the feed length. */
+  def mergeSnapshotState(state: DataFrame, deltaRouted: DataFrame): DataFrame =
+    state.select(col("base"), col("uid"), col("last_lsn").as("lsn"),
+        col("last_idx").as("idx"), col("last_kind").as("kind"),
+        col("n_changes").as("w"))
+      .unionByName(deltaRouted.select(col("base"), col("uid"), col("lsn"),
+        col("idx"), col("kind"), lit(1L).as("w")))
+      .groupBy("base", "uid")
+      .agg(max(struct(col("lsn"), col("idx"))).as("last"),
+        expr("max_by(kind, struct(lsn, idx))").as("last_kind"),
+        sum("w").as("n_changes"))
+      .select(col("base"), col("uid"), col("last.lsn").as("last_lsn"),
+        col("last.idx").as("last_idx"), col("last_kind"), col("n_changes"))
+
+  /** Drop tombstones and order — turns a state frame into the
+    * [[cdcSnapshot]] report shape. */
+  def stateToSnapshot(state: DataFrame): DataFrame =
+    state.where(col("last_kind") =!= "delete")
+      .select("base", "uid", "last_lsn", "last_kind", "n_changes")
+      .orderBy("base", "uid")
+
+  /** Incremental snapshot maintenance, proven against the full replay:
+    * checkpoint the state at L = 3/5 of the feed's high-water LSN
+    * (integer floor — Spark `div` ≡ DuckDB `//`), merge the (L, max]
+    * delta, and emit the snapshot report. The ORACLE for this key is
+    * [[cdcSnapshotSql]] — the full replay — so the oracle hash match IS
+    * the equivalence proof merge(state(≤L), delta) ≡ replay(≤max).
+    * A transaction's statements share one commit LSN, so an LSN split
+    * never cuts a transaction in half. IncrementalSnapshotSpec widens
+    * the proof to split points {0, 30, 60, 90, 100}% including both
+    * degenerate ends (empty state / empty delta). */
+  def cdcSnapshotIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val routed = routedKeyed(spark, dir)
+    val ckpt = routed.agg(expr("max(lsn) * 3 div 5").as("ckpt_lsn"))
+    // bounded-cross: 1-row aggregate broadcast, N-independent
+    val keyed = routed.crossJoin(broadcast(ckpt))
+    val state = snapshotState(keyed.where(col("lsn") <= col("ckpt_lsn"))
+      .drop("ckpt_lsn"))
+    val delta = keyed.where(col("lsn") > col("ckpt_lsn")).drop("ckpt_lsn")
+    stateToSnapshot(mergeSnapshotState(state, delta))
   }
 
   // ---- oracle -------------------------------------------------------------

@@ -910,6 +910,7 @@ object Dedup {
       .join(contrib.groupBy("rep").agg(sum("nsz").as("cd")), Seq("rep"), "left")
       .withColumn("d", col("g") - 1 + coalesce(col("cd"), lit(0L)))
       .agg(coalesce(sum(expr("g * (d * (d - 1) div 2)")), lit(0L)).as("w"))
+    // bounded-cross: four 1-row aggregates
     triMass.crossJoin(edgeMass).crossJoin(withinMass).crossJoin(wedges)
       .withColumn("tt", col("t1") + col("t2") + col("t3"))
       .select(
@@ -1491,6 +1492,7 @@ object Dedup {
     val taus = SweepTausE4.map { tau =>
       // both sides are 1-row aggregates; the hint keeps the plan sweep's
       // zero-CartesianProduct invariant
+      // bounded-cross: 1-row x 1-row
       crossAgg.crossJoin(broadcast(repAgg))
         .select(lit(tau).as("tau_e4"),
           (col("wp") + col(s"cp_$tau")).as("n_pairs"),

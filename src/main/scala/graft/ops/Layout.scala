@@ -78,6 +78,7 @@ object Layout {
         "y_lo + greatest((least(max_day - min_day, 255) + 1) div 8 - 1, 0)"))
     // fact-scale frame stays 4 longs wide; the predicate bounds re-join
     // the BUCKET-scale zone-map frame (≤2·ZBuckets rows), not this one
+    // bounded-cross: broadcast 1-row layout origin
     val keyed = ev.crossJoin(broadcast(lo.select("min_day")))
       .withColumn("y", least(col("day") - col("min_day"), lit(255L)))
       .withColumn("z", HashExprs.zInterleave(col("x"), col("y")))
@@ -105,6 +106,7 @@ object Layout {
     assigned.groupBy("layout", "f")
       .agg(min("x").as("fx_lo"), max("x").as("fx_hi"),
         min("y").as("fy_lo"), max("y").as("fy_hi"))
+      // bounded-cross: broadcast 1-row zone-map bounds
       .crossJoin(broadcast(lo.select("x_lo", "x_hi", "y_lo", "y_hi")))
       .groupBy("layout")
       .agg(

@@ -74,6 +74,7 @@ object Ngrams {
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "tok")
+      // bounded-cross: broadcast 1-row doc count
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * floor(lit(1000000.0) * col("n_docs") / col("df")).cast("long"))
@@ -118,8 +119,10 @@ object Ngrams {
     // an unpartitioned window here would drag each half's whole
     // vocabulary through a single partition
     val tots = a.agg(sum("n_a").as("tot_a"))
+      // bounded-cross: 1-row x 1-row totals
       .crossJoin(b.agg(sum("n_b").as("tot_b")))
     a.join(b, Seq("tok"), "full_outer")
+      // bounded-cross: broadcast 1-row totals
       .crossJoin(broadcast(tots))
       .select(col("tok"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -379,6 +382,7 @@ object Ngrams {
       .where(col("n_ab") >= MinPairCount)
       .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), "a")
       .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), "b")
+      // bounded-cross: broadcast 1-row corpus total
       .crossJoin(broadcast(tot))
       .withColumn("lift_e6", expr(
         "CAST(floor(1.0e6 * n_ab * n_big / n_a / n_b) AS BIGINT)"))
@@ -577,6 +581,7 @@ object Ngrams {
       val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
         .select(col("pair"), expr("replace(pair, ' ', '')").as("merged"), col("freq"))
         .localCheckpoint(true)
+      // bounded-cross: broadcast 1-row best-pair row
       words = words.crossJoin(broadcast(
           best.select(col("pair").as("bp"), col("merged").as("bm"))))
         .select(col("tok"), expr(

@@ -759,8 +759,10 @@ object Pipeline {
     val perSplit = keyed.groupBy("split")
       .agg(count(lit(1)).as("n_docs"), countDistinct("ckey").as("n_keys"))
     val leaked = perSplit.agg(sum("n_keys").as("sum_keys"))
+      // bounded-cross: both sides 1-row aggregates
       .crossJoin(keyed.agg(countDistinct("ckey").as("tot_keys")))
       .select((col("sum_keys") - col("tot_keys")).as("leaked_keys"))
+    // bounded-cross: <=3 split rows x broadcast 1-row leak count
     perSplit.crossJoin(broadcast(leaked))
       .select("split", "n_docs", "n_keys", "leaked_keys")
       .orderBy("split")

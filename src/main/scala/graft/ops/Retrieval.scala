@@ -80,6 +80,7 @@ object Retrieval {
         .where(col("doc_id") =!= col("qid"))
         .join(dfr, Seq("tok"))
         .join(dl, Seq("doc_id"))
+        // bounded-cross: broadcast 1-row corpus stats
         .crossJoin(broadcast(stats))
         .withColumn("c", expr(BmContribExpr))
         .groupBy("qid", "doc_id")
@@ -209,6 +210,7 @@ object Retrieval {
       sum(when(col("source") === DsirTarget, col("tf")).otherwise(0L)).as("tgt_n"),
       sum(when(col("source") =!= DsirTarget, col("tf")).otherwise(0L)).as("raw_n"))
     val tots = agg.agg(sum("tgt_n").as("tgt_tot"), sum("raw_n").as("raw_tot"))
+    // bounded-cross: broadcast 1-row totals
     val lift = agg.crossJoin(broadcast(tots))
       .withColumn("lift_e6", expr(
         s"CAST(floor(1.0e6 * (tgt_n + 1) * (raw_tot + $DsirBuckets)" +

@@ -170,6 +170,7 @@ object Similarity {
     val v = vectors(spark, dir)
     val q = v.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("qn2"))
+    // bounded-cross: broadcast query table, <= NumQueries rows (N-independent seed set)
     v.crossJoin(broadcast(q))
       .where(col("qid") =!= col("vec_id"))
       .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
@@ -694,6 +695,7 @@ object Similarity {
     val v = vectors(spark, dir)
     val seeds = trainedCentroidsIter(spark, dir, iters)
     v.select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+      // bounded-cross: broadcast centroid table, <= NumCells rows
       .crossJoin(broadcast(seeds))
       .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
       .groupBy("avid").agg(max("cos").as("best"))
@@ -735,6 +737,7 @@ object Similarity {
       val top1 = nearestCell(v, seeds).withColumn("rnk", lit(1))
       val queryRanks = v.where(col("vec_id") < NumQueries)
         .select(col("vec_id").as("avid"), col("qv").as("av"), col("n2").as("an2"))
+        // bounded-cross: broadcast centroid table, <= NumCells rows
         .crossJoin(broadcast(seeds))
         .withColumn("cos", cosine(dot(col("av"), col("sv")), col("an2"), col("sn2")))
         .withColumn("rnk", row_number().over(
@@ -841,6 +844,7 @@ object Similarity {
     val q = v.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("qv").as("qa"), col("n2").as("qn2"))
+    // bounded-cross: broadcast query table, <= NumQueries rows
     v.crossJoin(broadcast(q))
       .where(col("qid") =!= col("vec_id"))
       .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))
@@ -1949,6 +1953,7 @@ object Similarity {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
     val qs = base.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    // bounded-cross: broadcast query table, <= NumQueries rows
     base.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("d", l2sq(col("qv"), col("qqv")))
@@ -2656,6 +2661,7 @@ object Similarity {
       .select(col("clabel"), transform(col("pc"), x => x("cq")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
       .where(col("cn2") > 0)
+    // bounded-cross: broadcast per-label centroids, <= |labels| rows
     val scored = v.crossJoin(broadcast(cents))
       .withColumn("cos_e6", cosE6(cosine(dot(col("qv"), col("cv")), col("n2"), col("cn2"))))
     val perVec = scored.groupBy("vec_id", "label")
@@ -3301,6 +3307,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .where(col("mrnk") === 1)
       .select(col("qid"), col("vec_id").as("neg_id"), cosE6(col("cos")).as("neg_cos_e6"))
+    // bounded-cross: broadcast query table, <= NumQueries rows
     val exact = v.crossJoin(broadcast(q))
       .where(col("qid") =!= col("vec_id") && col("label") =!= col("qlabel"))
       .withColumn("cos", cosine(dot(col("qa"), col("qv")), col("qn2"), col("n2")))

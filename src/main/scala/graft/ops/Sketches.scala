@@ -288,6 +288,7 @@ object Sketches {
     // THE merge: bucket-wise max of the per-group registers
     val mergedRegs = regs.groupBy("bucket").agg(max("rho_max").as("rho_max"))
     val merged = estimate(mergedRegs, lit("ALL"))
+      // bounded-cross: 1-row merged estimate x 1-row exact count
       .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
     perType.unionByName(merged)
       .select(col("scope"), col("n_exact"), col("hll_est"),

@@ -462,6 +462,7 @@ object Queries {
     val ev = Tables.events(spark, dir)
       .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
     val hi = ev.agg(max("es").as("hi_es"))
+    // bounded-cross: broadcast 1-row high-water timestamp
     ev.crossJoin(broadcast(hi))
       .withColumn("age_days", expr("(hi_es - es) div 86400"))
       .withColumn("w", expr(

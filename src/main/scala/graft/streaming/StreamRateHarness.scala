@@ -33,6 +33,16 @@ object StreamRateHarness {
   case class BatchStat(batchId: Long, rows: Long, wallMs: Long,
     e2eMs: Long, backlogRows: Long)
 
+  /** Per-batch facts recorded SYNCHRONOUSLY inside foreachBatch (the
+    * batch's own execution path), unlike [[BatchStat]] which rides the
+    * async StreamingQueryListener bus. Listener events are delivered
+    * best-effort and can still be in flight when the query stops — under
+    * full-suite load StreamRateSpec observed 2 recorded events for a run
+    * that provably executed ≥4 batches (round-13 verdict #1). Correctness
+    * assertions (admission bound, batch count, drain) must read THESE;
+    * the listener stats remain for latency/backlog reporting only. */
+  case class SyncBatch(batchId: Long, rows: Long, minLsn: Long, maxLsn: Long)
+
   case class RateReport(
     nMsgs: Long,
     generatorRate: Long,
@@ -46,7 +56,8 @@ object StreamRateHarness {
     deliveredRows: Long,
     stateRows: Long,
     distinctEntities: Long,
-    batches: Seq[BatchStat])
+    batches: Seq[BatchStat],
+    syncBatches: Seq[SyncBatch])
 
   private def exec(url: String, sql: String): Unit = {
     val c = DriverManager.getConnection(url)
@@ -122,7 +133,14 @@ object StreamRateHarness {
           val end = try p.sources(0).endOffset.trim.toLong catch { case _: Throwable => -1L }
           confirmed = math.max(confirmed, end)
           val now = System.nanoTime()
-          // latency: completion now vs insert time of the batch's newest row
+          // latency: completion now vs insert time of the batch's newest
+          // row. insertTimes maps each 100 ms pacing slice's LAST lsn to
+          // the slice's single atomic commit time, so ceilingEntry(end)
+          // is the slice CONTAINING end and its value is the exact commit
+          // instant of end's insert — except when the stream polls
+          // between a slice's executeBatch and its insertTimes.put, where
+          // the attribution can land one slice late and bias e2e_ms low
+          // by ≤1 slice (100 ms); STREAM_BENCH artifacts carry this note.
           val ins = Option(insertTimes.ceilingEntry(end)).map(_.getValue)
             .orElse(Option(insertTimes.lastEntry()).map(_.getValue))
           val e2e = ins.map(t => (now - t) / 1000000L).getOrElse(-1L)
@@ -143,7 +161,15 @@ object StreamRateHarness {
         .map(_.getName).filter(_.startsWith("state_"))
         .map(_.stripPrefix("state_").toLong).sorted.lastOption
     }
+    // batchId → synchronous facts; keyed so an exactly-once replay of a
+    // batch overwrites its own record instead of double-counting
+    val syncStats = new ConcurrentSkipListMap[Long, SyncBatch]()
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val agg = batch.agg(count(lit(1)), min(col("lsn")), max(col("lsn")))
+        .head() // bounded-collect: 1-row aggregate, N-independent
+      if (agg.getLong(0) > 0L)
+        syncStats.put(batchId,
+          SyncBatch(batchId, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
       Forwarder.fanoutFromDecoded(spark, batch)
         .write.mode("overwrite").parquet(s"$dlv/batch_$batchId")
       val delta = HyperRemap.remap(spark, batch)
@@ -182,20 +208,29 @@ object StreamRateHarness {
       .start()
 
     generator.start()
-    // run until the generator finished AND the stream drained the feed
+    // run until the generator finished AND the stream drained the feed.
+    // Drain is judged on the SYNCHRONOUS per-batch records: the listener
+    // `confirmed` watermark rides an async event bus and can lag the
+    // actual execution under load (the round-13 flake class).
+    def confirmedSync: Long =
+      Option(syncStats.lastEntry()).map(_.getValue.maxLsn).getOrElse(-1L)
     val deadline = System.nanoTime() +
       math.max(120L, 20L * msgs.length / math.max(1L, ratePerSec)) * 1000000000L
-    while ((generatorDoneAt == 0L || confirmed < maxLsn) &&
+    while ((generatorDoneAt == 0L || confirmedSync < maxLsn) &&
       System.nanoTime() < deadline) Thread.sleep(100)
-    val drained = confirmed >= maxLsn
+    val drained = confirmedSync >= maxLsn
     val streamDoneAt = System.nanoTime()
     q.stop(); q.awaitTermination()
     spark.streams.removeListener(listener)
 
-    require(drained, s"stream failed to drain: confirmed $confirmed < $maxLsn")
+    require(drained, s"stream failed to drain: confirmed $confirmedSync < $maxLsn")
     val batchStats = {
       import scala.jdk.CollectionConverters._
       stats.asScala.toSeq.sortBy(_.batchId)
+    }
+    val syncBatchSeq = {
+      import scala.jdk.CollectionConverters._
+      syncStats.values().asScala.toSeq.sortBy(_.batchId)
     }
     val delivered = spark.read.parquet(s"$dlv/batch_*").count()
     val stateDf = spark.read.parquet(s"$snap/state_${latestStateId().get}")
@@ -213,7 +248,9 @@ object StreamRateHarness {
       .select("base", "uid").distinct().count()
     val genWallMs = (generatorDoneAt - genT0) / 1000000L
     val streamWallMs = (streamDoneAt - genT0) / 1000000L
-    val totalRows = batchStats.map(_.rows).sum
+    // throughput/count facts come from the synchronous records; the
+    // listener stats only contribute the latency/backlog attribution
+    val totalRows = syncBatchSeq.map(_.rows).sum
     RateReport(
       nMsgs = msgs.length.toLong,
       generatorRate = ratePerSec,
@@ -222,11 +259,12 @@ object StreamRateHarness {
       drainLagMs = math.max(0L, streamWallMs - genWallMs),
       sustainedRowsPerSec = 1000.0 * totalRows / math.max(1L, streamWallMs),
       maxBacklogRows = (0L +: batchStats.map(_.backlogRows)).max,
-      nBatches = batchStats.size,
-      maxBatchRows = (0L +: batchStats.map(_.rows)).max,
+      nBatches = syncBatchSeq.size,
+      maxBatchRows = (0L +: syncBatchSeq.map(_.rows)).max,
       deliveredRows = delivered,
       stateRows = stateRows,
       distinctEntities = entities,
-      batches = batchStats)
+      batches = batchStats,
+      syncBatches = syncBatchSeq)
   }
 }
