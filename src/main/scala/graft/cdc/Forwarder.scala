@@ -164,8 +164,10 @@ object Forwarder {
   // ---- cdc_snapshot_inc: incremental state maintenance ≡ full replay ------
 
   /** Keyed routed view shared by the state/merge family: one row per
-    * change with its entity key, the minimal columns state needs. */
-  private def routedKeyed(spark: SparkSession, dir: String): DataFrame =
+    * change with its entity key, the minimal columns state needs.
+    * Public: IncMaintBench measures checkpoint/merge walls over the
+    * exact frame the registered query uses. */
+  def routedKeyed(spark: SparkSession, dir: String): DataFrame =
     HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
       .withColumn("uid", entityCol)
       .select("base", "uid", "lsn", "idx", "kind")
