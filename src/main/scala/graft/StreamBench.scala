@@ -30,6 +30,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generator's message set is a config-sized driver collect
+      // (GRAFT_STREAM_MSGS wal2json docs); saturation sweeps at 100k+/s
+      // need ~1.2M docs (~2.4 GiB), above the 1 GiB default cap
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Knobs.noteDir(sfDir)
@@ -43,8 +47,12 @@ object StreamBench {
     val msgs = graft.cdc.ChangeFeed.messages(spark, sfDir)
       .orderBy("lsn").limit(nMsgs).collect()
 
+    // GRAFT_STREAM_PRELOAD=true: fill the change table unpaced BEFORE the
+    // stream starts — measures pure consumer drain capacity, used to
+    // attribute the composed knee to a stage (ingest vs consumer)
+    val preload = sys.env.get("GRAFT_STREAM_PRELOAD").exists(_.toBoolean)
     val r = StreamRateHarness.run(spark, msgs, rate, maxPerTrigger, triggerMs,
-      numPartitions = math.max(2, cpus.toInt / 4))
+      numPartitions = math.max(2, cpus.toInt / 4), preload = preload)
 
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val batches = r.batches.map(b =>
@@ -61,6 +69,7 @@ object StreamBench {
         s""","n_batches":${r.nBatches},"max_batch_rows":${r.maxBatchRows}""" +
         s""","delivered_rows":${r.deliveredRows},"state_rows":${r.stateRows}""" +
         s""","distinct_entities":${r.distinctEntities}""" +
+        s""","preload":$preload""" +
         s""","sustained":${r.drainLagMs <= 3 * triggerMs + 5000}""" +
         s""","e2e_note":"insert attribution is the containing 100 ms pacing slice's commit; e2e_ms can read low by <=1 slice","batches":$batches}"""
     println(line)

@@ -69,9 +69,17 @@ object StreamRateHarness {
     * `triggerMs` processing-time trigger; return the measured report.
     * The caller supplies messages (bounded — this is a bench driver, not
     * a query path). */
+  /** `preload = true` measures CONSUMER drain capacity instead of the
+    * composed end-to-end rate: the generator inserts the whole message
+    * set unpaced BEFORE the stream starts (ratePerSec only sizes its
+    * commit slices), so streamWallMs/sustainedRowsPerSec price the
+    * poll → decode → remap → fan-out + snapshot path alone. Used to
+    * attribute the saturation knee to a stage: if the composed run's
+    * achieved generator rate is below this, the ingest write path is
+    * the bottleneck, not the stream. */
   def run(spark: SparkSession, msgsIn: Array[Row], ratePerSec: Long,
       maxLsnPerTrigger: Long, triggerMs: Long,
-      numPartitions: Int = 4): RateReport = {
+      numPartitions: Int = 4, preload: Boolean = false): RateReport = {
     require(msgsIn.nonEmpty, "no messages to stream")
     // Re-key to a DENSE 1..N outbox sequence (order-preserving): the
     // synthesized feed uses event_id as lsn — unique but sparse at
@@ -114,10 +122,13 @@ object StreamRateHarness {
           tick += 1
           // pace to the target rate (sleep to the tick's schedule; a
           // slow DB naturally degrades the achieved rate, which the
-          // report exposes via generatorWallMs)
-          val due = genT0 + tick * 100L * 1000000L
-          val wait = (due - System.nanoTime()) / 1000000L
-          if (wait > 0) Thread.sleep(wait)
+          // report exposes via generatorWallMs); preload mode never
+          // sleeps — it fills the table at the DB's own max rate
+          if (!preload) {
+            val due = genT0 + tick * 100L * 1000000L
+            val wait = (due - System.nanoTime()) / 1000000L
+            if (wait > 0) Thread.sleep(wait)
+          }
         }
       } finally { c.close(); generatorDoneAt = System.nanoTime() }
     }, "stream-bench-generator")
@@ -194,6 +205,11 @@ object StreamRateHarness {
       merged.write.mode("overwrite").parquet(s"$snap/state_$batchId")
     }
 
+    // preload mode: the whole backlog is in the table before the stream
+    // sees its first trigger, so the stream wall prices the consumer path
+    if (preload) { generator.start(); generator.join() }
+    val streamT0 = System.nanoTime()
+
     val raw = spark.readStream
       .format("graft.sources.JdbcChangeFeed")
       .option("url", url).option("table", "changes")
@@ -207,7 +223,7 @@ object StreamRateHarness {
       .foreachBatch(applyBatch _)
       .start()
 
-    generator.start()
+    if (!preload) generator.start()
     // run until the generator finished AND the stream drained the feed.
     // Drain is judged on the SYNCHRONOUS per-batch records: the listener
     // `confirmed` watermark rides an async event bus and can lag the
@@ -247,7 +263,10 @@ object StreamRateHarness {
       .withColumn("uid", Forwarder.entityCol)
       .select("base", "uid").distinct().count()
     val genWallMs = (generatorDoneAt - genT0) / 1000000L
-    val streamWallMs = (streamDoneAt - genT0) / 1000000L
+    // composed mode: wall from the first insert (gen + stream overlap);
+    // preload mode: wall from stream start — the pure consumer price
+    val streamWallMs =
+      (streamDoneAt - (if (preload) streamT0 else genT0)) / 1000000L
     // throughput/count facts come from the synchronous records; the
     // listener stats only contribute the latency/backlog attribution
     val totalRows = syncBatchSeq.map(_.rows).sum
@@ -256,7 +275,8 @@ object StreamRateHarness {
       generatorRate = ratePerSec,
       generatorWallMs = genWallMs,
       streamWallMs = streamWallMs,
-      drainLagMs = math.max(0L, streamWallMs - genWallMs),
+      drainLagMs =
+        if (preload) 0L else math.max(0L, streamWallMs - genWallMs),
       sustainedRowsPerSec = 1000.0 * totalRows / math.max(1L, streamWallMs),
       maxBacklogRows = (0L +: batchStats.map(_.backlogRows)).max,
       nBatches = syncBatchSeq.size,
