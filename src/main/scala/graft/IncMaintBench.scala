@@ -48,9 +48,14 @@ object IncMaintBench {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    def resultHash(df: DataFrame): Long =
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum("h")).head().getLong(0)
+    // order-insensitive multiset hash: exact decimal sum of per-row
+    // xxhash64 (additive across a disjoint union — closed + new == full —
+    // and wide enough that 10^20 rows cannot overflow DECIMAL(38,0))
+    def resultHash(df: DataFrame): java.math.BigDecimal =
+      df.select(xxhash64(struct(df.columns.map(col): _*))
+          .cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum("h"), lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
 
     val routed = Forwarder.routedKeyed(spark, sfDir)
     val (bounds, feedScanSec) = timed {
@@ -65,6 +70,17 @@ object IncMaintBench {
     }
 
     def f2(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // scd2 family: full replay once; per point the checkpoint ships the
+    // IMMUTABLE closed set + 1-row-per-entity cursor; the merge produces
+    // only the new rows, and the additive row-hash certifies
+    // closed ∪ new ≡ replay without ever re-reading the closed set into
+    // a sort or join (sum of per-row hashes is multiset-additive)
+    val routedNn = routed.where(col("uid").isNotNull)
+    val (scd2FullHash, scd2FullSec) = timed {
+      resultHash(Forwarder.scd2Closed(routedNn).unionByName(
+        Forwarder.scd2New(Forwarder.scd2Cursor(routedNn), routedNn.limit(0))))
+    }
+
     val points = fracs.map { f =>
       val l = hi - math.max(1L, ((hi - lo) * f).toLong)
       val statePath = s"$work/state_$f"
@@ -86,14 +102,37 @@ object IncMaintBench {
         resultHash(Forwarder.stateToSnapshot(
           Forwarder.mergeSnapshotState(state, delta)))
       }
+      // scd2: checkpoint = closed parquet (hashed once at write, its rows
+      // never move again) + cursor parquet; merge = new rows only
+      val pre = routedNn.where(col("lsn") <= l)
+      val deltaNn = delta.where(col("uid").isNotNull)
+      val closedPath = s"$work/scd2_closed_$f"
+      val cursorPath = s"$work/scd2_cursor_$f"
+      val (_, scd2CkptSec) = timed {
+        Forwarder.scd2Closed(pre).write.mode("overwrite").parquet(closedPath)
+        Forwarder.scd2Cursor(pre).write.mode("overwrite").parquet(cursorPath)
+      }
+      val closedDf = spark.read.parquet(closedPath)
+      val cursorDf = spark.read.parquet(cursorPath)
+      val cursorRows = cursorDf.count()
+      val (newHash, scd2IncSec) = timed {
+        resultHash(Forwarder.scd2New(cursorDf, deltaNn))
+      }
+      val (closedHash, closedHashSec) = timed { resultHash(closedDf) }
       s"""{"frac":$f,"split_lsn":$l,"state_rows":$stateRows,"delta_rows":$deltaRows""" +
         s""","ckpt_build_sec":${f2(ckptSec)},"delta_write_sec":${f2(deltaWriteSec)}""" +
         s""","inc_merge_sec":${f2(incSec)},"speedup_vs_replay":${f2(fullSec / incSec)}""" +
-        s""","matches_replay":${incHash == fullHash}}"""
+        s""","matches_replay":${incHash.compareTo(fullHash) == 0}""" +
+        s""","scd2_cursor_rows":$cursorRows,"scd2_ckpt_build_sec":${f2(scd2CkptSec)}""" +
+        s""","scd2_inc_merge_sec":${f2(scd2IncSec)}""" +
+        s""","scd2_closed_hash_sec":${f2(closedHashSec)}""" +
+        s""","scd2_speedup_vs_replay":${f2(scd2FullSec / scd2IncSec)}""" +
+        s""","scd2_matches_replay":${closedHash.add(newHash).compareTo(scd2FullHash) == 0}}"""
     }
     val line =
       s"""{"metric":"inc_maintenance","unit":"sec","sf":"$sfDir","feed_rows":$feedRows""" +
         s""","feed_scan_sec":${f2(feedScanSec)},"full_replay_sec":${f2(fullSec)}""" +
+        s""","scd2_full_replay_sec":${f2(scd2FullSec)}""" +
         s""","points":${points.mkString("[", ",", "]")}}"""
     println(line)
     try java.nio.file.Files.writeString(

@@ -339,6 +339,105 @@ object Forwarder {
       .orderBy("base", "uid", "version")
   }
 
+  // ---- cdc_scd2_inc: incremental SCD2 maintenance ≡ full replay -----------
+
+  /** Incremental SCD2 history maintenance, proven against the full
+    * replay (the row-209 contract applied to the OTHER standard CDC
+    * consumer): split the feed at L = 3/5 of the high-water LSN, then
+    *
+    *  - CLOSED versions from the pre-L history are IMMUTABLE — a version
+    *    whose next change is also ≤ L can never be touched again
+    *    (append-only at 100 TB: the checkpoint ships them verbatim);
+    *  - each entity's checkpoint CURSOR is 1 row: (version count, last
+    *    change's lsn/idx/kind). The OPEN version, if any, is derivable
+    *    from it (an entity is open iff its last change is a non-delete);
+    *  - the merge closes an open version at its entity's FIRST delta
+    *    change (an LSN split never cuts a transaction, so "first" is
+    *    well-defined by (lsn, idx)), numbers delta versions from the
+    *    cursor's count, and leaves untouched entities' open versions
+    *    open.
+    *
+    * The ORACLE is [[cdcScd2Sql]] — the full replay — so the hash match
+    * proves closed(≤L) ∪ close(open(≤L), delta) ∪ versions(delta)
+    * ≡ scd2(≤ hi). Merge cost tracks |cursor| + |delta| (the closed set
+    * is a pass-through write, never re-sorted or re-joined);
+    * IncrementalSnapshotSpec's scd2 test widens the proof across split
+    * points including both degenerate ends. */
+  def cdcScd2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = routedKeyed(spark, dir).where(col("uid").isNotNull)
+    val ckpt = keyed.agg(expr("max(lsn) * 3 div 5").as("ckpt_lsn"))
+    // bounded-cross: 1-row aggregate broadcast, N-independent
+    val withL = keyed.crossJoin(broadcast(ckpt))
+    val pre = withL.where(col("lsn") <= col("ckpt_lsn")).drop("ckpt_lsn")
+    val delta = withL.where(col("lsn") > col("ckpt_lsn")).drop("ckpt_lsn")
+    scd2Merged(pre, delta)
+  }
+
+  private def perEntW = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy("base", "uid").orderBy("lsn", "idx")
+  }
+
+  /** Immutable closed versions of the pre-L history (next change exists
+    * within pre): at 100 TB these ship with the checkpoint verbatim,
+    * append-only — the merge never re-reads or re-sorts them. */
+  def scd2Closed(pre: DataFrame): DataFrame =
+    pre.withColumn("nxt", lead(col("lsn"), 1).over(perEntW))
+      .where(col("kind") =!= "delete")
+      .withColumn("version", row_number().over(perEntW).cast("long"))
+      .where(col("nxt").isNotNull)
+      .select(col("base"), col("uid"), col("version"),
+        col("lsn").as("valid_from"), col("nxt").as("valid_to"),
+        lit(0L).as("is_current"), col("kind"))
+
+  /** 1 row per pre entity: non-delete version count + last change (the
+    * open version, if any, is derivable: open iff last_kind ≠ delete). */
+  def scd2Cursor(pre: DataFrame): DataFrame =
+    pre.groupBy("base", "uid")
+      .agg(max(struct(col("lsn"), col("idx"))).as("last"),
+        expr("max_by(kind, struct(lsn, idx))").as("last_kind"),
+        sum(when(col("kind") =!= "delete", 1L).otherwise(0L)).as("n_versions"))
+      .select(col("base"), col("uid"), col("last.lsn").as("last_lsn"),
+        col("last_kind"), col("n_versions"))
+
+  /** The rows the merge PRODUCES: pre-L open versions resolved against
+    * the delta (closed at their entity's first delta change, or kept
+    * open), plus the delta's own versions numbered from the cursor.
+    * Cost tracks |cursor| + |delta| only. */
+  def scd2New(cursor: DataFrame, delta: DataFrame): DataFrame = {
+    val firstDelta = delta.groupBy("base", "uid")
+      .agg(min(struct(col("lsn"), col("idx"))).as("first"))
+      .select(col("base"), col("uid"), col("first.lsn").as("first_lsn"))
+    val openResolved = cursor.where(col("last_kind") =!= "delete")
+      .join(firstDelta, Seq("base", "uid"), "left")
+      .select(col("base"), col("uid"), col("n_versions").as("version"),
+        col("last_lsn").as("valid_from"),
+        coalesce(col("first_lsn"), lit(-1L)).as("valid_to"),
+        when(col("first_lsn").isNull, 1L).otherwise(0L).as("is_current"),
+        col("last_kind").as("kind"))
+    val deltaV = delta
+      .withColumn("nxt", lead(col("lsn"), 1).over(perEntW))
+      .where(col("kind") =!= "delete")
+      .withColumn("dver", row_number().over(perEntW).cast("long"))
+      .join(cursor.select(col("base"), col("uid"),
+        col("n_versions").as("base_ver")), Seq("base", "uid"), "left")
+      .select(col("base"), col("uid"),
+        (col("dver") + coalesce(col("base_ver"), lit(0L))).as("version"),
+        col("lsn").as("valid_from"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
+        col("kind"))
+    openResolved.unionByName(deltaV)
+  }
+
+  /** The checkpoint+merge plan over explicit pre/delta frames (both in
+    * [[routedKeyed]] shape, uid non-null) — shared by the registered
+    * query and IncrementalSnapshotSpec's multi-split proof. */
+  def scd2Merged(pre: DataFrame, delta: DataFrame): DataFrame =
+    scd2Closed(pre).unionByName(scd2New(scd2Cursor(pre), delta))
+      .orderBy("base", "uid", "version")
+
   val cdcScd2Sql: String =
     s"""WITH ${ChangeFeed.FeedCte},
        |${HyperRemap.RoutedCte},

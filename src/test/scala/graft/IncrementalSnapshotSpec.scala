@@ -62,6 +62,35 @@ class IncrementalSnapshotSpec extends SparkSpec {
     assert(report.count() == state.count() - tomb)
   }
 
+  test("scd2: closed(<=L) ∪ close(open, delta) ∪ versions(delta) equals full replay at every split") {
+    val r = routed().where(org.apache.spark.sql.functions.col("uid").isNotNull).cache()
+    try {
+      val full = Forwarder.scd2Merged(r, r.limit(0))
+      val fullCnt = full.count()
+      assert(fullCnt > 0)
+      val maxLsn = r.agg(max("lsn")).head().getLong(0)
+      val minLsn = r.agg(min("lsn")).head().getLong(0)
+      val splits = Seq(minLsn - 1, // cursor empty, delta = whole feed
+        maxLsn * 3 / 10, maxLsn * 3 / 5, maxLsn * 9 / 10,
+        maxLsn) // delta empty: every open version stays open
+      for (l <- splits) {
+        val inc = Forwarder.scd2Merged(
+          r.where(col("lsn") <= l), r.where(col("lsn") > l))
+        val onlyInc = inc.exceptAll(full).count()
+        val onlyFull = full.exceptAll(inc).count()
+        assert(onlyInc == 0 && onlyFull == 0,
+          s"scd2 split L=$l: merge-only rows $onlyInc, replay-only rows $onlyFull")
+      }
+    } finally r.unpersist()
+  }
+
+  test("the registered cdc_scd2_inc equals cdc_scd2") {
+    val inc = Forwarder.cdcScd2Incremental(spark, Sf0001)
+    val rep = Forwarder.cdcScd2(spark, Sf0001)
+    assert(inc.exceptAll(rep).count() == 0 && rep.exceptAll(inc).count() == 0)
+    assert(inc.columns.toSeq == rep.columns.toSeq)
+  }
+
   test("the registered cdc_snapshot_inc equals cdc_snapshot") {
     val inc = Forwarder.cdcSnapshotIncremental(spark, Sf0001)
     val rep = Forwarder.cdcSnapshot(spark, Sf0001)
