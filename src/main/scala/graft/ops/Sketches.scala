@@ -296,6 +296,197 @@ object Sketches {
       .orderBy("scope")
   }
 
+  // ---- kmv_overlap: bottom-k distinct sketch with set-operation algebra ----
+
+  /** K-minimum-values sketch size. 128 ≪ the ~900 distinct shingles per
+    * source at sf0.1, so the estimate is a genuine sketch readback, not a
+    * disguised exact count; the whole sketch table is sources × K rows. */
+  val KmvK = 128
+  /** First-phase salt classes for the distributed bottom-K (see below). */
+  val KmvSalt = 32
+
+  /** KMV (bottom-k) distinct sketch per source over the corpus's bigram
+    * shingles, with the SET-OPERATION algebra HLL cannot express
+    * (Beyer et al., SIGMOD'07 "On synopses for distinct-value estimation
+    * under multiset operations"): for every source pair, the union KMV
+    * sketch is the bottom-K of the two sketches' merge, the union
+    * estimate is (K−1)·M / v_K (v_K = the merged Kth minimum, M = the
+    * hash modulus), and the intersection rides the SAME sketch — count
+    * the merged bottom-K members present in BOTH source sketches (the
+    * membership test is sound because the merged Kth minimum is ≤ each
+    * side's own Kth minimum). HLL registers (row 55/167) union but
+    * never intersect; KMV is the mergeable-sketch answer to "how much
+    * does source A's content overlap source B's" when the exact pair
+    * matrix (row 79's shape) is unaffordable — at 100 TB the exact
+    * matrix shuffles the corpus per pair, while the KMV answer reads
+    * sources × K int64s for ALL pairs at once.
+    *
+    * Distributed bottom-K: a single per-source window would sort every
+    * source's full distinct-shingle set on one task; instead phase 1
+    * ranks within (source, h mod Salt) — map-side-partitionable, K rows
+    * kept per salt class — bounding phase 2's true per-source window to
+    * ≤ Salt·K candidate rows regardless of corpus size (the global K
+    * smallest are each among their salt class's K smallest). KmvSpec
+    * pins two-phase ≡ single-window on sf0.001; the ORACLE uses the
+    * single window, so the oracle hash match re-proves it per run.
+    *
+    * Exact union/intersection columns are the verification affordance
+    * (hll_distinct's n_exact pattern), not the scale path: exact
+    * intersection equi-joins the distinct (source, h) frame on h —
+    * fan-out bounded by the source count — and union comes by
+    * inclusion–exclusion, never a per-pair corpus pass. Estimator
+    * arithmetic is all-int64 except the one division, written with
+    * identical literal text on both engines (127 · 2.147483647e9 is an
+    * exact double product; the division is a single IEEE op). */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcSh = Tables.memoPersist(spark, s"sketches.srcsh:$dir") {
+      Dedup.shingleSetsProbe(spark, dir)
+        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("sh")).as("h"))
+        .distinct()
+    }
+    val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(KmvSalt.toLong)))
+      .orderBy("h")
+    val w2 = Window.partitionBy("source").orderBy("h")
+    val sk = srcSh
+      .withColumn("r1", row_number().over(w1)).where(col("r1") <= KmvK).drop("r1")
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= KmvK)
+      .select("source", "h")
+    val srcs = srcSh.select("source").distinct()
+    // merged pair sketch: every sketch row fans out to its pairs with the
+    // OTHER sources (broadcast nested-loop over the tiny source list),
+    // then per-(pair, h) membership flags collapse duplicates
+    val fromA = sk.select(col("source").as("source_a"), col("h"))
+      .join(broadcast(srcs.select(col("source").as("source_b"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val fromB = sk.select(col("source").as("source_b"), col("h"))
+      .join(broadcast(srcs.select(col("source").as("source_a"))),
+        col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val merged = fromA.unionByName(fromB)
+      .groupBy("source_a", "source_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    val est = merged.withColumn("rk", row_number().over(wp))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_merged"),
+        max(when(col("rk") <= KmvK, col("h"))).as("v_k"),
+        sum(when(col("rk") <= KmvK && col("in_a") === 1 && col("in_b") === 1,
+          1L).otherwise(0L)).as("n_both"))
+      .withColumn("m", least(col("n_merged"), lit(KmvK.toLong)))
+      .withColumn("kmv_union", when(col("n_merged") < KmvK, col("n_merged"))
+        .otherwise(expr(
+          s"CAST(floor(${KmvK - 1} * 2.147483647e9 / v_k) AS BIGINT)")))
+      .withColumn("kmv_inter", expr("(n_both * kmv_union) div m"))
+      .withColumn("kmv_jacc_e4", expr("(n_both * 10000) div m"))
+    // exact counterparts: intersection by equi-join on h, union by
+    // inclusion-exclusion over per-source distinct counts
+    val perSrc = srcSh.groupBy("source").agg(count(lit(1)).as("nd"))
+    val interX = srcSh.as("x")
+      .join(srcSh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est
+      .join(broadcast(perSrc.select(col("source").as("source_a"),
+        col("nd").as("nd_a"))), Seq("source_a"))
+      .join(broadcast(perSrc.select(col("source").as("source_b"),
+        col("nd").as("nd_b"))), Seq("source_b"))
+      .join(interX, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("n_union_exact", col("nd_a") + col("nd_b") - col("n_inter_exact"))
+      .withColumn("union_err_e4", expr(
+        "(abs(kmv_union - n_union_exact) * 10000) div n_union_exact"))
+      .withColumn("inter_err_e4", expr(
+        """CASE WHEN n_inter_exact = 0 THEN CAST(-1 AS BIGINT)
+          |ELSE (abs(kmv_inter - n_inter_exact) * 10000) div n_inter_exact
+          |END""".stripMargin))
+      .select(col("source_a"), col("source_b"),
+        col("n_union_exact"), col("kmv_union"), col("union_err_e4"),
+        col("n_inter_exact"), col("kmv_inter"), col("inter_err_e4"),
+        col("kmv_jacc_e4"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Oracle: the SAME sketch algebra with the single-window bottom-K
+    * (the two-phase rewrite is proven equivalent by KmvSpec and
+    * re-proven by this hash match per run). */
+  val kmvOverlapSql: String =
+    s"""WITH ${Dedup.ShSqlCte},
+       |src_sh AS (
+       |  SELECT DISTINCT d.source, u.h
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM shs) u
+       |  JOIN documents d USING (doc_id)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM src_sh) r WHERE rk <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM src_sh),
+       |merged AS (
+       |  SELECT source_a, source_b, h,
+       |         max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT s.source AS source_a, t.source AS source_b, s.h,
+       |           1 AS in_a, 0 AS in_b
+       |    FROM sk s JOIN srcs t ON s.source < t.source
+       |    UNION ALL
+       |    SELECT t.source, s.source, s.h, 0, 1
+       |    FROM sk s JOIN srcs t ON t.source < s.source) u
+       |  GROUP BY source_a, source_b, h),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source_a, source_b ORDER BY h) AS rk
+       |  FROM merged),
+       |stats AS (
+       |  SELECT source_a, source_b,
+       |         CAST(count(*) AS BIGINT) AS n_merged,
+       |         max(CASE WHEN rk <= $KmvK THEN h END) AS v_k,
+       |         CAST(sum(CASE WHEN rk <= $KmvK AND in_a = 1 AND in_b = 1
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM ranked GROUP BY source_a, source_b),
+       |est AS (
+       |  SELECT source_a, source_b, n_merged, n_both,
+       |         least(n_merged, $KmvK) AS m,
+       |         CASE WHEN n_merged < $KmvK THEN n_merged
+       |              ELSE CAST(floor(${KmvK - 1} * 2.147483647e9 / v_k) AS BIGINT)
+       |         END AS kmv_union
+       |  FROM stats),
+       |persrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd
+       |  FROM src_sh GROUP BY source),
+       |interx AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM src_sh x JOIN src_sh y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |full_pairs AS (
+       |  SELECT e.source_a, e.source_b,
+       |         pa.nd + pb.nd - coalesce(i.n_inter_exact, 0) AS n_union_exact,
+       |         e.kmv_union,
+       |         coalesce(i.n_inter_exact, 0) AS n_inter_exact,
+       |         e.n_both * e.kmv_union // e.m AS kmv_inter,
+       |         e.n_both * 10000 // e.m AS kmv_jacc_e4,
+       |         e.m
+       |  FROM est e
+       |  JOIN persrc pa ON pa.source = e.source_a
+       |  JOIN persrc pb ON pb.source = e.source_b
+       |  LEFT JOIN interx i
+       |    ON i.source_a = e.source_a AND i.source_b = e.source_b)
+       |SELECT source_a, source_b, n_union_exact, kmv_union,
+       |       abs(kmv_union - n_union_exact) * 10000 // n_union_exact
+       |         AS union_err_e4,
+       |       n_inter_exact, kmv_inter,
+       |       CASE WHEN n_inter_exact = 0 THEN CAST(-1 AS BIGINT)
+       |            ELSE abs(kmv_inter - n_inter_exact) * 10000 // n_inter_exact
+       |       END AS inter_err_e4,
+       |       kmv_jacc_e4
+       |FROM full_pairs
+       |ORDER BY source_a, source_b""".stripMargin
+
   val hllMergeSql: String = {
     val mix2 = s"user_id % $HllP * $HllM2 % $HllP"
     s"""WITH b AS (

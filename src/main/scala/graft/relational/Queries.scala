@@ -860,15 +860,16 @@ object Queries {
     * arithmetic on (rank, N) — no single-partition sort at any width. */
   val DecileRankBuckets = 8
 
-  def userSpendDecile(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.events(spark, dir)
-      .where(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(sum(cents(col("value"))).as("spend_cents"))
-    val bucketed = Tables.pinRankBuckets(spend, DecileRankBuckets,
-      col("spend_cents").desc, col("user_id"))
+  /** Range-partitioned global rank without a single-partition window:
+    * repartitionByRange on `order` (checkpointed, so every downstream
+    * branch sees ONE boundary sample), per-bucket row_number, bucket
+    * offsets by prefix sum over the tiny per-bucket count frame. Adds
+    * `rnk` (1-based over `order`) and `n_total`. Shared by
+    * user_spend_decile and user_rfm's three quintile ranks. */
+  private def globalRankBy(df: DataFrame, order: Column*): DataFrame = {
+    val bucketed = Tables.pinRankBuckets(df, DecileRankBuckets, order: _*)
     val ranked = bucketed.withColumn("local_rn", row_number().over(
-      Window.partitionBy("pid").orderBy(col("spend_cents").desc, col("user_id"))))
+      Window.partitionBy("pid").orderBy(order: _*)))
     val offsets = bucketed.groupBy("pid")
       .agg(count(lit(1)).as("n_in_bucket"))
       .withColumn("offset", coalesce(sum("n_in_bucket").over(
@@ -878,6 +879,15 @@ object Queries {
       .select("pid", "offset", "n_total")
     ranked.join(broadcast(offsets), "pid")
       .withColumn("rnk", col("offset") + col("local_rn"))
+      .drop("pid", "local_rn", "offset")
+  }
+
+  def userSpendDecile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(cents(col("value"))).as("spend_cents"))
+    globalRankBy(spend, col("spend_cents").desc, col("user_id"))
       .withColumn("decile", expr("(rnk - 1) * 10 div n_total + 1"))
       .select("user_id", "spend_cents", "rnk", "decile")
       .orderBy("rnk")
@@ -1539,4 +1549,184 @@ object Queries {
        |         AS BIGINT) AS cum_per_user
        |FROM cum c JOIN sz s ON c.cohort_week = s.cohort_week
        |ORDER BY c.cohort_week, c.week_offset""".stripMargin
+
+  // ---- user_rfm: recency/frequency/monetary quintile segmentation ---------
+
+  /** RFM segmentation (Hughes 1994 — the standard behavioral-cohort cut):
+    * per purchasing user, recency = whole days between their last purchase
+    * and the corpus purchase high-water, frequency = purchase count,
+    * monetary = cents sum; each metric quintiled by range-partitioned
+    * global rank (quintile 1 = best — most recent / most frequent /
+    * highest spend — ties broken by user_id so the cut is deterministic),
+    * segment code = r·100 + f·10 + m, rolled up to per-segment user counts
+    * and exact metric sums (≤ 125 rows).
+    *
+    * Scale shape: one map-side-combined groupBy on user_id at fact scale;
+    * everything after runs on the per-user frame (orders smaller), where
+    * the three ranks reuse [[globalRankBy]]'s range-partitioned machinery
+    * (no single-partition window); the rollup key space is ≤ 125. Recency
+    * derives from pure epoch-second integer arithmetic (the events_dow_hour
+    * portability contract — both subtraction operands are floors of the
+    * same nanosecond values, so the day count is engine-exact). */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .groupBy("user_id")
+      .agg(max("es").as("last_es"), count(lit(1)).as("f_n"),
+        sum(cents(col("value"))).as("m_cents"))
+    val now = perUser.agg(max("last_es").as("now_es"))
+    // bounded-cross: 1-row corpus high-water aggregate, N-independent
+    val withR = perUser.crossJoin(broadcast(now))
+      .withColumn("r_days", expr("(now_es - last_es) div 86400"))
+    val r1 = globalRankBy(withR, col("last_es").desc, col("user_id"))
+      .withColumnRenamed("rnk", "rnk_r").drop("n_total")
+    val r2 = globalRankBy(r1, col("f_n").desc, col("user_id"))
+      .withColumnRenamed("rnk", "rnk_f").drop("n_total")
+    val r3 = globalRankBy(r2, col("m_cents").desc, col("user_id"))
+      .withColumnRenamed("rnk", "rnk_m")
+    r3
+      .withColumn("segment", expr(
+        """((rnk_r - 1) * 5 div n_total + 1) * 100 +
+          |((rnk_f - 1) * 5 div n_total + 1) * 10 +
+          |((rnk_m - 1) * 5 div n_total + 1)""".stripMargin))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum("r_days").as("sum_r_days"),
+        sum("f_n").as("sum_f"),
+        sum("m_cents").as("sum_m_cents"))
+      .orderBy("segment")
+  }
+
+  val userRfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, max(es) AS last_es,
+      |         CAST(count(*) AS BIGINT) AS f_n,
+      |         CAST(sum(cents) AS BIGINT) AS m_cents
+      |  FROM p GROUP BY user_id),
+      |w AS (SELECT u.*, (SELECT max(last_es) FROM u) AS now_es FROM u),
+      |r AS (
+      |  SELECT (now_es - last_es) // 86400 AS r_days, f_n, m_cents,
+      |         CAST(row_number() OVER (ORDER BY last_es DESC, user_id) AS BIGINT) AS rnk_r,
+      |         CAST(row_number() OVER (ORDER BY f_n DESC, user_id) AS BIGINT) AS rnk_f,
+      |         CAST(row_number() OVER (ORDER BY m_cents DESC, user_id) AS BIGINT) AS rnk_m,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_total
+      |  FROM w),
+      |q AS (
+      |  SELECT ((rnk_r - 1) * 5 // n_total + 1) * 100 +
+      |         ((rnk_f - 1) * 5 // n_total + 1) * 10 +
+      |         ((rnk_m - 1) * 5 // n_total + 1) AS segment,
+      |         r_days, f_n, m_cents
+      |  FROM r)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(r_days) AS BIGINT) AS sum_r_days,
+      |       CAST(sum(f_n) AS BIGINT) AS sum_f,
+      |       CAST(sum(m_cents) AS BIGINT) AS sum_m_cents
+      |FROM q GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ---- attribution_credit: multi-touch conversion attribution -------------
+
+  /** Multi-touch attribution over the event stream: each purchase
+    * (conversion) is credited to the user's non-purchase touches since
+    * their previous purchase — first-touch and last-touch counts plus
+    * linear fractional credit (1e6 div n_touches fixed-point per touch,
+    * so credit sums stay exact integers; the ≤ (n−1)·1e-6 shortfall per
+    * conversion is the documented fixed-point remainder). A purchase with
+    * NO preceding touch is a '(direct)' conversion with full 1e6 credit.
+    * Conversion windows come from a running purchase count over each
+    * user's (ts, event_id)-ordered stream: a touch row with k completed
+    * purchases before it belongs to conversion k+1 of its user; touches
+    * after the user's last purchase attribute to nothing and drop in the
+    * inner join.
+    *
+    * Scale shape: ONE shuffle on user_id shared by the running count and
+    * both per-conversion windows (identical partition key, Catalyst
+    * reuses the exchange), then channel rollups over ≤ |event_type| keys;
+    * no self-join at fact scale — the touch→conversion pairing is an
+    * equi-join on (user_id, conv), fan-out 1. */
+  def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("cp", sum("is_p").over(wRun))
+    val convs = ev.where(col("is_p") === 1)
+      .select(col("user_id"), col("cp").as("conv"))
+    val touches = ev.where(col("is_p") === 0)
+      .select(col("user_id"), (col("cp") + 1).as("conv"),
+        col("event_type").as("channel"), col("ts"), col("event_id"))
+    val attributed = touches.join(convs, Seq("user_id", "conv"))
+    val wConv = Window.partitionBy("user_id", "conv")
+    val marked = attributed
+      .withColumn("n_touches", count(lit(1)).over(wConv))
+      .withColumn("rn_f", row_number().over(wConv.orderBy("ts", "event_id")))
+      .withColumn("rn_l", row_number().over(
+        wConv.orderBy(col("ts").desc, col("event_id").desc)))
+    val byChannel = marked.groupBy("channel")
+      .agg(sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("n_last"),
+        count(lit(1)).as("n_touches_total"),
+        sum(expr("1000000 div n_touches")).as("credit_linear_e6"))
+    // touchless conversions WITHOUT re-deriving the attributed chain:
+    // every touched conversion has exactly one rn_f = 1 row, so the
+    // touched count is Σ n_first over channels and direct = all − touched
+    // (the shuffle exchanges under both byChannel branches are identical,
+    // so ReuseExchange pays the chain once)
+    val nConv = convs.agg(count(lit(1)).as("n_conv"))
+    // bounded-cross: 1-row conversion count × 1-row touched-conversion sum
+    val direct = nConv.crossJoin(
+        broadcast(byChannel.agg(
+          coalesce(sum("n_first"), lit(0L)).as("n_touched"))))
+      .select(lit("(direct)").as("channel"),
+        (col("n_conv") - col("n_touched")).as("n_first"),
+        (col("n_conv") - col("n_touched")).as("n_last"),
+        lit(0L).as("n_touches_total"),
+        ((col("n_conv") - col("n_touched")) * 1000000L).as("credit_linear_e6"))
+    byChannel.unionByName(direct)
+      .orderBy("channel")
+  }
+
+  val attributionCreditSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events),
+      |c AS (
+      |  SELECT *, CAST(sum(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      |  FROM e),
+      |convs AS (SELECT user_id, cp AS conv FROM c WHERE is_p = 1),
+      |touches AS (
+      |  SELECT user_id, cp + 1 AS conv, event_type AS channel, ts, event_id
+      |  FROM c WHERE is_p = 0),
+      |attributed AS (
+      |  SELECT t.* FROM touches t JOIN convs v USING (user_id, conv)),
+      |marked AS (
+      |  SELECT channel,
+      |         CAST(count(*) OVER (PARTITION BY user_id, conv) AS BIGINT) AS n_touches,
+      |         row_number() OVER (PARTITION BY user_id, conv ORDER BY ts, event_id) AS rn_f,
+      |         row_number() OVER (PARTITION BY user_id, conv ORDER BY ts DESC, event_id DESC) AS rn_l
+      |  FROM attributed),
+      |by_channel AS (
+      |  SELECT channel,
+      |         CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |         CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      |         CAST(count(*) AS BIGINT) AS n_touches_total,
+      |         CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_linear_e6
+      |  FROM marked GROUP BY channel),
+      |direct AS (
+      |  SELECT '(direct)' AS channel,
+      |         CAST(count(*) AS BIGINT) AS n_first,
+      |         CAST(count(*) AS BIGINT) AS n_last,
+      |         CAST(0 AS BIGINT) AS n_touches_total,
+      |         CAST(count(*) * 1000000 AS BIGINT) AS credit_linear_e6
+      |  FROM convs v
+      |  WHERE NOT EXISTS (SELECT 1 FROM attributed a
+      |                    WHERE a.user_id = v.user_id AND a.conv = v.conv))
+      |SELECT * FROM by_channel UNION ALL SELECT * FROM direct
+      |ORDER BY channel""".stripMargin
 }
