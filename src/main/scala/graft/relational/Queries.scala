@@ -1651,32 +1651,38 @@ object Queries {
   def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
     val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUser = Window.partitionBy("user_id")
+    // a touch needs a FOLLOWING purchase to attribute to; that is a pure
+    // window predicate (cp < the user's total purchase count), not a
+    // join — the first cut joined touches to conversions on (user, conv)
+    // and the plan re-derived the window chain per branch (10 parquet
+    // scans at explain); this shape scans events once per output branch
     val ev = Tables.events(spark, dir)
       .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
       .withColumn("cp", sum("is_p").over(wRun))
-    val convs = ev.where(col("is_p") === 1)
-      .select(col("user_id"), col("cp").as("conv"))
-    val touches = ev.where(col("is_p") === 0)
+      .withColumn("p_total", sum("is_p").over(wUser))
+    val attributed = ev.where(col("is_p") === 0 && col("cp") < col("p_total"))
       .select(col("user_id"), (col("cp") + 1).as("conv"),
         col("event_type").as("channel"), col("ts"), col("event_id"))
-    val attributed = touches.join(convs, Seq("user_id", "conv"))
+    // (user_id, conv) windows need no new exchange: hash(user_id) already
+    // clusters (user_id, conv); last-touch is arithmetic on the ascending
+    // rank (rn_f == n_touches), so ONE sort order serves both ends
     val wConv = Window.partitionBy("user_id", "conv")
     val marked = attributed
       .withColumn("n_touches", count(lit(1)).over(wConv))
       .withColumn("rn_f", row_number().over(wConv.orderBy("ts", "event_id")))
-      .withColumn("rn_l", row_number().over(
-        wConv.orderBy(col("ts").desc, col("event_id").desc)))
     val byChannel = marked.groupBy("channel")
       .agg(sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("n_first"),
-        sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("rn_f") === col("n_touches"), 1L).otherwise(0L)).as("n_last"),
         count(lit(1)).as("n_touches_total"),
         sum(expr("1000000 div n_touches")).as("credit_linear_e6"))
-    // touchless conversions WITHOUT re-deriving the attributed chain:
-    // every touched conversion has exactly one rn_f = 1 row, so the
-    // touched count is Σ n_first over channels and direct = all − touched
-    // (the shuffle exchanges under both byChannel branches are identical,
-    // so ReuseExchange pays the chain once)
-    val nConv = convs.agg(count(lit(1)).as("n_conv"))
+    // touchless conversions by arithmetic: every touched conversion has
+    // exactly one rn_f = 1 row, so touched = Σ n_first and direct =
+    // all − touched; the conversion total is a pushed-filter scan count,
+    // no window chain at all
+    val nConv = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_conv"))
     // bounded-cross: 1-row conversion count × 1-row touched-conversion sum
     val direct = nConv.crossJoin(
         broadcast(byChannel.agg(
