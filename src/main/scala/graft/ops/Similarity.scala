@@ -3364,4 +3364,261 @@ object Similarity {
        |       CASE WHEN m.neg_id = e.exact_neg_id THEN 1 ELSE 0 END AS agree
        |FROM he e LEFT JOIN hm m ON e.qid = m.qid
        |ORDER BY e.qid""".stripMargin
+
+  // ---- ann_nn_graph: NN-Descent bounded-degree kNN graph (graph ANN) ------
+
+  /** Graph degree: out-neighbors kept per distinct vector, both in the
+    * seed graph and after refinement. */
+  val NndL = 6
+  /** Hash-ring partition count for the cross-cell seed diversifier. */
+  val NndRingBuckets = 32L
+
+  /** NN-Descent kNN-graph build (Dong, Moses & Li, WWW'11 "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures") — the GRAPH-ANN family (the class HNSW serves from) next
+    * to the IVF/PQ/LSH stack: seed each DISTINCT vector's neighbor list
+    * from its trained IVF cell cohort (top-L by cosine within the cell)
+    * PLUS two deterministic hash-ring edges (successors in a
+    * hash-ordered ring, windowed within hash buckets so no global
+    * sort) — the ring is the paper's random seeding made deterministic,
+    * and it is load-bearing: seed edges that never leave a cell compose
+    * into 2-hop candidates that never leave a cell either, so a purely
+    * cell-seeded round cannot improve anything. Then ONE NN-descent
+    * refinement round on the principle "a neighbor of a neighbor is
+    * likely a neighbor": candidates are the 2-hop closure of the
+    * SYMMETRIZED traversal graph (cell top-L ∪ ring, out-edges plus
+    * reverses), re-scored exactly and cut back to top-L per node.
+    * Rep-level by the round-11 collapse — identical quantized vectors
+    * share one node, so the graph is over distinct content.
+    *
+    * Scale shape: the seed stage is the cell-bucketed pair search every
+    * cell-scoped operator already pays (cohort² at rep level inside each
+    * cell); the refinement is LINEAR in nodes with a ≤ (2L)² candidate
+    * constant per node — no global structure, no unbounded join. That
+    * linearity per round is what lets graph methods build
+    * billion-vector indexes; NndSpec pins the structural bounds (degree
+    * ≤ L) and the dominance property (the refined list is pointwise ≥
+    * the seed list in cosine, because the candidate set contains the
+    * seed edges). The memoized graph is nodes × L edges. */
+  private def nndGraph(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.nndGraph:$NndL:$NumCells:$IvfIters:$dir") {
+      val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)
+        .select(col("avid").as("gid"), col("seed_id").as("cell"))
+      val cg = vecGroups(spark, dir).join(cellOf, "gid")
+        .select(col("cell"), col("gid"), col("qv"), col("n2"))
+      val a = cg.select(col("cell"), col("gid").as("src"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
+        col("qv").as("qb"), col("n2").as("nb2"))
+      val seed = a
+        .join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+        .withColumn("srnk", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+        .where(col("srnk") <= NndL)
+        .select("src", "dst")
+      val ring = nndRing(cg)
+      val trav = seed.unionByName(ring).distinct()
+      val sym = trav.unionByName(
+        trav.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val cand = sym.as("e1")
+        .join(sym.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+        .unionByName(trav)
+        .distinct()
+      val gv = cg.select(col("gid"), col("qv"), col("n2"))
+      cand
+        .join(gv.select(col("gid").as("src"),
+          col("qv").as("qa"), col("n2").as("na2")), Seq("src"))
+        .join(gv.select(col("gid").as("dst"),
+          col("qv").as("qb"), col("n2").as("nb2")), Seq("dst"))
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+        .withColumn("grnk", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+        .where(col("grnk") <= NndL)
+        .select("src", "dst", "cos")
+    }
+
+  /** Two deterministic ring edges per node: successors in the
+    * (hash, gid)-ordered ring, windowed within hash buckets — bounded
+    * window partitions regardless of node count, cross-cell by
+    * construction (the mix is uncorrelated with the quantizer). */
+  private def nndRing(cg: DataFrame): DataFrame = {
+    val ringW = Window
+      .partitionBy(pmod(col("h"), lit(NndRingBuckets)))
+      .orderBy("h", "gid")
+    val hashed = cg.select(col("gid"))
+      .withColumn("h", expr(
+        s"gid % ${TextStats.FpMod} * ${graft.functions.HashExprs.Mix1} % ${TextStats.FpMod}"))
+      .withColumn("d1", lead("gid", 1).over(ringW))
+      .withColumn("d2", lead("gid", 2).over(ringW))
+    hashed.where(col("d1").isNotNull)
+      .select(col("gid").as("src"), col("d1").as("dst"))
+      .unionByName(hashed.where(col("d2").isNotNull)
+        .select(col("gid").as("src"), col("d2").as("dst")))
+  }
+
+  /** Structural probes for NndSpec: the seed graph (scored) and the
+    * refined graph, both rep-level (src, dst, cos). */
+  private[graft] def nndSeedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)
+      .select(col("avid").as("gid"), col("seed_id").as("cell"))
+    val cg = vecGroups(spark, dir).join(cellOf, "gid")
+      .select(col("cell"), col("gid"), col("qv"), col("n2"))
+    val a = cg.select(col("cell"), col("gid").as("src"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .where(col("srnk") <= NndL)
+      .select("src", "dst", "cos")
+  }
+  private[graft] def nndGraphProbe(spark: SparkSession, dir: String): DataFrame =
+    nndGraph(spark, dir)
+
+  /** Per-query readout of the refined graph: the query's group node, its
+    * top-TopK refined neighbors by exact cosine. */
+  def annNnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val qg = vecMembers(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("gid"))
+    qg.join(nndGraph(spark, dir), col("gid") === col("src"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("dst"))))
+      .where(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("dst").as("nbr_gid"),
+        cosE6(col("cos")).as("cos_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall@TopK of the refined graph's neighbor lists against the exact
+    * rep-level cosine truth for the query set — the certification row
+    * that makes the graph build a measured index, not a hopeful one
+    * (the ann_recall pattern applied to the graph family). Both sides
+    * are group-level: exact truth ranks ALL distinct vectors for each
+    * query group (bounded broadcast: ≤ NumQueries rows fan the group
+    * frame), retrieval reads the memoized graph. */
+  def annNnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val qg = vecMembers(spark, dir).where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("gid"))
+    val gv = vecGroups(spark, dir).select(col("gid"), col("qv"), col("n2"))
+    // bounded non-equi side: ≤ NumQueries query groups broadcast
+    val truth = qg
+      .join(gv.select(col("gid"), col("qv").as("qqv"), col("n2").as("qn2")), "gid")
+      .join(gv.select(col("gid").as("cgid"),
+        col("qv").as("cv"), col("n2").as("cn2")), col("cgid") =!= col("gid"))
+      .withColumn("cos", cosine(dot(col("qqv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("ernk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cgid"))))
+      .where(col("ernk") <= TopK)
+      .select(col("qid"), col("cgid"))
+    val got = annNnGraph(spark, dir)
+      .select(col("qid").as("g_qid"), col("nbr_gid"))
+    truth
+      .join(got, col("qid") === col("g_qid") && col("cgid") === col("nbr_gid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("nbr_gid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_e4", expr("(n_hits * 10000) div n_exact"))
+      .orderBy("qid")
+  }
+
+  /** Shared oracle CTE chain: groups → cells → seeded graph → one
+    * NN-descent round → refined graph + query-group map. Rides the SAME
+    * IvfTrainCtes/IvfAssignCtes the IVF family uses, so the flat→hier
+    * route switch covers this family too. */
+  private def NndCtes: String =
+    s"""egroups AS (SELECT qv, min(vec_id) AS gid FROM vecs GROUP BY qv),
+       |gids AS (SELECT gid FROM egroups),
+       |gv AS (SELECT g.gid, v.qv, v.n2 FROM gids g JOIN vecs v ON v.vec_id = g.gid),
+       |cg AS (
+       |  SELECT c.cell, g.gid, v.qv, v.n2
+       |  FROM gids g
+       |  JOIN (SELECT avid, seed_id AS cell FROM assign WHERE rnk = 1) c
+       |    ON c.avid = g.gid
+       |  JOIN vecs v ON v.vec_id = g.gid),
+       |sd0 AS (
+       |  SELECT a.gid AS src, b.gid AS dst, $CosSql AS cos
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.gid <> b.gid),
+       |seed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |    FROM sd0) r WHERE rnk <= $NndL),
+       |ring0 AS (
+       |  SELECT gid,
+       |         gid % ${TextStats.FpMod} * ${graft.functions.HashExprs.Mix1}
+       |           % ${TextStats.FpMod} AS h
+       |  FROM gids),
+       |ring1 AS (
+       |  SELECT gid AS src,
+       |         lead(gid, 1) OVER (PARTITION BY h % $NndRingBuckets ORDER BY h, gid) AS d1,
+       |         lead(gid, 2) OVER (PARTITION BY h % $NndRingBuckets ORDER BY h, gid) AS d2
+       |  FROM ring0),
+       |ring AS (
+       |  SELECT src, d1 AS dst FROM ring1 WHERE d1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT src, d2 AS dst FROM ring1 WHERE d2 IS NOT NULL),
+       |trav AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM seed UNION ALL SELECT src, dst FROM ring) u),
+       |sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM trav UNION ALL SELECT dst, src FROM trav) u),
+       |cand AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT e1.src, e2.dst FROM sym e1
+       |    JOIN sym e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+       |    UNION ALL SELECT src, dst FROM trav) u),
+       |sc AS (
+       |  SELECT c.src, c.dst, $CosSql AS cos
+       |  FROM cand c JOIN gv a ON c.src = a.gid JOIN gv b ON c.dst = b.gid),
+       |graph AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |    FROM sc) r WHERE rnk <= $NndL),
+       |qm AS (
+       |  SELECT v.vec_id AS qid, e.gid FROM vecs v
+       |  JOIN egroups e ON v.qv = e.qv
+       |  WHERE v.vec_id < $NumQueries)""".stripMargin
+
+  def annNnGraphSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$NndCtes
+       |SELECT qid, rnk, dst AS nbr_gid,
+       |       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+       |FROM (
+       |  SELECT q.qid, g.dst, g.cos,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY g.cos DESC, g.dst) AS rnk
+       |  FROM qm q JOIN graph g ON g.src = q.gid) r
+       |WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  def annNnGraphRecallSql: String =
+    s"""WITH $VecCte,
+       |$IvfTrainCtes,
+       |$IvfAssignCtes,
+       |$NndCtes,
+       |truth AS (
+       |  SELECT qid, cgid FROM (
+       |    SELECT q.qid, b.gid AS cgid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY ($CosSql) DESC, b.gid) AS ernk
+       |    FROM qm q JOIN gv a ON a.gid = q.gid
+       |    JOIN gv b ON b.gid <> q.gid) r WHERE ernk <= $TopK),
+       |got AS (
+       |  SELECT qid, dst FROM (
+       |    SELECT q.qid, g.dst,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY g.cos DESC, g.dst) AS rnk
+       |    FROM qm q JOIN graph g ON g.src = q.gid) r WHERE rnk <= $TopK)
+       |SELECT t.qid, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       (CAST(sum(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 10000) // count(*) AS recall_e4
+       |FROM truth t LEFT JOIN got g ON t.qid = g.qid AND t.cgid = g.dst
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 }
