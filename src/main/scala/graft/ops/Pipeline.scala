@@ -1180,7 +1180,10 @@ object Pipeline {
       else s"WHEN $dfCol <= $hi THEN $k"
     }.mkString("CASE ", " ", " END")
 
-  def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document CCNet tercile (doc_id, score_e4, tercile) — the
+    * source×tercile rollup (ccnetBucket) and the cross-gate ablation
+    * (filterAblation) read the SAME per-doc frame. */
+  private[ops] def ccnetDocTercile(spark: SparkSession, dir: String): DataFrame = {
     val tf = Ngrams.tfFrame(spark, dir)
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfT, "tok")
@@ -1205,6 +1208,11 @@ object Pipeline {
       .select("pid", "offset", "n_total")
     ranked.join(broadcast(offsets), "pid")
       .withColumn("tercile", expr("(offset + local_rn - 1) * 3 div n_total + 1"))
+      .select("doc_id", "score_e4", "tercile")
+  }
+
+  def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    ccnetDocTercile(spark, dir)
       .join(docTokens(spark, dir).select("doc_id", "source", "n_tokens"), "doc_id")
       .groupBy("source", "tercile")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
@@ -1212,8 +1220,11 @@ object Pipeline {
       .orderBy("source", "tercile")
   }
 
-  val ccnetBucketSql: String =
-    s"""WITH cx AS (
+  /** Oracle CTE chain ending in `cb` = per-doc CCNet tercile (doc_id,
+    * score_e4, tercile) — shared by the ccnet_bucket rollup and
+    * filter_ablation. */
+  private[ops] def CcnetTercileCtes: String =
+    s"""cx AS (
        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
        |  FROM documents),
        |ctf AS (SELECT doc_id, tok, count(*) AS tf FROM cx GROUP BY doc_id, tok),
@@ -1233,7 +1244,10 @@ object Pipeline {
        |  FROM cs),
        |cb AS (
        |  SELECT doc_id, score_e4, (rnk - 1) * 3 // n_total + 1 AS tercile
-       |  FROM cr),
+       |  FROM cr)""".stripMargin
+
+  val ccnetBucketSql: String =
+    s"""WITH $CcnetTercileCtes,
        |cd AS (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1243,4 +1257,64 @@ object Pipeline {
        |       min(score_e4) AS min_score_e4, max(score_e4) AS max_score_e4
        |FROM cb JOIN cd USING (doc_id)
        |GROUP BY source, tercile ORDER BY source, tercile""".stripMargin
+
+  // ---- filter_ablation: quality-gate agreement / ablation matrix ----------
+
+  /** Cross-gate ablation matrix over the three independent quality
+    * gates the engine ships — Gopher rules (row 177), a Flesch
+    * readability split (row 200, flesch_e3 ≥ 50000 = "readable"), and
+    * the CCNet head tercile (row 178) — one cell per (gopher_pass,
+    * flesch_easy, ccnet_head) combination with document count and token
+    * mass: the curation question this answers is MARGINAL value ("what
+    * does adding the readability gate remove that Gopher didn't
+    * already?") and gate agreement, which no single-gate rollup shows.
+    * Every per-doc gate frame is the SAME frame its own rollup reads
+    * (gopherFlags / fleschE3Col / ccnetDocTercile), so the ablation
+    * cannot drift from the shipped gates.
+    *
+    * Scale shape: three per-doc gate frames joined on doc_id (the
+    * heaviest — ccnet — is rank-based and already range-partitioned),
+    * rolled to ≤ 8 cells map-side. */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.ops.TextStats.gopherFlags(spark, dir)
+      .select(col("doc_id"),
+        (col("f_wc") + col("f_wlen") + col("f_stop") + col("f_dom") === 0)
+          .cast("long").as("g_pass"))
+    val r = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (graft.ops.TextStats.fleschE3Col >= 50000L).cast("long").as("r_easy"))
+    val c = ccnetDocTercile(spark, dir)
+      .select(col("doc_id"), (col("tercile") === 1).cast("long").as("c_head"))
+    docTokens(spark, dir).select("doc_id", "n_tokens")
+      .join(g, "doc_id").join(r, "doc_id").join(c, "doc_id")
+      .groupBy("g_pass", "r_easy", "c_head")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("g_pass", "r_easy", "c_head")
+  }
+
+  def filterAblationSql: String =
+    s"""WITH ${graft.ops.TextStats.GopherFlagsCtes},
+       |${graft.ops.TextStats.FleschCtes},
+       |$CcnetTercileCtes,
+       |ad AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |gates AS (
+       |  SELECT ad.doc_id, ad.n_tokens,
+       |         CASE WHEN gf.f_wc + gf.f_wlen + gf.f_stop + gf.f_dom = 0
+       |              THEN 1 ELSE 0 END AS g_pass,
+       |         CASE WHEN fsc.flesch_e3 >= 50000 THEN 1 ELSE 0 END AS r_easy,
+       |         CASE WHEN cb.tercile = 1 THEN 1 ELSE 0 END AS c_head
+       |  FROM ad
+       |  JOIN gf ON gf.doc_id = ad.doc_id
+       |  JOIN fsc ON fsc.doc_id = ad.doc_id
+       |  JOIN cb ON cb.doc_id = ad.doc_id)
+       |SELECT CAST(g_pass AS BIGINT) AS g_pass,
+       |       CAST(r_easy AS BIGINT) AS r_easy,
+       |       CAST(c_head AS BIGINT) AS c_head,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM gates GROUP BY g_pass, r_easy, c_head
+       |ORDER BY g_pass, r_easy, c_head""".stripMargin
 }

@@ -3527,6 +3527,102 @@ object Similarity {
       .orderBy("qid")
   }
 
+  // ---- embed_jl_audit: Johnson-Lindenstrauss projection distortion --------
+
+  /** JL target dimensionality and the wVec j-offset that keeps the JL
+    * sign planes disjoint from every LSH table's hyperplanes. */
+  val JlDim = 16
+  val JlPlaneOffset = 640
+
+  /** Johnson–Lindenstrauss random-projection distortion audit: project
+    * every distinct vector from Dim=64 to JlDim=16 with a deterministic
+    * ±1 sign matrix (the Achlioptas 2003 database-friendly construction;
+    * signs from the shared wVec splitmix at a disjoint j-range), then
+    * measure, over the LSH candidate pairs the index already scores,
+    * how far the 16-dim cosine drifts from the 64-dim cosine — banded by
+    * the full-precision cosine decile, with exact integer count /
+    * sum-abs-delta / max-abs-delta per band (one readout row per band).
+    * This is the measurement a 100 TB deployment needs BEFORE swapping
+    * its ANN candidate scoring to a 4× narrower vector: the JL lemma
+    * bounds the distortion in expectation, the audit certifies it on
+    * the actual corpus (completing the embedding-hygiene series:
+    * norm / quantization / truncation / whitening / PCA audits).
+    *
+    * Everything stays exact-int64 until the two cosine divisions
+    * (projections are int dot products; delta is a difference of the
+    * SAME floor-e6 quantization both engines apply); the pair set is
+    * the memoized rep-level candidate frame — no new pair search. */
+  def embedJlAudit(spark: SparkSession, dir: String): DataFrame = {
+    val g = vecGroups(spark, dir)
+    val projCols = (0 until JlDim).map { p =>
+      graft.functions.HashExprs.longDot(col("qv"),
+        typedLit(wVec(JlPlaneOffset + p))).as(s"j$p")
+    }
+    val pj = array((0 until JlDim).map(p => col(s"j$p")): _*)
+    val proj = g.select((col("gid") +: projCols): _*)
+      .withColumn("pj", pj)
+      .withColumn("pn2", graft.functions.HashExprs.longDot(col("pj"), col("pj")))
+      .select("gid", "pj", "pn2")
+    repScoredPairs(spark, dir)
+      .join(proj.select(col("gid").as("ga"),
+        col("pj").as("pja"), col("pn2").as("pna")), Seq("ga"))
+      .join(proj.select(col("gid").as("gb"),
+        col("pj").as("pjb"), col("pn2").as("pnb")), Seq("gb"))
+      // a projection collapsed to the zero vector has no direction —
+      // same guard as the base quantization (n2 > 0)
+      .where(col("pna") > 0 && col("pnb") > 0)
+      .withColumn("cos_p",
+        cosine(dot(col("pja"), col("pjb")), col("pna"), col("pnb")))
+      .withColumn("band", floor(col("cos") * lit(10.0)).cast("long"))
+      .withColumn("ad", abs(cosE6(col("cos_p")) - cosE6(col("cos"))))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("ad").as("sum_abs_delta_e6"),
+        max("ad").as("max_abs_delta_e6"))
+      .withColumn("mean_abs_delta_e6", expr("sum_abs_delta_e6 div n_pairs"))
+      .orderBy("band")
+  }
+
+  def embedJlAuditSql: String = {
+    val projExprs = (0 until JlDim).map { p =>
+      val w = wVec(JlPlaneOffset + p).mkString("[", ", ", "]")
+      s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+         |       i -> qv[i] * ($w)[i]), (x, y) -> x + y) AS j$p""".stripMargin
+    }.mkString(",\n    ")
+    val pn2 = (0 until JlDim).map(p => s"j$p * j$p").mkString(" + ")
+    val dot16 = (0 until JlDim).map(p => s"a.j$p * b.j$p").mkString(" + ")
+    s"""WITH $VecCte,
+       |$ScoredPairsCte,
+       |egroups AS (SELECT qv, min(vec_id) AS gid FROM vecs GROUP BY qv),
+       |jl AS (
+       |  SELECT vec_id,
+       |    $projExprs
+       |  FROM vecs),
+       |jln AS (SELECT *, $pn2 AS pn2 FROM jl),
+       |rp AS (
+       |  SELECT s.aid, s.bid, s.cos FROM spaired s
+       |  JOIN egroups ga ON s.aid = ga.gid
+       |  JOIN egroups gb ON s.bid = gb.gid),
+       |scoredp AS (
+       |  SELECT r.cos,
+       |         CAST(($dot16) AS DOUBLE)
+       |           / (sqrt(CAST(a.pn2 AS DOUBLE)) * sqrt(CAST(b.pn2 AS DOUBLE))) AS cos_p
+       |  FROM rp r
+       |  JOIN jln a ON r.aid = a.vec_id
+       |  JOIN jln b ON r.bid = b.vec_id
+       |  WHERE a.pn2 > 0 AND b.pn2 > 0),
+       |banded AS (
+       |  SELECT CAST(floor(cos * 10.0) AS BIGINT) AS band,
+       |         abs(CAST(floor(cos_p * 1000000.0) AS BIGINT)
+       |             - CAST(floor(cos * 1000000.0) AS BIGINT)) AS ad
+       |  FROM scoredp)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(ad) AS BIGINT) AS sum_abs_delta_e6,
+       |       CAST(max(ad) AS BIGINT) AS max_abs_delta_e6,
+       |       CAST(sum(ad) AS BIGINT) // count(*) AS mean_abs_delta_e6
+       |FROM banded GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** Shared oracle CTE chain: groups → cells → seeded graph → one
     * NN-descent round → refined graph + query-group map. Rides the SAME
     * IvfTrainCtes/IvfAssignCtes the IVF family uses, so the flat→hier

@@ -304,7 +304,11 @@ object TextStats {
   val GopherMinStop = 2L
   val GopherMaxDomE4 = 1500L
 
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document Gopher rule flags (doc_id, source, f_wc, f_wlen,
+    * f_stop, f_dom) — the rollup (gopherQuality) and the cross-gate
+    * ablation (Pipeline.filterAblation) read the SAME per-doc frame, so
+    * the rule arithmetic cannot drift between them. */
+  private[ops] def gopherFlags(spark: SparkSession, dir: String): DataFrame = {
     val dom = Ngrams.tfFrame(spark, dir)
       .groupBy("doc_id")
       .agg(max("tf").as("top_c"), sum("tf").as("tf_sum"))
@@ -323,6 +327,10 @@ object TextStats {
         (!col("wlen_e4").between(GopherMinWlenE4, GopherMaxWlenE4)).cast("long"))
       .withColumn("f_stop", (col("n_stop") < GopherMinStop).cast("long"))
       .withColumn("f_dom", (col("dom_e4") > GopherMaxDomE4).cast("long"))
+  }
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    gopherFlags(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("f_wc").as("fail_wordcount"),
@@ -334,9 +342,12 @@ object TextStats {
       .orderBy("source")
   }
 
-  val gopherQualitySql: String = {
+  /** Oracle CTE chain ending in `gf` = per-doc Gopher flags (doc_id,
+    * source, f_wc, f_wlen, f_stop, f_dom) — shared verbatim by the
+    * gopher_quality rollup and the filter_ablation composition. */
+  private[ops] val GopherFlagsCtes: String = {
     val stops = Stopwords("en").map(s => s"'$s'").mkString(", ")
-    s"""WITH gt AS (
+    s"""gt AS (
        |  SELECT doc_id, source, text,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |         length(text) AS n_chars_t,
@@ -352,7 +363,7 @@ object TextStats {
        |         CAST(sum(tf) AS BIGINT) AS tf_sum
        |  FROM gtf GROUP BY doc_id),
        |gr AS (
-       |  SELECT gt.source,
+       |  SELECT gt.doc_id, gt.source,
        |         CASE WHEN n_tok = 0 THEN 0
        |              ELSE CAST(floor(10000.0 * (n_chars_t - (n_tok - 1)) / n_tok) AS BIGINT)
        |         END AS wlen_e4,
@@ -362,12 +373,16 @@ object TextStats {
        |         n_tok, n_stop
        |  FROM gt JOIN gd USING (doc_id)),
        |gf AS (
-       |  SELECT source,
+       |  SELECT doc_id, source,
        |         CASE WHEN n_tok BETWEEN $GopherMinTokens AND $GopherMaxTokens THEN 0 ELSE 1 END AS f_wc,
        |         CASE WHEN wlen_e4 BETWEEN $GopherMinWlenE4 AND $GopherMaxWlenE4 THEN 0 ELSE 1 END AS f_wlen,
        |         CASE WHEN n_stop < $GopherMinStop THEN 1 ELSE 0 END AS f_stop,
        |         CASE WHEN dom_e4 > $GopherMaxDomE4 THEN 1 ELSE 0 END AS f_dom
-       |  FROM gr)
+       |  FROM gr)""".stripMargin
+  }
+
+  val gopherQualitySql: String = {
+    s"""WITH $GopherFlagsCtes
        |SELECT source, count(*) AS n_docs,
        |       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
        |       CAST(sum(f_wlen) AS BIGINT) AS fail_wordlen,
@@ -452,7 +467,10 @@ object TextStats {
     *
     * Scale: one scan, three codegen'd regex/translate counters per row,
     * one map-side-combined groupBy on ≤ |sources|×5 keys. */
-  def readability(spark: SparkSession, dir: String): DataFrame = {
+  /** Flesch reading-ease score (e3 fixed point) as a column expression
+    * over a documents row — shared by the readability banding and the
+    * filter_ablation composition (same arithmetic, no drift). */
+  private[ops] def fleschE3Col: Column = {
     val w = greatest(size(toks).cast("long"), lit(1L))
     val s = greatest(
       (length(col("text")) - length(translate(col("text"), ".!?", ""))).cast("long"),
@@ -460,11 +478,29 @@ object TextStats {
     val v = greatest(
       size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0))).cast("long"),
       lit(0L))
-    val score = lit(206835L) -
+    lit(206835L) -
       floor(lit(1015.0) * w / s).cast("long") -
       floor(lit(84600.0) * v / w).cast("long")
+  }
+
+  /** Oracle twin of [[fleschE3Col]]: per-doc CTE chain ending in `fsc`
+    * (doc_id, source, flesch_e3). */
+  private[ops] val FleschCtes: String =
+    """fr AS (
+      |  SELECT doc_id, source,
+      |         greatest(len(string_split(text, ' ')), 1) AS w,
+      |         greatest(length(text) - length(translate(text, '.!?', '')), 1) AS s,
+      |         len(regexp_extract_all(lower(text), '[aeiou]+')) AS v
+      |  FROM documents),
+      |fsc AS (
+      |  SELECT doc_id, source,
+      |         206835 - CAST(floor(1015.0 * w / s) AS BIGINT)
+      |                - CAST(floor(84600.0 * v / w) AS BIGINT) AS flesch_e3
+      |  FROM fr)""".stripMargin
+
+  def readability(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("source"), score.as("flesch_e3"))
+      .select(col("source"), fleschE3Col.as("flesch_e3"))
       .withColumn("band",
         when(col("flesch_e3") >= 90000L, "1_very_easy")
           .when(col("flesch_e3") >= 70000L, "2_easy")
