@@ -1735,4 +1735,306 @@ object Queries {
       |                    WHERE a.user_id = v.user_id AND a.conv = v.conv))
       |SELECT * FROM by_channel UNION ALL SELECT * FROM direct
       |ORDER BY channel""".stripMargin
+
+  // ---- user_churn_hazard: discrete survival hazard table ------------------
+
+  /** Censoring horizon: a user whose last event is within this many days
+    * of the corpus high-water is CENSORED (still alive), not churned. */
+  val ChurnHorizonDays = 7L
+
+  /** Discrete churn-hazard table (the Kaplan–Meier life table's exact
+    * half): per observed-lifetime day t, the users still at risk, the
+    * churn events d(t), the censored exits, and the discrete hazard
+    * d(t)/n(t) in e6 fixed point. The K-M survival CURVE itself is a
+    * running product of floats — not cross-engine reproducible (the ln
+    * caveat of the HLL estimator) and fully derivable from this table —
+    * so the hazard table IS the operator: everything here is exact
+    * integer arithmetic (one `div` per row).
+    *
+    * Censoring follows the standard right-censor rule: a user whose last
+    * activity is within [[ChurnHorizonDays]] of the corpus high-water
+    * may still return, so they exit the risk set at their observed
+    * lifetime WITHOUT counting as a churn.
+    *
+    * Scale shape: one map-side-combined groupBy on user_id; the life
+    * table itself is ≤ corpus-span-days rows, so its windows are
+    * driver-trivial (the lang_quantiles precedent for tiny ordered
+    * frames). */
+  def userChurnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .groupBy("user_id")
+      .agg(min("es").as("first_es"), max("es").as("last_es"))
+    val hi = perUser.agg(max("last_es").as("hi_es"))
+    // bounded-cross: 1-row corpus high-water aggregate, N-independent
+    val u = perUser.crossJoin(broadcast(hi))
+      .withColumn("obs_days", expr("(last_es - first_es) div 86400"))
+      .withColumn("censored",
+        (col("hi_es") - col("last_es") < ChurnHorizonDays * 86400L).cast("long"))
+    val byDay = u.groupBy("obs_days")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(col("censored") === 0, 1L).otherwise(0L)).as("n_churn"),
+        sum("censored").as("n_censored"))
+    val before = Window.orderBy("obs_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn("n_total", sum("n_ending").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum("n_ending").over(before), lit(0L)))
+      .withColumn("hazard_e6", expr("(n_churn * 1000000) div n_at_risk"))
+      .select("obs_days", "n_at_risk", "n_churn", "n_censored", "hazard_e6")
+      .orderBy("obs_days")
+  }
+
+  val userChurnHazardSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+       |u0 AS (
+       |  SELECT user_id, min(es) AS first_es, max(es) AS last_es
+       |  FROM e GROUP BY user_id),
+       |u AS (
+       |  SELECT (last_es - first_es) // 86400 AS obs_days,
+       |         CASE WHEN (SELECT max(last_es) FROM u0) - last_es
+       |                   < ${ChurnHorizonDays * 86400L} THEN 1 ELSE 0 END AS censored
+       |  FROM u0),
+       |byday AS (
+       |  SELECT obs_days, CAST(count(*) AS BIGINT) AS n_ending,
+       |         CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churn,
+       |         CAST(sum(censored) AS BIGINT) AS n_censored
+       |  FROM u GROUP BY obs_days),
+       |risk AS (
+       |  SELECT obs_days, n_ending, n_churn, n_censored,
+       |         CAST(sum(n_ending) OVER () AS BIGINT)
+       |           - CAST(coalesce(sum(n_ending) OVER (ORDER BY obs_days
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS n_at_risk
+       |  FROM byday)
+       |SELECT obs_days, n_at_risk, n_churn, n_censored,
+       |       (n_churn * 1000000) // n_at_risk AS hazard_e6
+       |FROM risk ORDER BY obs_days""".stripMargin
+
+  // ---- events_forecast_baseline: seasonal-naive backtest ------------------
+
+  /** Seasonal-naive forecast backtest over the weekly grid: hold out the
+    * last 7 calendar days, forecast each (dow, hour) slot's event count
+    * as the TRAIN-window mean for that slot (exact integer floor —
+    * train-slot event sum div the ARITHMETIC count of that dow's
+    * occurrences in the train window, so empty slots forecast 0 from a
+    * correct denominator rather than dropping out), and report
+    * per-slot forecast vs holdout actual with absolute error — the
+    * backtest that certifies "last week's profile" as a capacity
+    * baseline before anything fancier earns its complexity. The full
+    * 7×24 grid is seeded explicitly: a slot with no events in EITHER
+    * window still reports (0, 0, 0).
+    *
+    * Scale shape: two map-side-combined groupBys over ≤ 168 keys; the
+    * grid is a 168-row literal; day-window bounds are one 1-row
+    * aggregate broadcast. Calendar math is the events_dow_hour
+    * epoch-integer contract (dow 0 = Monday). */
+  def eventsForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("es", expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
+      .withColumn("d", expr("(es - pmod(es, 86400)) div 86400"))
+      .withColumn("dow", expr("pmod(d + 3, 7)"))
+      .withColumn("hour", expr("pmod(es, 86400) div 3600"))
+    val bounds = ev.agg(min("d").as("d_min"), max("d").as("d_max"))
+    // bounded-cross: 1-row day-window bounds aggregate, N-independent
+    val evb = ev.crossJoin(broadcast(bounds))
+      .withColumn("d_train_hi", col("d_max") - lit(7L))
+    val train = evb.where(col("d") <= col("d_train_hi"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("train_n"))
+    val hold = evb.where(col("d") > col("d_train_hi"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("actual_n"))
+    // bounded-cross: 7x24 literal grid x 1-row bounds
+    val grid = spark.range(7).select(col("id").as("dow"))
+      .crossJoin(spark.range(24).select(col("id").as("hour")))
+      .crossJoin(broadcast(bounds))
+      .withColumn("d_train_hi", col("d_max") - lit(7L))
+      // occurrences of this dow in [d_min, d_train_hi]: first matching
+      // day then every 7th — pure integer arithmetic, zero-safe
+      .withColumn("dow_first",
+        col("d_min") + pmod(col("dow") - pmod(col("d_min") + 3, lit(7L)), lit(7L)))
+      .withColumn("n_occ",
+        when(col("dow_first") > col("d_train_hi"), 0L)
+          .otherwise(expr("(d_train_hi - dow_first) div 7 + 1")))
+      .select("dow", "hour", "n_occ")
+    grid
+      .join(train, Seq("dow", "hour"), "left")
+      .join(hold, Seq("dow", "hour"), "left")
+      .withColumn("train_n", coalesce(col("train_n"), lit(0L)))
+      .withColumn("actual_n", coalesce(col("actual_n"), lit(0L)))
+      .withColumn("forecast_n",
+        when(col("n_occ") === 0, 0L)
+          .otherwise(expr("train_n div n_occ")))
+      .withColumn("abs_err", abs(col("forecast_n") - col("actual_n")))
+      .select("dow", "hour", "n_occ", "train_n", "forecast_n", "actual_n", "abs_err")
+      .orderBy("dow", "hour")
+  }
+
+  val eventsForecastBaselineSql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |ed AS (
+      |  SELECT es, (es - ((es % 86400 + 86400) % 86400)) // 86400 AS d FROM e),
+      |ex AS (
+      |  SELECT d, ((d + 3) % 7 + 7) % 7 AS dow,
+      |         ((es % 86400 + 86400) % 86400) // 3600 AS hour
+      |  FROM ed),
+      |bounds AS (SELECT min(d) AS d_min, max(d) - 7 AS d_train_hi FROM ed),
+      |train AS (
+      |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS train_n
+      |  FROM ex, bounds WHERE d <= d_train_hi GROUP BY dow, hour),
+      |hold AS (
+      |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS actual_n
+      |  FROM ex, bounds WHERE d > d_train_hi GROUP BY dow, hour),
+      |grid AS (
+      |  SELECT dw.dow, hr.hour,
+      |         b.d_min + ((dw.dow - ((b.d_min + 3) % 7 + 7) % 7) % 7 + 7) % 7 AS dow_first,
+      |         b.d_train_hi
+      |  FROM (SELECT unnest(range(0, 7)) AS dow) dw
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hour) hr
+      |  CROSS JOIN bounds b),
+      |go AS (
+      |  SELECT dow, hour,
+      |         CASE WHEN dow_first > d_train_hi THEN 0
+      |              ELSE (d_train_hi - dow_first) // 7 + 1 END AS n_occ
+      |  FROM grid)
+      |SELECT g.dow, g.hour, CAST(g.n_occ AS BIGINT) AS n_occ,
+      |       coalesce(t.train_n, 0) AS train_n,
+      |       CASE WHEN g.n_occ = 0 THEN 0
+      |            ELSE coalesce(t.train_n, 0) // g.n_occ END AS forecast_n,
+      |       coalesce(h.actual_n, 0) AS actual_n,
+      |       abs(CASE WHEN g.n_occ = 0 THEN 0
+      |                ELSE coalesce(t.train_n, 0) // g.n_occ END
+      |           - coalesce(h.actual_n, 0)) AS abs_err
+      |FROM go g
+      |LEFT JOIN train t ON t.dow = g.dow AND t.hour = g.hour
+      |LEFT JOIN hold h ON h.dow = g.dow AND h.hour = g.hour
+      |ORDER BY g.dow, g.hour""".stripMargin
+
+  // ---- q17_smallqty: correlated small-quantity revenue (TPC-H Q17 shape) --
+
+  /** TPC-H Q17's correlated-scalar-subquery shape, decorrelated the way
+    * Catalyst wants it: revenue sitting in below-average-quantity line
+    * items (qty < 0.2 × the part's average qty), rolled up per brand.
+    * The correlation is an aggregate-join — per-part (count, qty sum)
+    * grouped once, joined back to the fact on the SAME key (exchange
+    * reuse: one shuffle feeds both) — and the 0.2·avg comparison is
+    * EXACT integer cross-multiplication (qty_c · 5 · n < sum_qty_c), no
+    * division anywhere. Brand comes from the broadcast part dim.
+    *
+    * Scale shape: one l_partkey shuffle shared by the aggregate and the
+    * join; part is broadcast; output ≤ |brands| rows. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("ec"))
+    val per = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_li"), sum("qc").as("sum_qc"))
+    li.join(per, "l_partkey")
+      .where(col("qc") * 5L * col("n_li") < col("sum_qc"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sum("ec").as("small_rev_cents"))
+      .orderBy("p_brand")
+  }
+
+  val q17SmallQtySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ec
+      |  FROM lineitem),
+      |per AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_li,
+      |         CAST(sum(qc) AS BIGINT) AS sum_qc
+      |  FROM li GROUP BY l_partkey)
+      |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+      |       CAST(sum(li.ec) AS BIGINT) AS small_rev_cents
+      |FROM li
+      |JOIN per USING (l_partkey)
+      |JOIN part p ON li.l_partkey = p.p_partkey
+      |WHERE li.qc * 5 * per.n_li < per.sum_qc
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  // ---- orders_backlog: interval-sweep open-order curve --------------------
+
+  /** Open-order backlog curve by sweep-line: an order opens at
+    * o_orderdate and closes after its LAST line item ships (max
+    * l_shipdate per order — TPC-H's own notion of fulfillment), so the
+    * daily backlog is the prefix sum of +1/−1 day deltas — NO interval
+    * join, no per-day explosion: the classic sweep rewrite of "how many
+    * intervals cover day t", which at 100 TB turns an O(orders × days)
+    * stabbing problem into two keyed aggregations and a prefix sum over
+    * the ≤ span-days delta frame. Output rows are the CHANGE days only
+    * (backlog is constant between them). Epoch-second integer day math;
+    * the date string is display formatting of the exact day index.
+    *
+    * Scale shape: one l_orderkey shuffle for the close dates (equi-join
+    * back to orders on the same key), map-side-combined day-delta
+    * aggregation, and a window over the tiny day frame. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate/l_shipdate are TIMESTAMP_NTZ: cast through TIMESTAMP
+    // (session tz pinned UTC, so wall-clock == epoch) to get seconds
+    val opens = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("open_d"))
+    val closes = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(expr("max(CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400)").as("close_d"))
+    val deltas = opens
+      .join(closes, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("open_d"),
+        // an order with no line items never closes: delta row only for open
+        coalesce(col("close_d") + 1L, lit(null).cast("long")).as("close_after"))
+    val dOpen = deltas.groupBy(col("open_d").as("d"))
+      .agg(count(lit(1)).as("n_open"))
+    val dClose = deltas.where(col("close_after").isNotNull)
+      .groupBy(col("close_after").as("d"))
+      .agg(count(lit(1)).as("n_close"))
+    val run = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dOpen.join(dClose, Seq("d"), "full")
+      .withColumn("n_open", coalesce(col("n_open"), lit(0L)))
+      .withColumn("n_close", coalesce(col("n_close"), lit(0L)))
+      .withColumn("backlog", sum(col("n_open") - col("n_close")).over(run))
+      .withColumn("day", from_unixtime(col("d") * 86400L, "yyyy-MM-dd"))
+      .select("d", "day", "n_open", "n_close", "backlog")
+      .orderBy("d")
+  }
+
+  val ordersBacklogSql: String =
+    """WITH opens AS (
+      |  SELECT o_orderkey,
+      |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS open_d
+      |  FROM orders),
+      |closes AS (
+      |  SELECT l_orderkey,
+      |         max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS close_d
+      |  FROM lineitem GROUP BY l_orderkey),
+      |deltas AS (
+      |  SELECT o.open_d, c.close_d + 1 AS close_after
+      |  FROM opens o LEFT JOIN closes c ON o.o_orderkey = c.l_orderkey),
+      |d_open AS (
+      |  SELECT open_d AS d, CAST(count(*) AS BIGINT) AS n_open
+      |  FROM deltas GROUP BY open_d),
+      |d_close AS (
+      |  SELECT close_after AS d, CAST(count(*) AS BIGINT) AS n_close
+      |  FROM deltas WHERE close_after IS NOT NULL GROUP BY close_after),
+      |merged AS (
+      |  SELECT coalesce(o.d, c.d) AS d,
+      |         coalesce(o.n_open, 0) AS n_open,
+      |         coalesce(c.n_close, 0) AS n_close
+      |  FROM d_open o FULL OUTER JOIN d_close c ON o.d = c.d)
+      |SELECT d, strftime(to_timestamp(d * 86400), '%Y-%m-%d') AS day,
+      |       n_open, n_close,
+      |       CAST(sum(n_open - n_close) OVER (ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM merged ORDER BY d""".stripMargin
 }
