@@ -128,20 +128,26 @@ object Tables {
       .orElse(Option(System.getProperty("graft.rank.pin.dir")))
       .map(_.trim).filter(_.nonEmpty)
 
-  def pinRankBuckets(df: DataFrame, buckets: Int,
-      order: org.apache.spark.sql.Column*): DataFrame = {
-    val ranged = df.repartitionByRange(buckets, order: _*)
-      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-    rankPinDir match {
-      case Some(d) =>
-        val sc = df.sparkSession.sparkContext
-        // setCheckpointDir creates a fresh UUID subdir per call — set it
-        // once; an already-configured context dir is respected as-is
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-        ranged.checkpoint(eager = true)
-      case None => ranged.localCheckpoint(true)
-    }
+  /** Materialize a frame once and cut its lineage — the pin half of
+    * [[pinRankBuckets]], exposed for frames that several plan branches
+    * consume where recomputation would multiply a full scan (the
+    * incremental-maintenance rows read their keyed checkpoint/delta
+    * split from four branches). Local runs localCheckpoint;
+    * GRAFT_RANK_PIN_DIR deployments get a reliable checkpoint. */
+  def pinFrame(df: DataFrame): DataFrame = rankPinDir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir creates a fresh UUID subdir per call — set it
+      // once; an already-configured context dir is respected as-is
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      df.checkpoint(eager = true)
+    case None => df.localCheckpoint(true)
   }
+
+  def pinRankBuckets(df: DataFrame, buckets: Int,
+      order: org.apache.spark.sql.Column*): DataFrame =
+    pinFrame(df.repartitionByRange(buckets, order: _*)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id()))
 
   /** Memoized persist: build + `persist(MEMORY_AND_DISK)` a frame at most
     * once per (session, key). Spark's CacheManager already dedupes cached

@@ -229,7 +229,11 @@ object Forwarder {
   def cdcSnapshotIncremental(spark: SparkSession, dir: String): DataFrame = {
     val routed = routedKeyed(spark, dir)
     val ckpt = routed.agg(expr("max(lsn) * 3 div 5").as("ckpt_lsn"))
-    // bounded-cross: 1-row aggregate broadcast, N-independent
+    // bounded-cross: 1-row aggregate broadcast, N-independent. The
+    // branches re-derive remap+keying from the memory-persisted decode —
+    // measured CHEAPER than pinning the split (a lineage-cut
+    // materialization of the full keyed frame costs more than the
+    // per-branch cache reads it saves).
     val keyed = routed.crossJoin(broadcast(ckpt))
     val state = snapshotState(keyed.where(col("lsn") <= col("ckpt_lsn"))
       .drop("ckpt_lsn"))
@@ -367,7 +371,11 @@ object Forwarder {
     import org.apache.spark.sql.expressions.Window
     val keyed = routedKeyed(spark, dir).where(col("uid").isNotNull)
     val ckpt = keyed.agg(expr("max(lsn) * 3 div 5").as("ckpt_lsn"))
-    // bounded-cross: 1-row aggregate broadcast, N-independent
+    // bounded-cross: 1-row aggregate broadcast, N-independent. Four
+    // branches (closed/cursor over pre, firstDelta/deltaV over delta)
+    // re-derive keying from the memory-persisted decode — measured
+    // cheaper than a lineage-cut pin of the split (the materialization
+    // costs more than the per-branch cache reads it saves).
     val withL = keyed.crossJoin(broadcast(ckpt))
     val pre = withL.where(col("lsn") <= col("ckpt_lsn")).drop("ckpt_lsn")
     val delta = withL.where(col("lsn") > col("ckpt_lsn")).drop("ckpt_lsn")
