@@ -441,10 +441,63 @@ object Forwarder {
 
   /** The checkpoint+merge plan over explicit pre/delta frames (both in
     * [[routedKeyed]] shape, uid non-null) — shared by the registered
-    * query and IncrementalSnapshotSpec's multi-split proof. */
-  def scd2Merged(pre: DataFrame, delta: DataFrame): DataFrame =
-    scd2Closed(pre).unionByName(scd2New(scd2Cursor(pre), delta))
+    * query and IncrementalSnapshotSpec's multi-split proof.
+    *
+    * FUSED plan shape (the 100× point exposed the composed
+    * [[scd2Closed]] ∪ [[scd2New]]([[scd2Cursor]], …) form re-deriving
+    * the pre chain twice and the delta chain twice — four full
+    * decode→keying passes): ONE windowed pass per side yields
+    * everything — over pre, the asc lead/running-version-count windows
+    * plus a desc row_number give the closed set AND the 1-row-per-entity
+    * cursor off the same (base, uid) exchange; over delta, the same asc
+    * windows give both the first-delta row and the delta versions. The
+    * semantic definitions stay in the three named helpers (IncMaintBench
+    * prices them separately); IncrementalSnapshotSpec's multi-split hash
+    * equality against the full replay is what pins this fusion. */
+  def scd2Merged(pre: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = perEntW
+    val wDesc = Window.partitionBy("base", "uid")
+      .orderBy(col("lsn").desc, col("idx").desc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preW = pre
+      .withColumn("nxt", lead(col("lsn"), 1).over(w))
+      .withColumn("vn",
+        sum(when(col("kind") =!= "delete", 1L).otherwise(0L)).over(run))
+      .withColumn("rlast", row_number().over(wDesc))
+    val closed = preW.where(col("kind") =!= "delete" && col("nxt").isNotNull)
+      .select(col("base"), col("uid"), col("vn").as("version"),
+        col("lsn").as("valid_from"), col("nxt").as("valid_to"),
+        lit(0L).as("is_current"), col("kind"))
+    val cursor = preW.where(col("rlast") === 1)
+      .select(col("base"), col("uid"), col("lsn").as("last_lsn"),
+        col("kind").as("last_kind"), col("vn").as("n_versions"))
+    val deltaW = delta
+      .withColumn("nxt", lead(col("lsn"), 1).over(w))
+      .withColumn("vn",
+        sum(when(col("kind") =!= "delete", 1L).otherwise(0L)).over(run))
+      .withColumn("rfirst", row_number().over(w))
+    val firstDelta = deltaW.where(col("rfirst") === 1)
+      .select(col("base"), col("uid"), col("lsn").as("first_lsn"))
+    val openResolved = cursor.where(col("last_kind") =!= "delete")
+      .join(firstDelta, Seq("base", "uid"), "left")
+      .select(col("base"), col("uid"), col("n_versions").as("version"),
+        col("last_lsn").as("valid_from"),
+        coalesce(col("first_lsn"), lit(-1L)).as("valid_to"),
+        when(col("first_lsn").isNull, 1L).otherwise(0L).as("is_current"),
+        col("last_kind").as("kind"))
+    val deltaV = deltaW.where(col("kind") =!= "delete")
+      .join(cursor.select(col("base"), col("uid"),
+        col("n_versions").as("base_ver")), Seq("base", "uid"), "left")
+      .select(col("base"), col("uid"),
+        (col("vn") + coalesce(col("base_ver"), lit(0L))).as("version"),
+        col("lsn").as("valid_from"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
+        col("kind"))
+    closed.unionByName(openResolved).unionByName(deltaV)
       .orderBy("base", "uid", "version")
+  }
 
   val cdcScd2Sql: String =
     s"""WITH ${ChangeFeed.FeedCte},
