@@ -92,7 +92,11 @@ if xspec_p.exists():
 
 # 6. the 1000x headline total quoted in SURVEY == the newest committed
 #    1000x stress artifact's total_sec
-arts = sorted(root.glob("BENCH_stress_r*_1000x.json"))
+arts = [a for a in sorted(root.glob("BENCH_stress_r*_1000x.json"))
+        if json.load(open(a)).get("metric") != "stress_subset"]
+# subset-scoped stress artifacts (metric == stress_subset) measure a
+# named key list, not the registry headline - the headline invariant
+# compares against the newest FULL-registry 1000x artifact only
 m_head = re.search(r"1000× headline: (\d+) queries, (\d+) errors, ([\d.]+) s total", survey)
 if arts and m_head:
     art = json.load(open(arts[-1]))
