@@ -91,12 +91,20 @@ if xspec_p.exists():
                        f"CrossJoinGateSpec pins {m_xspec.group(1)}")
 
 # 6. the 1000x headline total quoted in SURVEY == the newest committed
-#    1000x stress artifact's total_sec
-arts = [a for a in sorted(root.glob("BENCH_stress_r*_1000x.json"))
-        if json.load(open(a)).get("metric") != "stress_subset"]
-# subset-scoped stress artifacts (metric == stress_subset) measure a
-# named key list, not the registry headline - the headline invariant
-# compares against the newest FULL-registry 1000x artifact only
+#    1000x stress artifact's total_sec. "Newest" = highest EMBEDDED round
+#    number (lexicographic filename sort misorders r9 vs r10 — round-14
+#    advice); subset-scoped artifacts (metric == stress_subset) measure a
+#    named key list, not the registry headline, and are skipped.
+
+
+def _round_of(path):
+    m = re.search(r"_r(\d+)", path.name)
+    return int(m.group(1)) if m else -1
+
+
+arts = sorted((a for a in root.glob("BENCH_stress_r*_1000x.json")
+               if json.load(open(a)).get("metric") != "stress_subset"),
+              key=_round_of)
 m_head = re.search(r"1000× headline: (\d+) queries, (\d+) errors, ([\d.]+) s total", survey)
 if arts and m_head:
     art = json.load(open(arts[-1]))
@@ -104,6 +112,23 @@ if arts and m_head:
     got = (int(m_head.group(1)), int(m_head.group(2)), float(m_head.group(3)))
     if want != got:
         errors2.append(f"SURVEY 1000× headline {got} != {arts[-1].name} {want}")
+    # staleness (round-14 advice): a headline artifact covering fewer
+    # queries than the live registry means the full-registry 1000× point
+    # was never re-run after the registry grew — fail until rebaselined.
+    # keys cell = 3rd-from-last cell (prose cells contain unescaped '|',
+    # so split from the END — the tail cells are well-formed)
+    s2_keys = {k for _, line in rows
+               for k in re.findall(r"`([a-z][a-z0-9_]*)`",
+                                   line.rsplit("|", 4)[1])}
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from make_chunks import EXPANDED_OPT_INS
+    expected_n = len(s2_keys - EXPANDED_OPT_INS)
+    if art.get("n_queries", 0) < expected_n:
+        errors2.append(
+            f"1000× headline artifact {arts[-1].name} covers "
+            f"{art.get('n_queries')} queries but the registry has "
+            f"{expected_n} stress-eligible keys — full-registry 1000× "
+            f"rebaseline required")
 elif not m_head:
     errors2.append('SURVEY 1000× headline prose not found')
 

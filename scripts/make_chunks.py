@@ -20,12 +20,16 @@ import json
 import os
 import sys
 
-# Excluded from stress scales (output-quadratic expanded contracts).
+# Excluded from stress scales: the seven output-quadratic expanded pair
+# contracts, plus the kmv exact-audit opt-in (its exact union/intersection
+# columns self-join the distinct (source,h) corpus frame — the gate-scale
+# verification affordance for the kmv_overlap sketch, not a serving path;
+# SURVEY §5 / rows-160-style precedent).
 EXPANDED_OPT_INS = {
     "dedup_minhash_pairs_full", "jaccard_prefix_pairs_full",
     "containment_join_pairs_full", "minhash_est_pairs_full",
     "embed_cosine_dup_pairs_full", "dedup_simhash_pairs_full",
-    "dedup_simhash_multiprobe_full",
+    "dedup_simhash_multiprobe_full", "kmv_overlap_audit",
 }
 
 CHUNKS = {
@@ -37,13 +41,14 @@ CHUNKS = {
         ann_ivfpq_search ann_lsh ann_mrr ann_nprobe_sweep ann_pq
         ann_pq_recall ann_pq_search ann_recall ann_topk knn_classify
         label_noise lsh_bucket_stats embed_cosine_dup mutual_knn
+        ann_nn_graph ann_nn_graph_recall
     """,
     # Embedding analytics (same file, but stats-side builds).
     "b_embed": """
         embed_centroids embed_covariance embed_drift embed_label_margin
         embed_norm_audit embed_pca_power embed_prune embed_quant
         embed_whiten_audit dedup_semantic embed_trunc_audit
-        decontaminate_semantic
+        decontaminate_semantic embed_jl_audit
     """,
     # Dedup.scala family: shares shingle/minhash/rep-collapse frames.
     "c_dedup": """
@@ -71,7 +76,7 @@ CHUNKS = {
         source_quality_matrix lang_quantiles lang_trim quantile_sketch
         quantile_merge segment_dedup segment_keep_k pii_scrub pii_audit
         substring_dup corpus_diff curation_e2e source_copy_matrix
-        skyline_docs table_profile compaction_plan
+        skyline_docs table_profile compaction_plan filter_ablation
     """,
     # Relational/events queries (Queries.scala).
     "f_rel": """
@@ -82,7 +87,9 @@ CHUNKS = {
         funnel_latency_hist user_window_1h user_spend_decile
         user_activity_gini join_salted join_skew_audit events_rollup k_anonymity
         user_decay_score event_transitions session_paths user_ltv
-        benford_audit user_burstiness zorder_layout
+        benford_audit user_burstiness zorder_layout user_rfm
+        attribution_credit user_churn_hazard events_forecast_baseline
+        q17_smallqty orders_backlog
     """,
     # CDC family: shares the decoded change-feed frame.
     "g_cdc": """
@@ -90,7 +97,7 @@ CHUNKS = {
         filter_in filter_typed subscription_route table_route_validate
         hyper_remap fanout_forward auth_restrict cdc_snapshot cdc_lag
         cdc_redact cdc_schema_drift cdc_scd2 cdc_dlq replay_window
-        lsn_roundtrip stream_window_counts
+        lsn_roundtrip stream_window_counts cdc_snapshot_inc cdc_scd2_inc
     """,
     # Chunk/set-join/sketch/multimodal remainder.
     "h_misc": """
@@ -98,6 +105,7 @@ CHUNKS = {
         content_chunks source_overlap hll_distinct hll_merge cms_topk
         cms_merge jaccard_prefix containment_join mm_features mm_frames
         mm_header_fields mm_content_chunks frame_dedup knob_report
+        kmv_overlap
     """,
 }
 

@@ -51,8 +51,13 @@ object StreamBench {
     // stream starts — measures pure consumer drain capacity, used to
     // attribute the composed knee to a stage (ingest vs consumer)
     val preload = sys.env.get("GRAFT_STREAM_PRELOAD").exists(_.toBoolean)
+    // GRAFT_STREAM_WRITERS > 1: shard the ingest across N outbox writer
+    // connections (min-over-writers watermark) so the composed knee can
+    // be pushed past the single-connection write path to the CONSUMER
+    val writers = sys.env.get("GRAFT_STREAM_WRITERS").map(_.toInt).getOrElse(1)
     val r = StreamRateHarness.run(spark, msgs, rate, maxPerTrigger, triggerMs,
-      numPartitions = math.max(2, cpus.toInt / 4), preload = preload)
+      numPartitions = math.max(2, cpus.toInt / 4), preload = preload,
+      writers = writers)
 
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val batches = r.batches.map(b =>
@@ -69,7 +74,7 @@ object StreamBench {
         s""","n_batches":${r.nBatches},"max_batch_rows":${r.maxBatchRows}""" +
         s""","delivered_rows":${r.deliveredRows},"state_rows":${r.stateRows}""" +
         s""","distinct_entities":${r.distinctEntities}""" +
-        s""","preload":$preload""" +
+        s""","preload":$preload,"writers":$writers""" +
         s""","sustained":${r.drainLagMs <= 3 * triggerMs + 5000}""" +
         s""","e2e_note":"insert attribution is the containing 100 ms pacing slice's commit; e2e_ms can read low by <=1 slice","batches":$batches}"""
     println(line)

@@ -129,11 +129,12 @@ object Tables {
       .map(_.trim).filter(_.nonEmpty)
 
   /** Materialize a frame once and cut its lineage — the pin half of
-    * [[pinRankBuckets]], exposed for frames that several plan branches
-    * consume where recomputation would multiply a full scan (the
-    * incremental-maintenance rows read their keyed checkpoint/delta
-    * split from four branches). Local runs localCheckpoint;
-    * GRAFT_RANK_PIN_DIR deployments get a reliable checkpoint. */
+    * [[pinRankBuckets]] (currently its only caller; kept separate so a
+    * future multi-branch consumer can pin without also range-bucketing —
+    * note the incremental-maintenance rows deliberately do NOT pin:
+    * a lineage-cut there measured slower, see Forwarder). Local runs
+    * localCheckpoint; GRAFT_RANK_PIN_DIR deployments get a reliable
+    * checkpoint. */
   def pinFrame(df: DataFrame): DataFrame = rankPinDir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext

@@ -1098,22 +1098,37 @@ object Similarity {
   /** Oracle twin of [[trainedCentroidsIter]]: iv_seeds0 (deterministic
     * init) → IvfIters × (rank-1 assign → floor-quantized mean) →
     * `seeds`. Generated per-iteration so the knob and the SQL cannot
-    * drift. */
+    * drift.
+    *
+    * REP-LEVEL (round 15): the member-level form ranked vecs × seeds
+    * rows per iteration — ~1.6B cos evaluations at the 100× stress
+    * point, which OOM'd DuckDB after 4 CPU-hours (the r14 oracle
+    * blocker). Every training statistic is a pure function of the
+    * quantized vector, so the Lloyd recurrence collapses EXACTLY to the
+    * distinct-qv frame with integer count weights: the rank-1 cell of a
+    * member equals the rank-1 cell of its rep (same qv ⇒ same cos ⇒
+    * same argmax), member count(*) = Σ gcnt, and member Σ qv[dim] =
+    * Σ gcnt·qv[dim] — the engine's round-11 collapse applied to the
+    * oracle's own CTEs, bit-identical output by construction. */
   private def IvfTrainCtes: String = {
+    val gw =
+      s"""iv_gw AS (
+         |  SELECT min(vec_id) AS gid, qv, n2, CAST(count(*) AS BIGINT) AS gcnt
+         |  FROM vecs GROUP BY qv, n2)""".stripMargin
     val init =
       s"""iv_seeds0 AS (
          |  SELECT vec_id AS seed_id, qv AS sv, n2 AS sn2 FROM vecs WHERE vec_id < $NumCells)""".stripMargin
     val steps = (1 to IvfIters).map { it =>
       s"""iv_mem$it AS (
-         |  SELECT avid, seed_id AS cell FROM (
-         |    SELECT a.vec_id AS avid, s.seed_id,
-         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |  SELECT gid, gcnt, seed_id AS cell FROM (
+         |    SELECT a.gid, a.gcnt, s.seed_id,
+         |           row_number() OVER (PARTITION BY a.gid ORDER BY
          |             ${cosToSeedSql("a", "s")} DESC,
          |             s.seed_id) AS rnk
-         |    FROM vecs a CROSS JOIN iv_seeds${it - 1} s) r WHERE rnk = 1),
+         |    FROM iv_gw a CROSS JOIN iv_seeds${it - 1} s) r WHERE rnk = 1),
          |iv_upd$it AS (
-         |  SELECT m.cell, d.dim, count(*) AS n, sum(v.qv[d.dim]) AS sum_q
-         |  FROM iv_mem$it m JOIN vecs v ON m.avid = v.vec_id
+         |  SELECT m.cell, d.dim, sum(m.gcnt) AS n, sum(m.gcnt * v.qv[d.dim]) AS sum_q
+         |  FROM iv_mem$it m JOIN iv_gw v ON m.gid = v.gid
          |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d
          |  GROUP BY m.cell, d.dim),
          |iv_seeds$it AS (
@@ -1126,7 +1141,7 @@ object Similarity {
          |  WHERE list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) > 0)""".stripMargin
     }
     val fin = s"seeds AS (SELECT * FROM iv_seeds$IvfIters)"
-    (init +: steps :+ fin).mkString(",\n")
+    (gw +: init +: steps :+ fin).mkString(",\n")
   }
 
   /** Oracle twin of [[cellAssignments]] + the cells / probes split —
@@ -1143,20 +1158,35 @@ object Similarity {
          |probes AS (SELECT qid, pcell FROM hprobes)""".stripMargin
     else FlatAssignCtes
 
+  /** Rep-level flat assignment (round 15, same collapse as the train
+    * CTEs): the vecs × seeds ranking — 156M rows at the 100× point —
+    * runs once per DISTINCT quantized vector (iv_gasgn), then fans back
+    * to members by the qv-equality map (iv_vgrp). cells/probes derive
+    * from the group ranking directly so neither forces a full
+    * member × seeds materialization; `assign` keeps the member-level
+    * contract for the two consumers that filter it (embed_prune rnk=1,
+    * nprobe sweep's bounded query set) — the filters push into the
+    * joins, and the per-member cos is never re-evaluated. */
   private def FlatAssignCtes: String =
-    s"""assign AS (
-       |  SELECT a.vec_id AS avid, s.seed_id,
-       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |           ${cosToSeedSql("a", "s")} DESC,
+    s"""iv_vgrp AS (
+       |  SELECT v.vec_id, v.qv, v.n2, g.gid
+       |  FROM vecs v JOIN iv_gw g ON v.qv = g.qv),
+       |iv_gasgn AS (
+       |  SELECT g.gid, s.seed_id,
+       |         row_number() OVER (PARTITION BY g.gid ORDER BY
+       |           ${cosToSeedSql("g", "s")} DESC,
        |           s.seed_id) AS rnk
-       |  FROM vecs a CROSS JOIN seeds s),
+       |  FROM iv_gw g CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT v.vec_id AS avid, a.seed_id, a.rnk
+       |  FROM iv_vgrp v JOIN iv_gasgn a ON v.gid = a.gid),
        |cells AS (
        |  SELECT v.vec_id AS cid, a.seed_id AS cell, v.qv AS cv, v.n2 AS cn2
-       |  FROM assign a JOIN vecs v ON a.avid = v.vec_id
-       |  WHERE a.rnk = 1),
+       |  FROM iv_vgrp v JOIN iv_gasgn a ON v.gid = a.gid AND a.rnk = 1),
        |probes AS (
-       |  SELECT avid AS qid, seed_id AS pcell FROM assign
-       |  WHERE avid < $NumQueries AND rnk <= $NProbe)""".stripMargin
+       |  SELECT v.vec_id AS qid, a.seed_id AS pcell
+       |  FROM iv_vgrp v JOIN iv_gasgn a ON v.gid = a.gid
+       |  WHERE v.vec_id < $NumQueries AND a.rnk <= $NProbe)""".stripMargin
 
   def annIvfSql: String =
     s"""WITH $VecCte,

@@ -330,22 +330,30 @@ object Sketches {
     * pins two-phase ≡ single-window on sf0.001; the ORACLE uses the
     * single window, so the oracle hash match re-proves it per run.
     *
-    * Exact union/intersection columns are the verification affordance
-    * (hll_distinct's n_exact pattern), not the scale path: exact
-    * intersection equi-joins the distinct (source, h) frame on h —
-    * fan-out bounded by the source count — and union comes by
-    * inclusion–exclusion, never a per-pair corpus pass. Estimator
-    * arithmetic is all-int64 except the one division, written with
-    * identical literal text on both engines (127 · 2.147483647e9 is an
-    * exact double product; the division is a single IEEE op). */
-  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    * Estimator arithmetic is all-int64 except the one division, written
+    * with identical literal text on both engines (127 · 2.147483647e9 is
+    * an exact double product; the division is a single IEEE op).
+    *
+    * DEFAULT row = sketch columns only: the 100 TB read is sources × K
+    * int64s after the one distinct-shingle scan that builds the
+    * sketches. The exact union/intersection compare (hll_distinct's
+    * n_exact pattern — it self-joins the distinct (source, h) frame and
+    * re-aggregates per-source distinct counts, work that dwarfs the
+    * sketch it certifies at corpus scale) is quarantined behind the
+    * `kmv_overlap_audit` opt-in key, the rows-160/173/179 expanded-
+    * contract precedent applied to a verification affordance. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvEstimates(spark, dir)
+      .select(col("source_a"), col("source_b"), col("m"),
+        col("kmv_union"), col("kmv_inter"), col("kmv_jacc_e4"))
+      .orderBy("source_a", "source_b")
+
+  /** Sketch estimates per source pair (shared by the default row and the
+    * exact-audit opt-in): bottom-K per source (two-phase), pair-merged
+    * bottom-K, union/intersection/Jaccard estimators. */
+  private def kmvEstimates(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val srcSh = Tables.memoPersist(spark, s"sketches.srcsh:$dir") {
-      Dedup.shingleSetsProbe(spark, dir)
-        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
-        .select(col("source"), explode(col("sh")).as("h"))
-        .distinct()
-    }
+    val srcSh = kmvSrcSh(spark, dir)
     val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(KmvSalt.toLong)))
       .orderBy("h")
     val w2 = Window.partitionBy("source").orderBy("h")
@@ -383,6 +391,29 @@ object Sketches {
           s"CAST(floor(${KmvK - 1} * 2.147483647e9 / v_k) AS BIGINT)")))
       .withColumn("kmv_inter", expr("(n_both * kmv_union) div m"))
       .withColumn("kmv_jacc_e4", expr("(n_both * 10000) div m"))
+    est
+  }
+
+  /** The distinct (source, shingle-hash) frame both the sketch build and
+    * the exact audit read — one corpus scan, memoized. */
+  private def kmvSrcSh(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sketches.srcsh:$dir") {
+      Dedup.shingleSetsProbe(spark, dir)
+        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("sh")).as("h"))
+        .distinct()
+    }
+
+  /** Opt-in exact-audit row: the sketch estimates joined against their
+    * exact counterparts (intersection by equi-join on h — fan-out
+    * bounded by the source count — union by inclusion–exclusion over
+    * per-source distinct counts) with e4 error columns. Gate-scale
+    * verification affordance, NOT the serving path: the exact columns
+    * re-scan and self-join the distinct (source, h) frame, which at
+    * 100 TB costs orders of magnitude more than the sketch they check. */
+  def kmvOverlapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = kmvSrcSh(spark, dir)
+    val est = kmvEstimates(spark, dir)
     // exact counterparts: intersection by equi-join on h, union by
     // inclusion-exclusion over per-source distinct counts
     val perSrc = srcSh.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -412,11 +443,13 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
-  /** Oracle: the SAME sketch algebra with the single-window bottom-K
-    * (the two-phase rewrite is proven equivalent by KmvSpec and
-    * re-proven by this hash match per run). */
-  val kmvOverlapSql: String =
-    s"""WITH ${Dedup.ShSqlCte},
+  /** Oracle CTE chain through the sketch estimates (`est`): the SAME
+    * sketch algebra with the single-window bottom-K (the two-phase
+    * rewrite is proven equivalent by KmvSpec and re-proven by each
+    * row's hash match per run). Shared by the default sketch-only row
+    * and the exact-audit opt-in. */
+  private val KmvEstCtes: String =
+    s"""${Dedup.ShSqlCte},
        |src_sh AS (
        |  SELECT DISTINCT d.source, u.h
        |  FROM (SELECT doc_id, unnest(sh) AS h FROM shs) u
@@ -454,7 +487,18 @@ object Sketches {
        |         CASE WHEN n_merged < $KmvK THEN n_merged
        |              ELSE CAST(floor(${KmvK - 1} * 2.147483647e9 / v_k) AS BIGINT)
        |         END AS kmv_union
-       |  FROM stats),
+       |  FROM stats)""".stripMargin
+
+  val kmvOverlapSql: String =
+    s"""WITH $KmvEstCtes
+       |SELECT source_a, source_b, m, kmv_union,
+       |       n_both * kmv_union // m AS kmv_inter,
+       |       n_both * 10000 // m AS kmv_jacc_e4
+       |FROM est
+       |ORDER BY source_a, source_b""".stripMargin
+
+  val kmvOverlapAuditSql: String =
+    s"""WITH $KmvEstCtes,
        |persrc AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS nd
        |  FROM src_sh GROUP BY source),

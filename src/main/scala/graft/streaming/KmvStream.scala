@@ -41,8 +41,26 @@ object KmvStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long)], state: GroupState[KmvState]) =>
           val prev = state.getOption.getOrElse(KmvState(0, Seq.empty))
-          val merged = (prev.hs ++ rows.map(_._2)).distinct.sorted
-            .take(Sketches.KmvK)
+          // Incremental bounded fold: a max-heap of the K smallest with a
+          // membership set — per-key memory stays O(K) however large the
+          // micro-batch is (materializing the batch's rows before take(K)
+          // would make state updates O(batch) and undercut the serving
+          // claim above). Equivalent to (prev ++ batch).distinct.sorted
+          // .take(K): an evicted hash is >= every later heap max, so the
+          // strict < test can never readmit it.
+          val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          prev.hs.foreach { h => if (seen.add(h)) heap.enqueue(h) }
+          rows.foreach { r =>
+            val h = r._2
+            if (!seen.contains(h)) {
+              if (heap.size < Sketches.KmvK) { seen.add(h); heap.enqueue(h) }
+              else if (h < heap.head) {
+                seen.remove(heap.dequeue()); seen.add(h); heap.enqueue(h)
+              }
+            }
+          }
+          val merged = heap.toSeq.sorted
           val next = KmvState(prev.ver + 1, merged)
           state.update(next)
           Iterator.single(KmvEmit(key, next.ver, merged))

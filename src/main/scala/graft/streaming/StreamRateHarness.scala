@@ -77,10 +77,21 @@ object StreamRateHarness {
     * attribute the saturation knee to a stage: if the composed run's
     * achieved generator rate is below this, the ingest write path is
     * the bottleneck, not the stream. */
+  /** `writers` > 1 shards the ingest across N writer connections (the
+    * round-14 knee attribution: ONE Derby connection saturates at ~48k
+    * rows/s while the consumer drains 82k — so a composed measurement
+    * can never reach the consumer's knee through one writer). Slices are
+    * striped round-robin; each writer publishes its committed position
+    * transactionally with its slice commit, and the source's high-water
+    * becomes MIN over writers (progressTable option) — the safe
+    * multi-writer outbox watermark. writers = 1 keeps the r13/r14
+    * single-writer posture bit-for-bit. */
   def run(spark: SparkSession, msgsIn: Array[Row], ratePerSec: Long,
       maxLsnPerTrigger: Long, triggerMs: Long,
-      numPartitions: Int = 4, preload: Boolean = false): RateReport = {
+      numPartitions: Int = 4, preload: Boolean = false,
+      writers: Int = 1): RateReport = {
     require(msgsIn.nonEmpty, "no messages to stream")
+    require(writers >= 1, "writers must be >= 1")
     // Re-key to a DENSE 1..N outbox sequence (order-preserving): the
     // synthesized feed uses event_id as lsn — unique but sparse at
     // stress scales — while LSN-window admission prices the scanned key
@@ -93,21 +104,38 @@ object StreamRateHarness {
     val work = java.nio.file.Files.createTempDirectory("graft-stream-bench-").toString
     val url = s"jdbc:derby:$work/db;create=true"
     exec(url, "CREATE TABLE changes (lsn BIGINT PRIMARY KEY, payload VARCHAR(4000))")
+    val progressTable = if (writers > 1) Some("progress") else None
+    progressTable.foreach { pt =>
+      exec(url, s"CREATE TABLE $pt (writer INT PRIMARY KEY, committed_lsn BIGINT)")
+      (0 until writers).foreach(k =>
+        exec(url, s"INSERT INTO $pt VALUES ($k, ${msgs.head.getLong(0) - 1})"))
+    }
 
     // lsn → insert-completion nanos, for end-to-end latency attribution
     val insertTimes = new ConcurrentSkipListMap[Long, Long]()
     val maxLsn = msgs.last.getLong(0)
     @volatile var generatorDoneAt = 0L
     val sliceRows = math.max(1, (ratePerSec / 10).toInt) // 100 ms ticks
+    val nSlices = (msgs.length + sliceRows - 1) / sliceRows
     val genT0 = System.nanoTime()
-    val generator = new Thread(() => {
+    val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Writer k owns slices s with s % writers == k (round-robin stripes
+    // of the lsn-sorted feed, so each writer's own lsns are increasing
+    // and its published position is monotone). Each slice's rows and the
+    // writer's progress row commit in ONE transaction — the atomicity
+    // the min-over-writers watermark needs. writers == 1 degenerates to
+    // the r13/r14 single-generator loop (no progress table, max(lsn)
+    // high-water).
+    def writerThread(k: Int): Thread = new Thread(() => {
       val c = DriverManager.getConnection(url)
       try {
         c.setAutoCommit(false)
         val ps = c.prepareStatement("INSERT INTO changes VALUES (?, ?)")
-        var i = 0
-        var tick = 0L
-        while (i < msgs.length) {
+        val pp = progressTable.map(pt =>
+          c.prepareStatement(s"UPDATE $pt SET committed_lsn = ? WHERE writer = $k"))
+        var s = k
+        while (s < nSlices) {
+          val i = s * sliceRows
           val until = math.min(i + sliceRows, msgs.length)
           var j = i
           while (j < until) {
@@ -116,22 +144,34 @@ object StreamRateHarness {
             ps.addBatch()
             j += 1
           }
-          ps.executeBatch(); c.commit()
+          ps.executeBatch()
+          pp.foreach { p => p.setLong(1, msgs(until - 1).getLong(0)); p.executeUpdate() }
+          c.commit()
           insertTimes.put(msgs(until - 1).getLong(0), System.nanoTime())
-          i = until
-          tick += 1
-          // pace to the target rate (sleep to the tick's schedule; a
-          // slow DB naturally degrades the achieved rate, which the
-          // report exposes via generatorWallMs); preload mode never
-          // sleeps — it fills the table at the DB's own max rate
-          if (!preload) {
-            val due = genT0 + tick * 100L * 1000000L
+          s += writers
+          // pace to the slice's slot on the GLOBAL schedule (slice s is
+          // due at genT0 + (s+1)·100 ms whichever writer owns it; a slow
+          // DB naturally degrades the achieved rate, which the report
+          // exposes via generatorWallMs); preload mode never sleeps —
+          // it fills the table at the DB's own max rate
+          if (!preload && s < nSlices) {
+            val due = genT0 + s.toLong * 100L * 1000000L
             val wait = (due - System.nanoTime()) / 1000000L
             if (wait > 0) Thread.sleep(wait)
           }
         }
-      } finally { c.close(); generatorDoneAt = System.nanoTime() }
-    }, "stream-bench-generator")
+        // done: this writer has nothing in flight — publish the feed's
+        // end so it never holds the min-watermark back
+        pp.foreach { p => p.setLong(1, maxLsn); p.executeUpdate(); c.commit() }
+      } finally {
+        c.close()
+        if (writersDone.incrementAndGet() == writers)
+          generatorDoneAt = System.nanoTime()
+      }
+    }, s"stream-bench-writer-$k")
+    val writerThreads = (0 until writers).map(writerThread)
+    def startWriters(): Unit = writerThreads.foreach(_.start())
+    def joinWriters(): Unit = writerThreads.foreach(_.join())
 
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
     @volatile var confirmed = -1L
@@ -207,23 +247,24 @@ object StreamRateHarness {
 
     // preload mode: the whole backlog is in the table before the stream
     // sees its first trigger, so the stream wall prices the consumer path
-    if (preload) { generator.start(); generator.join() }
+    if (preload) { startWriters(); joinWriters() }
     val streamT0 = System.nanoTime()
 
-    val raw = spark.readStream
+    val rawBase = spark.readStream
       .format("graft.sources.JdbcChangeFeed")
       .option("url", url).option("table", "changes")
       .option("startLsn", (msgs.head.getLong(0) - 1).toString)
       .option("numPartitions", numPartitions.toString)
       .option("maxLsnPerTrigger", maxLsnPerTrigger.toString)
-      .load()
+    val raw = progressTable.fold(rawBase)(pt =>
+      rawBase.option("progressTable", pt)).load()
     val q = ChangeFeed.decodedWithMapFromRaw(raw).writeStream
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .foreachBatch(applyBatch _)
       .start()
 
-    if (!preload) generator.start()
+    if (!preload) startWriters()
     // run until the generator finished AND the stream drained the feed.
     // Drain is judged on the SYNCHRONOUS per-batch records: the listener
     // `confirmed` watermark rides an async event bus and can lag the

@@ -40,7 +40,8 @@ class KmvSpec extends SparkSpec {
   }
 
   test("merged Kth minimum <= each side's Kth minimum; small pairs exact") {
-    val out = Sketches.kmvOverlap(spark, Sf0001).collect()
+    // the exact-compare columns live on the opt-in audit row
+    val out = Sketches.kmvOverlapAudit(spark, Sf0001).collect()
     assert(out.nonEmpty)
     val bySrc = srcSh.collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -65,5 +66,16 @@ class KmvSpec extends SparkSpec {
           s"pair ($a,$b): small-set branch not exact")
       }
     }
+  }
+
+  test("default sketch row agrees with the audit row's sketch columns") {
+    val cols = Seq("source_a", "source_b", "kmv_union", "kmv_inter",
+      "kmv_jacc_e4")
+    val dflt = Sketches.kmvOverlap(spark, Sf0001)
+      .selectExpr(cols: _*)
+    val audit = Sketches.kmvOverlapAudit(spark, Sf0001)
+      .selectExpr(cols: _*)
+    assert(dflt.exceptAll(audit).isEmpty && audit.exceptAll(dflt).isEmpty,
+      "default kmv_overlap sketch columns diverged from the audit row")
   }
 }
