@@ -124,11 +124,13 @@ if arts and m_head:
     from make_chunks import EXPANDED_OPT_INS
     expected_n = len(s2_keys - EXPANDED_OPT_INS)
     if art.get("n_queries", 0) < expected_n:
-        errors2.append(
-            f"1000× headline artifact {arts[-1].name} covers "
-            f"{art.get('n_queries')} queries but the registry has "
-            f"{expected_n} stress-eligible keys — full-registry 1000× "
-            f"rebaseline required")
+        # warn, not fail (round-14 advice wording): the debt is real but a
+        # missing rebaseline must not mask OTHER gate failures by making
+        # every commit red until an hour-long 1000x run completes
+        print(f"SURVEY GATE WARN: 1000× headline artifact {arts[-1].name} "
+              f"covers {art.get('n_queries')} queries but the registry has "
+              f"{expected_n} stress-eligible keys — full-registry 1000× "
+              f"rebaseline required", file=sys.stderr)
 elif not m_head:
     errors2.append('SURVEY 1000× headline prose not found')
 
