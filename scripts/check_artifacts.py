@@ -39,9 +39,18 @@ for art_path in sorted(root.glob("BENCH_stress_*.json")):
     errs = art.get("errors", {})
     measured = set(queries) | set(errs)
 
+    # Round gating: prefer the artifact's own embedded round field (every
+    # merged/composed artifact carries one); fall back to the filename's
+    # _r<N> token. A subset stress artifact with NEITHER is a gate failure
+    # — an unparseable round must not silently bypass the declared-scope
+    # rule it exists to enforce (round-15 advice).
     m = re.search(r"_r(\d+)", art_path.name)
-    rnd = int(m.group(1)) if m else 0
+    rnd = art.get("round") or (int(m.group(1)) if m else 0)
 
+    if art.get("metric") == "stress_subset" and rnd == 0:
+        errors.append(f"{art_path.name}: subset stress artifact with no "
+                      f"parseable round (neither 'round' field nor _r<N> "
+                      f"in the name) — scope gating cannot be bypassed")
     if art.get("metric") == "stress_subset" and rnd >= 15:
         declared = set(art.get("_meta", {}).get("declared_keys", []))
         if not declared:
@@ -67,6 +76,26 @@ for art_path in sorted(root.glob("BENCH_stress_*.json")):
         if missing:
             errors.append(f"{art_path.name}: composed artifact missing "
                           f"posture detail for {sorted(missing)}")
+
+    # 4. stall-canary accounting (round-15 verdict ask #7): a composed
+    #    artifact from round 16 on must carry the canary block, and its
+    #    stall_flagged set must EQUAL the recompute from its own recorded
+    #    per-query canary ratios — a wall whose only measurements come
+    #    from stall-era chunks cannot be silently presented as clean.
+    if "posture_detail" in art and rnd >= 16:
+        if "canary" not in art:
+            errors.append(f"{art_path.name}: composed r{rnd} artifact "
+                          f"without canary fields")
+        else:
+            recomputed = {
+                q for q, d in art["posture_detail"].items()
+                if d.get("canary_cold", 0) > 2.0
+                and d.get("canary_warm", 0) > 2.0}
+            recorded = set(art.get("stall_flagged", {}))
+            if recomputed != recorded:
+                errors.append(
+                    f"{art_path.name}: stall_flagged {sorted(recorded)} != "
+                    f"recompute from canary ratios {sorted(recomputed)}")
 
 if errors:
     for e in errors:

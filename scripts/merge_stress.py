@@ -21,8 +21,10 @@ def main():
     if "--prev" in sys.argv:
         prev = json.load(open(sys.argv[sys.argv.index("--prev") + 1]))
     queries, builds, errors, n_runs = {}, {}, {}, {}
+    canaries, query_chunk = {}, {}
     for f in sorted(glob.glob(f"{chunk_dir}/*.json")):
         d = json.load(open(f))
+        chunk = f.rsplit("/", 1)[-1].removesuffix(".json")
         # Duplicate query names across chunk files are an authoring error
         # (the same query measured twice would silently last-win); fail
         # loudly instead of merging a lie.
@@ -30,6 +32,14 @@ def main():
         if dup:
             sys.exit(f"FATAL: query keys in multiple chunks: {sorted(dup)}")
         queries.update(d.get("queries", {}))
+        # Stall canary (round-15 verdict ask #7): each chunk JVM runs a
+        # fixed CPU-bound probe at start and end; carrying it per chunk —
+        # plus which chunk measured each query — lets stress_compose flag
+        # walls sourced only from stall-era chunks as data, not inference.
+        if "canary_sec" in d:
+            canaries[chunk] = d["canary_sec"]
+        for q in d.get("queries", {}):
+            query_chunk[q] = chunk
         # Build keys legitimately repeat across chunks (each chunk JVM
         # pays its own copy of a shared build) — SUM them, don't overwrite,
         # so build_sec/total_sec reflect wall actually spent.
@@ -58,6 +68,9 @@ def main():
         # re-measure fired for that query)
         "n_runs": dict(sorted(n_runs.items())),
     }
+    if canaries:
+        art["canaries"] = dict(sorted(canaries.items()))
+        art["query_chunk"] = dict(sorted(query_chunk.items()))
     zeros = [k for k, v in art["queries"].items()
              if v == 0.0 and k not in errors]
     if zeros:

@@ -41,13 +41,44 @@ def main():
     if set(cq) != set(wq):
         sys.exit(f"FATAL: posture query surfaces differ: {sorted(set(cq) ^ set(wq))}")
 
-    queries, detail, flags = {}, {}, {}
+    # Stall-canary attribution (round-15 verdict ask #7): each chunk JVM
+    # recorded a fixed CPU-bound probe wall at start and end; a chunk whose
+    # canary (min of its two observations) exceeds 2x the run set's global
+    # minimum was measured during a host stall. A stall only ever INFLATES
+    # a wall, so a composed min sourced from one stalled posture is still a
+    # valid upper bound — but a query whose walls in BOTH postures come
+    # from stalled chunks has no clean measurement at all and is listed in
+    # stall_flagged: its composed wall is a stall-era ceiling, not a plan
+    # cost, and must not become an inherited floor.
+    def chunk_canary(art):
+        return {ch: min(v.get("start", 1e9), v.get("end", 1e9))
+                for ch, v in art.get("canaries", {}).items()}
+    ccan, wcan = chunk_canary(cold), chunk_canary(warm)
+    all_can = list(ccan.values()) + list(wcan.values())
+    can_min = min(all_can) if all_can else None
+    cchunk = cold.get("query_chunk", {})
+    wchunk = warm.get("query_chunk", {})
+
+    def ratio(canmap, chunkmap, k):
+        ch = chunkmap.get(k)
+        if can_min and ch in canmap:
+            return round(canmap[ch] / can_min, 2)
+        return None
+
+    queries, detail, flags, stall_flags = {}, {}, {}, {}
     for k in sorted(cq):
         c, w = cq[k], wq[k]
         m = min(c, w)
         queries[k] = round(m, 3)
         spread = round(max(c, w) / max(m, 1e-9), 2)
         detail[k] = {"cold": round(c, 3), "warm": round(w, 3), "spread": spread}
+        rc, rw = ratio(ccan, cchunk, k), ratio(wcan, wchunk, k)
+        if rc is not None:
+            detail[k]["canary_cold"] = rc
+        if rw is not None:
+            detail[k]["canary_warm"] = rw
+        if rc is not None and rw is not None and rc > 2.0 and rw > 2.0:
+            stall_flags[k] = detail[k]
         # flag only where the spread is material in absolute terms too
         if spread > limit and max(c, w) - m >= 1.0:
             flags[k] = detail[k]
@@ -78,6 +109,15 @@ def main():
         "builds": cold.get("builds", {}),
         "n_runs": {k: 2 for k in queries},
     }
+    if can_min is not None:
+        art["canary"] = {
+            "global_min_sec": round(can_min, 3),
+            "stall_rule": "chunk stalled if min(start,end) > 2x global min; "
+                          "query stall_flagged if BOTH postures stalled",
+            "cold_chunks": {ch: round(v, 3) for ch, v in sorted(ccan.items())},
+            "warm_chunks": {ch: round(v, 3) for ch, v in sorted(wcan.items())},
+        }
+        art["stall_flagged"] = stall_flags
     if exps:
         art["fitted_exponent_per_decade"] = dict(sorted(exps.items()))
         # monotonicity audit: a lower-scale wall exceeding this scale's is
@@ -90,7 +130,7 @@ def main():
             art["monotonicity_violations"] = viol
     json.dump(art, open(out, "w"), indent=1)
     print(f"{out}: {len(queries)} q, total {art['total_sec']}s, "
-          f"spread_flags {list(flags)}, "
+          f"spread_flags {list(flags)}, stall_flagged {list(stall_flags)}, "
           f"mono_violations {list(art.get('monotonicity_violations', {}))}")
 
 

@@ -46,6 +46,35 @@ object Bench {
 
     var errors = ListMap.empty[String, String]
     Tables.drainBuildTimes() // warmup-triggered builds are not billed to queries
+    // Stall canary (round-15 verdict ask #7): a fixed CPU-bound probe with
+    // zero corpus/IO dependence, run at chunk start and end. Its wall is a
+    // pure box-speed sample; a stress chunk whose canary is >2x the run
+    // set's minimum canary was measured during a host stall, and
+    // stress_compose marks walls sourced only from stalled chunks. The
+    // probe is whole-stage-codegen xxhash over a fixed range — ~2 s on a
+    // quiet local[32] box, deterministic work regardless of SF dir.
+    def canary(): Double = {
+      val t = System.nanoTime()
+      spark.range(0L, 1500000000L, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id, id*31+7, id+13))").head()
+      (System.nanoTime() - t) / 1e9
+    }
+    // The CPU probe alone misses the era class actually observed on this
+    // host (round 16): raw CPU quiet while every EXCHANGE-heavy wall sat
+    // at 2-3x its pinned level (VM host IO/memory-bandwidth contention).
+    // So a second probe pays one real 50M-row shuffle — if cpu canary is
+    // ~1x but shuffle canary is >2x its own quiet floor, the era is
+    // host-side bandwidth, and shuffle-heavy walls must be read with it.
+    def canaryShuffle(): Double = {
+      val t = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .repartition(2 * cpus.toInt,
+          org.apache.spark.sql.functions.col("id"))
+        .agg(org.apache.spark.sql.functions.sum("id")).head()
+      (System.nanoTime() - t) / 1e9
+    }
+    val canaryStart = canary()
+    val canaryShuffleStart = canaryShuffle()
     var builds = Vector.empty[(String, Double)]
     // Per-query walls are reported NET of shared memoized-frame builds
     // that happened to fire during that query, and each build is its own
@@ -107,7 +136,18 @@ object Bench {
     // median_inflation is carried in the artifact so the adjudication is
     // on the record; >= 3 interleaved samples (scripts/bench_diff.py)
     // remain the settle-it-for-good path.
-    val prevPaths = sys.env.getOrElse("GRAFT_BENCH_PREV", "BENCH_full_last.json")
+    // Default baseline is BOTH the last full artifact AND the pinned
+    // multi-run record (round-15 verdict ask #4): the driver's close-run
+    // Bench overwrites BENCH_full_last.json with an n=1 sample taken under
+    // whatever load the box is carrying at round close (r15: a 299 s run
+    // against the 153.8 s pinned floor) — comparing the next round only
+    // against that inflated sample can hide a ~2x real regression. The
+    // per-query MIN across the list means a single noisy overwrite can
+    // never RAISE the baseline; BENCH_full_pinned.json is updated only by
+    // the deliberate min-of-N rebaseline procedure (scripts/
+    // min_merge_bench.py), never by a Bench run.
+    val prevPaths = sys.env.getOrElse("GRAFT_BENCH_PREV",
+        "BENCH_full_last.json,BENCH_full_pinned.json")
       .split(',').map(_.trim).filter(_.nonEmpty)
     val (regressions: Seq[(String, Double, Double)], medianInflation: Double) =
       if (only.nonEmpty) (Seq.empty, 1.0)
@@ -162,8 +202,10 @@ object Bench {
     // fired); only >1 entries are listed — absent means 1.
     val nr = nRuns.filter(_._2 > 1)
       .map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
+    val canaryEnd = canary()
+    val canaryShuffleEnd = canaryShuffle()
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"median_inflation":${f(medianInflation)},"regression_rule":"deflate by median inflation vs baseline, then delta>=1s AND ratio>=1.5x","n_runs":$nr,"build_cache":"$cacheState","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"median_inflation":${f(medianInflation)},"regression_rule":"deflate by median inflation vs baseline, then delta>=1s AND ratio>=1.5x","n_runs":$nr,"canary_sec":{"start":${f(canaryStart)},"end":${f(canaryEnd)},"start_shuffle":${f(canaryShuffleStart)},"end_shuffle":${f(canaryShuffleEnd)}},"build_cache":"$cacheState","sf":"$sfDir"}"""
     println(line)
     // Persist the full line too: the driver's artifact has repeatedly
     // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so

@@ -41,7 +41,12 @@ object StreamRateHarness {
     * that provably executed ≥4 batches (round-13 verdict #1). Correctness
     * assertions (admission bound, batch count, drain) must read THESE;
     * the listener stats remain for latency/backlog reporting only. */
-  case class SyncBatch(batchId: Long, rows: Long, minLsn: Long, maxLsn: Long)
+  /** `rows` counts DECODED change rows (one wal2json message can carry
+    * several changes); `lsns` counts DISTINCT admitted lsns — the
+    * exactly-once unit. Window tiling plus sum(lsns) == feed length pins
+    * per-lsn exactly-once delivery including loss INSIDE a window. */
+  case class SyncBatch(batchId: Long, rows: Long, lsns: Long,
+    minLsn: Long, maxLsn: Long)
 
   case class RateReport(
     nMsgs: Long,
@@ -119,6 +124,13 @@ object StreamRateHarness {
     val nSlices = (msgs.length + sliceRows - 1) / sliceRows
     val genT0 = System.nanoTime()
     val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // First writer failure, captured so the harness fails FAST with the
+    // actual exception: a writer dying on an uncaught SQLException (Derby
+    // lock escalation between concurrent inserters + the reader's MIN
+    // scan) otherwise surfaces only minutes later as a generic
+    // drain-deadline failure with no hint a writer crashed.
+    val writerError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     // Writer k owns slices s with s % writers == k (round-robin stripes
     // of the lsn-sorted feed, so each writer's own lsns are increasing
     // and its published position is monotone). Each slice's rows and the
@@ -135,6 +147,20 @@ object StreamRateHarness {
           c.prepareStatement(s"UPDATE $pt SET committed_lsn = ? WHERE writer = $k"))
         var s = k
         while (s < nSlices) {
+          // pace to the slice's slot BEFORE writing it (slice s is due at
+          // genT0 + s·100 ms on the GLOBAL schedule whichever writer owns
+          // it) — waiting at the top of the loop means writer k's first
+          // slice lands at its k·100 ms slot instead of every writer
+          // bursting its first slice at t≈0, and keeps writers = 1
+          // behavior identical to the r13/r14 single-generator loop. A
+          // slow DB naturally degrades the achieved rate, which the
+          // report exposes via generatorWallMs; preload mode never
+          // sleeps — it fills the table at the DB's own max rate.
+          if (!preload) {
+            val due = genT0 + s.toLong * 100L * 1000000L
+            val wait = (due - System.nanoTime()) / 1000000L
+            if (wait > 0) Thread.sleep(wait)
+          }
           val i = s * sliceRows
           val until = math.min(i + sliceRows, msgs.length)
           var j = i
@@ -149,20 +175,12 @@ object StreamRateHarness {
           c.commit()
           insertTimes.put(msgs(until - 1).getLong(0), System.nanoTime())
           s += writers
-          // pace to the slice's slot on the GLOBAL schedule (slice s is
-          // due at genT0 + (s+1)·100 ms whichever writer owns it; a slow
-          // DB naturally degrades the achieved rate, which the report
-          // exposes via generatorWallMs); preload mode never sleeps —
-          // it fills the table at the DB's own max rate
-          if (!preload && s < nSlices) {
-            val due = genT0 + s.toLong * 100L * 1000000L
-            val wait = (due - System.nanoTime()) / 1000000L
-            if (wait > 0) Thread.sleep(wait)
-          }
         }
         // done: this writer has nothing in flight — publish the feed's
         // end so it never holds the min-watermark back
         pp.foreach { p => p.setLong(1, maxLsn); p.executeUpdate(); c.commit() }
+      } catch {
+        case t: Throwable => writerError.compareAndSet(null, t)
       } finally {
         c.close()
         if (writersDone.incrementAndGet() == writers)
@@ -216,11 +234,13 @@ object StreamRateHarness {
     // batch overwrites its own record instead of double-counting
     val syncStats = new ConcurrentSkipListMap[Long, SyncBatch]()
     def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-      val agg = batch.agg(count(lit(1)), min(col("lsn")), max(col("lsn")))
+      val agg = batch.agg(count(lit(1)), countDistinct(col("lsn")),
+        min(col("lsn")), max(col("lsn")))
         .head() // bounded-collect: 1-row aggregate, N-independent
       if (agg.getLong(0) > 0L)
         syncStats.put(batchId,
-          SyncBatch(batchId, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+          SyncBatch(batchId, agg.getLong(0), agg.getLong(1),
+            agg.getLong(2), agg.getLong(3)))
       Forwarder.fanoutFromDecoded(spark, batch)
         .write.mode("overwrite").parquet(s"$dlv/batch_$batchId")
       val delta = HyperRemap.remap(spark, batch)
@@ -274,7 +294,13 @@ object StreamRateHarness {
     val deadline = System.nanoTime() +
       math.max(120L, 20L * msgs.length / math.max(1L, ratePerSec)) * 1000000000L
     while ((generatorDoneAt == 0L || confirmedSync < maxLsn) &&
-      System.nanoTime() < deadline) Thread.sleep(100)
+      writerError.get == null && System.nanoTime() < deadline) Thread.sleep(100)
+    // fail fast with the writer's ACTUAL exception, not a drain timeout
+    Option(writerError.get).foreach { t =>
+      try { q.stop(); spark.streams.removeListener(listener) }
+      catch { case _: Throwable => () }
+      throw new IllegalStateException(s"ingest writer crashed: $t", t)
+    }
     val drained = confirmedSync >= maxLsn
     val streamDoneAt = System.nanoTime()
     q.stop(); q.awaitTermination()

@@ -59,8 +59,13 @@ class StreamRateSpec extends SparkSpec {
 
     // 2. drained (harness enforces sync high-water == max inserted);
     // residual lag after the generator stopped is bounded (generous:
-    // 20 s absorbs box noise, still orders below an unbounded backlog)
+    // 20 s absorbs box noise, still orders below an unbounded backlog).
+    // Exact admitted-lsn count: every inserted lsn admitted exactly once
+    // (windows tile AND the distinct-lsn total matches — no loss inside
+    // a window; rows > lsns is fine, one message can carry N changes).
     assert(r.syncBatches.last.maxLsn == msgs.length.toLong)
+    assert(r.syncBatches.map(_.lsns).sum == msgs.length.toLong,
+      s"admitted ${r.syncBatches.map(_.lsns).sum} lsns != ${msgs.length}")
     assert(r.drainLagMs <= 20000, s"drain lag ${r.drainLagMs} ms")
 
     // 3. bounded state: one row per entity, equal to the batch recompute
@@ -97,9 +102,17 @@ class StreamRateSpec extends SparkSpec {
         s"batch ${b.batchId} re-admitted lsn ${b.minLsn} <= $prevHigh")
       b.maxLsn
     }
-    // drained to the end: with dense lsns, contiguous windows reaching
-    // maxLsn == every row delivered exactly once
+    // drained to the end, AND exactly-once in COUNT: window contiguity
+    // alone cannot catch an lsn lost INSIDE an admitted window (the
+    // failure mode of an unsafe max(lsn) multi-writer watermark — an
+    // in-flight lsn below an already-admitted high-water is skipped
+    // forever while min/max tiling still looks perfect). With dense lsns
+    // 1..N, gap-free non-overlapping windows reaching N PLUS a distinct
+    // admitted-lsn total of exactly N pins per-lsn exactly-once delivery.
     assert(r.syncBatches.last.maxLsn == msgs.length.toLong)
+    assert(r.syncBatches.map(_.lsns).sum == msgs.length.toLong,
+      s"admitted ${r.syncBatches.map(_.lsns).sum} lsns != ${msgs.length} " +
+        "inserted — an lsn was lost inside an admitted window")
     assert(r.stateRows == r.distinctEntities,
       s"state ${r.stateRows} rows != ${r.distinctEntities} entities")
     assert(r.deliveredRows > 0)
