@@ -33,7 +33,7 @@ for f in "$CH"/*.txt; do
   echo "=== chunk $name ($(wc -w < "$f") queries) @ $SF ==="
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 GRAFT_BENCH_OUT=$out \
     SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
-    timeout 3600 sbt -batch "runMain graft.Bench $(cat "$f")" \
+    timeout "${STRESS_CHUNK_TIMEOUT:-3600}" sbt -batch "runMain graft.Bench $(cat "$f")" \
     > /tmp/stress_$TAG/$name.log 2>&1
   rc=$?
   if [ $rc -ne 0 ] && ! chunk_ok "$out" "$f"; then

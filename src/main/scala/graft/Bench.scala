@@ -34,6 +34,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local[N] runs the executor IN the driver JVM: heartbeat eviction
+      // can only ever kill the whole run, never recover anything. A 146 s
+      // full-JVM freeze (GC wall / host stall at the 1000x point) tripped
+      // the default 120 s timeout, Spark "removed" the in-process
+      // executor, and the scheduler endpoint died — the r15 g_cdc chunk
+      // death class. On a real cluster these defaults stay; here the
+      // probe is pure downside, so give it stall-era headroom.
+      .config("spark.network.timeout", "1800s")
+      .config("spark.executor.heartbeatInterval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

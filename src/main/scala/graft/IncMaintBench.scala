@@ -39,6 +39,9 @@ object IncMaintBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeat eviction is pure downside (see Bench)
+      .config("spark.network.timeout", "1800s")
+      .config("spark.executor.heartbeatInterval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -22,6 +22,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeat eviction is pure downside (see Bench) —
+      // scaled verify sweeps hit the same freeze class as stress chunks
+      .config("spark.network.timeout", "1800s")
+      .config("spark.executor.heartbeatInterval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
