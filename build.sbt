@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep a runMain's own final stdout line LAST and UNPREFIXED: sbt's
+// "[success] Total time" banner otherwise lands after Bench/Verify's
+// closing JSON line, and the default fork output strategy wraps every
+// forked stdout line in "[info] " — either one defeats a last-line JSON
+// parse (every BENCH_rN.json through r16 carried `parsed: null` —
+// round-16 verdict ask #6). Exit codes are unaffected.
+Global / showSuccess := false
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// showSuccess is read by sbt's command layer, not a task — silence the
+// false-positive unused-key lint so compile output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

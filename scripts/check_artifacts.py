@@ -45,7 +45,17 @@ for art_path in sorted(root.glob("BENCH_stress_*.json")):
     # — an unparseable round must not silently bypass the declared-scope
     # rule it exists to enforce (round-15 advice).
     m = re.search(r"_r(\d+)", art_path.name)
-    rnd = art.get("round") or (int(m.group(1)) if m else 0)
+    # Coerce the embedded round: a hand-authored artifact with a string
+    # round ("16") must be a per-artifact gate error, not a TypeError
+    # crashing the whole gate; a round of 0 falls through to the filename
+    # like a missing field (round-16 advice).
+    try:
+        rnd = int(art.get("round") or 0)
+    except (TypeError, ValueError):
+        errors.append(f"{art_path.name}: unparseable 'round' field "
+                      f"({art.get('round')!r})")
+        rnd = 0
+    rnd = rnd or (int(m.group(1)) if m else 0)
 
     if art.get("metric") == "stress_subset" and rnd == 0:
         errors.append(f"{art_path.name}: subset stress artifact with no "
@@ -87,10 +97,18 @@ for art_path in sorted(root.glob("BENCH_stress_*.json")):
             errors.append(f"{art_path.name}: composed r{rnd} artifact "
                           f"without canary fields")
         else:
+            # Mirror stress_compose's rule exactly: per-posture stalled =
+            # EITHER the cpu ratio or the shuffle ratio > 2x (each vs its
+            # own global floor); flagged if both postures stalled. r16
+            # artifacts carry no shuffle ratios in posture_detail — for
+            # them the .get(.., 0) defaults reduce this to the cpu-only
+            # rule they were composed under (round-16 advice).
             recomputed = {
                 q for q, d in art["posture_detail"].items()
-                if d.get("canary_cold", 0) > 2.0
-                and d.get("canary_warm", 0) > 2.0}
+                if (d.get("canary_cold", 0) > 2.0
+                    or d.get("canary_shuffle_cold", 0) > 2.0)
+                and (d.get("canary_warm", 0) > 2.0
+                     or d.get("canary_shuffle_warm", 0) > 2.0)}
             recorded = set(art.get("stall_flagged", {}))
             if recomputed != recorded:
                 errors.append(

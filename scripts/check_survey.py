@@ -134,6 +134,25 @@ if arts and m_head:
 elif not m_head:
     errors2.append('SURVEY 1000× headline prose not found')
 
+# 7. artifact references must EXIST (round-16 verdict ask #2): SURVEY r16
+#    claimed three evidence artifacts "recorded" that were never created.
+#    Every uppercase-starting .json/.md filename SURVEY names must be a
+#    real file in the repo root — prose cannot point at artifacts that do
+#    not exist. Brace sets ({cold,warm}) expand; lowercase names
+#    (oracle_sql.json — a per-run output, not a committed artifact) are
+#    out of scope.
+import itertools
+
+for tok in set(re.findall(r"\b[A-Z][A-Za-z0-9_]*(?:\{[A-Za-z0-9_,]+\}"
+                          r"[A-Za-z0-9_]*)*\.(?:json|md)\b", survey)):
+    parts = re.split(r"(\{[A-Za-z0-9_,]+\})", tok)
+    alts = [p[1:-1].split(",") if p.startswith("{") else [p] for p in parts]
+    for combo in itertools.product(*alts):
+        name = "".join(combo)
+        if not (root / name).exists():
+            errors2.append(f"SURVEY names artifact {name} (from '{tok}') "
+                           f"but no such file exists in the repo")
+
 if errors2:
     for e in errors2:
         print(f"SURVEY GATE FAIL: {e}", file=sys.stderr)

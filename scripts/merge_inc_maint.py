@@ -19,10 +19,15 @@ def main():
         scales[label] = json.load(open(path))
     lines = []
     for label, s in scales.items():
-        for p in s.get("points", []):
+        pts = s.get("points", [])
+        # An empty/truncated GRAFT_INC_OUT must not be merged as
+        # "certified": a scale with no points has no hash certs at all,
+        # so the vacuous all-green would be a lie (round-16 advice).
+        if not pts:
+            sys.exit(f"FATAL: {label} has no points — nothing certified")
+        for p in pts:
             if not (p.get("matches_replay") and p.get("scd2_matches_replay")):
                 sys.exit(f"FATAL: {label} frac={p.get('frac')} hash cert failed")
-        pts = s.get("points", [])
         if pts:
             lines.append(
                 f"{label}: replay {s['full_replay_sec']:.1f}s / scd2 "

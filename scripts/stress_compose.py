@@ -50,19 +50,32 @@ def main():
     # from stalled chunks has no clean measurement at all and is listed in
     # stall_flagged: its composed wall is a stall-era ceiling, not a plan
     # cost, and must not become an inherited floor.
-    def chunk_canary(art):
-        return {ch: min(v.get("start", 1e9), v.get("end", 1e9))
-                for ch, v in art.get("canaries", {}).items()}
-    ccan, wcan = chunk_canary(cold), chunk_canary(warm)
+    # Two probes, each ratioed against ITS OWN global min (round-16
+    # advice): the CPU probe alone misses the era class actually observed
+    # on this host — raw CPU quiet while exchange-heavy walls sat at 2-3x
+    # (VM host bandwidth contention). Bench records a 50M-row shuffle
+    # probe precisely for that; folding it into the stall rule (a chunk
+    # is stalled if EITHER probe exceeds 2x its own floor) closes the
+    # blind spot where a bandwidth era produced stall_flagged=[].
+    def chunk_canary(art, a, b):
+        return {ch: min(v[a], v[b])
+                for ch, v in art.get("canaries", {}).items()
+                if a in v and b in v}
+    ccan = chunk_canary(cold, "start", "end")
+    wcan = chunk_canary(warm, "start", "end")
+    cshuf = chunk_canary(cold, "start_shuffle", "end_shuffle")
+    wshuf = chunk_canary(warm, "start_shuffle", "end_shuffle")
     all_can = list(ccan.values()) + list(wcan.values())
     can_min = min(all_can) if all_can else None
+    all_shuf = list(cshuf.values()) + list(wshuf.values())
+    shuf_min = min(all_shuf) if all_shuf else None
     cchunk = cold.get("query_chunk", {})
     wchunk = warm.get("query_chunk", {})
 
-    def ratio(canmap, chunkmap, k):
+    def ratio(canmap, chunkmap, k, floor):
         ch = chunkmap.get(k)
-        if can_min and ch in canmap:
-            return round(canmap[ch] / can_min, 2)
+        if floor and ch in canmap:
+            return round(canmap[ch] / floor, 2)
         return None
 
     queries, detail, flags, stall_flags = {}, {}, {}, {}
@@ -72,12 +85,28 @@ def main():
         queries[k] = round(m, 3)
         spread = round(max(c, w) / max(m, 1e-9), 2)
         detail[k] = {"cold": round(c, 3), "warm": round(w, 3), "spread": spread}
-        rc, rw = ratio(ccan, cchunk, k), ratio(wcan, wchunk, k)
+        rc = ratio(ccan, cchunk, k, can_min)
+        rw = ratio(wcan, wchunk, k, can_min)
+        sc = ratio(cshuf, cchunk, k, shuf_min)
+        sw = ratio(wshuf, wchunk, k, shuf_min)
         if rc is not None:
             detail[k]["canary_cold"] = rc
         if rw is not None:
             detail[k]["canary_warm"] = rw
-        if rc is not None and rw is not None and rc > 2.0 and rw > 2.0:
+        if sc is not None:
+            detail[k]["canary_shuffle_cold"] = sc
+        if sw is not None:
+            detail[k]["canary_shuffle_warm"] = sw
+        # per-posture stalled = EITHER probe > 2x its own floor; a query
+        # is stall_flagged only when BOTH postures were stalled (a stall
+        # only inflates, so one clean posture still bounds the plan cost)
+        cold_stalled = (rc is not None and rc > 2.0) or \
+                       (sc is not None and sc > 2.0)
+        warm_stalled = (rw is not None and rw > 2.0) or \
+                       (sw is not None and sw > 2.0)
+        if (rc is not None or sc is not None) and \
+           (rw is not None or sw is not None) and \
+           cold_stalled and warm_stalled:
             stall_flags[k] = detail[k]
         # flag only where the spread is material in absolute terms too
         if spread > limit and max(c, w) - m >= 1.0:
@@ -112,11 +141,19 @@ def main():
     if can_min is not None:
         art["canary"] = {
             "global_min_sec": round(can_min, 3),
-            "stall_rule": "chunk stalled if min(start,end) > 2x global min; "
-                          "query stall_flagged if BOTH postures stalled",
+            "stall_rule": "chunk stalled if min(start,end) of EITHER the "
+                          "cpu probe or the shuffle probe > 2x that "
+                          "probe's own global min; query stall_flagged "
+                          "if BOTH postures stalled",
             "cold_chunks": {ch: round(v, 3) for ch, v in sorted(ccan.items())},
             "warm_chunks": {ch: round(v, 3) for ch, v in sorted(wcan.items())},
         }
+        if shuf_min is not None:
+            art["canary"]["shuffle_global_min_sec"] = round(shuf_min, 3)
+            art["canary"]["shuffle_cold_chunks"] = {
+                ch: round(v, 3) for ch, v in sorted(cshuf.items())}
+            art["canary"]["shuffle_warm_chunks"] = {
+                ch: round(v, 3) for ch, v in sorted(wshuf.items())}
         art["stall_flagged"] = stall_flags
     if exps:
         art["fitted_exponent_per_decade"] = dict(sorted(exps.items()))

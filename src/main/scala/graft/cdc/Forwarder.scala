@@ -144,22 +144,23 @@ object Forwarder {
   /** Same LWW materialization over an already decoded+cmap frame — the
     * batch reference the composed JDBC streaming pipeline's incremental
     * snapshot state must converge to (JdbcPipelineSpec). */
-  def snapshotFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // statements inside one transaction document share the commit LSN;
-    // array position is the write order, so it breaks the LWW tie
-    val w = Window.partitionBy("base", "uid")
-      .orderBy(col("lsn").desc, col("idx").desc)
-    HyperRemap.remap(spark, withMap)
-      .withColumn("uid", entityCol)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_changes", count(lit(1)).over(
-        Window.partitionBy("base", "uid")))
-      .where(col("rn") === 1 && col("kind") =!= "delete")
-      .select(col("base"), col("uid"), col("lsn").as("last_lsn"),
-        col("kind").as("last_kind"), col("n_changes"))
-      .orderBy("base", "uid")
-  }
+  def snapshotFromDecoded(spark: SparkSession, withMap: DataFrame): DataFrame =
+    // Narrow BEFORE the shuffle: the report needs only (base, uid, lsn,
+    // idx, kind), so the LWW fold runs as [[snapshotState]]'s map-side-
+    // combined groupBy over those 5 columns — max(struct(lsn, idx)) is
+    // the same tiebreak as the former row_number window (statements
+    // inside one transaction document share the commit LSN; array
+    // position idx is the write order). The window formulation shuffled
+    // EVERY decoded row with its full width (cmap map, keynames/
+    // keyvalues arrays) and reduced nothing map-side — the registry's
+    // steepest scale exponent (1.55/decade at the r16 1000× point,
+    // 353.5 s); the aggregate form ships 5 scalar columns and collapses
+    // per-entity duplicates before the exchange, the same plan shape
+    // that holds cdc_snapshot_inc at exp 1.15.
+    stateToSnapshot(snapshotState(
+      HyperRemap.remap(spark, withMap)
+        .withColumn("uid", entityCol)
+        .select("base", "uid", "lsn", "idx", "kind")))
 
   // ---- cdc_snapshot_inc: incremental state maintenance ≡ full replay ------
 

@@ -139,8 +139,14 @@ object StreamRateHarness {
     // the r13/r14 single-generator loop (no progress table, max(lsn)
     // high-water).
     def writerThread(k: Int): Thread = new Thread(() => {
-      val c = DriverManager.getConnection(url)
+      // getConnection INSIDE the try: a connect-time failure (Derby
+      // lock/boot contention between concurrent writers — exactly the
+      // class the fail-fast targets) must set writerError and count the
+      // writer done, not skip both and die minutes later on the generic
+      // drain deadline with no exception attributed (round-16 advice).
+      var c: java.sql.Connection = null
       try {
+        c = DriverManager.getConnection(url)
         c.setAutoCommit(false)
         val ps = c.prepareStatement("INSERT INTO changes VALUES (?, ?)")
         val pp = progressTable.map(pt =>
@@ -182,7 +188,7 @@ object StreamRateHarness {
       } catch {
         case t: Throwable => writerError.compareAndSet(null, t)
       } finally {
-        c.close()
+        if (c != null) c.close()
         if (writersDone.incrementAndGet() == writers)
           generatorDoneAt = System.nanoTime()
       }
