@@ -139,7 +139,10 @@ object Forwarder {
     * per-key top-1, i.e. max-LSN semantics, skew-bounded by per-entity
     * change counts. */
   def cdcSnapshot(spark: SparkSession, dir: String): DataFrame =
-    snapshotFromDecoded(spark, ChangeFeed.decodedWithMap(spark, dir))
+    // rides the shared narrow keyed frame (same projection the former
+    // inline derivation produced — see [[routedKeyed]]); the LWW fold
+    // itself is unchanged
+    stateToSnapshot(snapshotState(routedKeyed(spark, dir)))
 
   /** Same LWW materialization over an already decoded+cmap frame — the
     * batch reference the composed JDBC streaming pipeline's incremental
@@ -167,11 +170,26 @@ object Forwarder {
   /** Keyed routed view shared by the state/merge family: one row per
     * change with its entity key, the minimal columns state needs.
     * Public: IncMaintBench measures checkpoint/merge walls over the
-    * exact frame the registered query uses. */
+    * exact frame the registered query uses.
+    *
+    * Memoized+persisted as its OWN narrow build (round 17): every
+    * consumer used to re-project the wide persisted decode (cmap map +
+    * column arrays per row). One consumer per query is fine; the
+    * incremental-maintenance rows consume the keyed view THREE+ times
+    * (checkpoint aggregate + pre branch + delta branch), and at the
+    * 1000× point the wide decode no longer fits executor memory, so
+    * every extra consumption was a full-width disk re-read (or a JSON
+    * re-decode on eviction) — cdc_scd2_inc's 2005 s wall was ~3 such
+    * passes plus duplicated window subtrees (see [[scd2Merged]]). The
+    * 5-scalar-column frame is ~10× narrower than the decode, stays
+    * memory-resident at 1000×, and every re-consumption is a cheap
+    * cached-columnar scan. */
   def routedKeyed(spark: SparkSession, dir: String): DataFrame =
-    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
-      .withColumn("uid", entityCol)
-      .select("base", "uid", "lsn", "idx", "kind")
+    graft.Tables.memoPersist(spark, s"cdc.routedKeyed:$dir") {
+      HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
+        .withColumn("uid", entityCol)
+        .select("base", "uid", "lsn", "idx", "kind")
+    }
 
   /** LWW state WITH tombstones over a keyed routed frame — the
     * checkpointable representation: unlike [[snapshotFromDecoded]]'s
@@ -330,8 +348,11 @@ object Forwarder {
   def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perEnt = Window.partitionBy("base", "uid").orderBy("lsn", "idx")
-    HyperRemap.remap(spark, ChangeFeed.decodedWithMap(spark, dir))
-      .withColumn("uid", entityCol)
+    // The former inline derivation carried the decode's FULL width (cmap
+    // map + column arrays) through the (base, uid) window exchange; the
+    // shared keyed frame ships the 5 scalar columns the report needs —
+    // the same narrowing that fixed cdc_snapshot's scale exponent.
+    routedKeyed(spark, dir)
       .where(col("uid").isNotNull)
       .withColumn("nxt", lead(col("lsn"), 1).over(perEnt))
       .where(col("kind") =!= "delete")
@@ -444,42 +465,41 @@ object Forwarder {
     * [[routedKeyed]] shape, uid non-null) — shared by the registered
     * query and IncrementalSnapshotSpec's multi-split proof.
     *
-    * FUSED plan shape (the 100× point exposed the composed
-    * [[scd2Closed]] ∪ [[scd2New]]([[scd2Cursor]], …) form re-deriving
-    * the pre chain twice and the delta chain twice — four full
-    * decode→keying passes): ONE windowed pass per side yields
-    * everything — over pre, the asc lead/running-version-count windows
-    * plus a desc row_number give the closed set AND the 1-row-per-entity
-    * cursor off the same (base, uid) exchange; over delta, the same asc
-    * windows give both the first-delta row and the delta versions. The
-    * semantic definitions stay in the three named helpers (IncMaintBench
-    * prices them separately); IncrementalSnapshotSpec's multi-split hash
-    * equality against the full replay is what pins this fusion. */
+    * Plan shape (round 17): each heavy windowed pass runs ONCE. The
+    * round-15 "fused" form computed closed + cursor off one shared
+    * window chain — but a DataFrame with several consumers is not a
+    * shared computation in the physical plan: the union re-derived the
+    * pre window subtree per consumer (closed, openResolved→cursor,
+    * deltaV→cursor = THREE pre sorts) and the delta subtree twice,
+    * which at the 1000× point multiplied into the registry's worst wall
+    * (2005 s vs the 62.7 s full replay). Now: closed is the only
+    * pre-side WINDOW; the cursor is the [[scd2Cursor]] map-side-combined
+    * AGGREGATE (per-entity partials cross the exchange, not rows),
+    * pinned once ([[graft.Tables.pinFrame]] — it is entity-scale and has
+    * two join consumers); the first-delta row is likewise an aggregate;
+    * only deltaV pays the delta-side window sort. Both sides re-read
+    * the narrow memoized [[routedKeyed]] cache, never the wide decode.
+    * The semantic definitions stay in the three named helpers
+    * (IncMaintBench prices them separately); IncrementalSnapshotSpec's
+    * multi-split hash equality against the full replay pins the
+    * restructure. */
   def scd2Merged(pre: DataFrame, delta: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = perEntW
-    val wDesc = Window.partitionBy("base", "uid")
-      .orderBy(col("lsn").desc, col("idx").desc)
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val preW = pre
-      .withColumn("nxt", lead(col("lsn"), 1).over(w))
-      .withColumn("vn",
-        sum(when(col("kind") =!= "delete", 1L).otherwise(0L)).over(run))
-      .withColumn("rlast", row_number().over(wDesc))
-    val closed = preW.where(col("kind") =!= "delete" && col("nxt").isNotNull)
-      .select(col("base"), col("uid"), col("vn").as("version"),
-        col("lsn").as("valid_from"), col("nxt").as("valid_to"),
-        lit(0L).as("is_current"), col("kind"))
-    val cursor = preW.where(col("rlast") === 1)
-      .select(col("base"), col("uid"), col("lsn").as("last_lsn"),
-        col("kind").as("last_kind"), col("vn").as("n_versions"))
-    val deltaW = delta
-      .withColumn("nxt", lead(col("lsn"), 1).over(w))
-      .withColumn("vn",
-        sum(when(col("kind") =!= "delete", 1L).otherwise(0L)).over(run))
-      .withColumn("rfirst", row_number().over(w))
-    val firstDelta = deltaW.where(col("rfirst") === 1)
-      .select(col("base"), col("uid"), col("lsn").as("first_lsn"))
+    val closed = scd2Closed(pre)
+    val cursor = graft.Tables.pinFrame(scd2Cursor(pre))
+    scd2NewFrom(cursor, delta)
+      .unionByName(closed, allowMissingColumns = false)
+      .select("base", "uid", "version", "valid_from", "valid_to",
+        "is_current", "kind")
+      .orderBy("base", "uid", "version")
+  }
+
+  /** [[scd2New]] body over an already-materialized cursor — the merge
+    * rows without the final ordering (the union in [[scd2Merged]]
+    * re-orders globally anyway). */
+  private def scd2NewFrom(cursor: DataFrame, delta: DataFrame): DataFrame = {
+    val firstDelta = delta.groupBy("base", "uid")
+      .agg(min(struct(col("lsn"), col("idx"))).as("first"))
+      .select(col("base"), col("uid"), col("first.lsn").as("first_lsn"))
     val openResolved = cursor.where(col("last_kind") =!= "delete")
       .join(firstDelta, Seq("base", "uid"), "left")
       .select(col("base"), col("uid"), col("n_versions").as("version"),
@@ -487,17 +507,19 @@ object Forwarder {
         coalesce(col("first_lsn"), lit(-1L)).as("valid_to"),
         when(col("first_lsn").isNull, 1L).otherwise(0L).as("is_current"),
         col("last_kind").as("kind"))
-    val deltaV = deltaW.where(col("kind") =!= "delete")
+    val deltaV = delta
+      .withColumn("nxt", lead(col("lsn"), 1).over(perEntW))
+      .where(col("kind") =!= "delete")
+      .withColumn("dver", row_number().over(perEntW).cast("long"))
       .join(cursor.select(col("base"), col("uid"),
         col("n_versions").as("base_ver")), Seq("base", "uid"), "left")
       .select(col("base"), col("uid"),
-        (col("vn") + coalesce(col("base_ver"), lit(0L))).as("version"),
+        (col("dver") + coalesce(col("base_ver"), lit(0L))).as("version"),
         col("lsn").as("valid_from"),
         coalesce(col("nxt"), lit(-1L)).as("valid_to"),
         when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"),
         col("kind"))
-    closed.unionByName(openResolved).unionByName(deltaV)
-      .orderBy("base", "uid", "version")
+    openResolved.unionByName(deltaV)
   }
 
   val cdcScd2Sql: String =
