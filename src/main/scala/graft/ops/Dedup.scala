@@ -1747,8 +1747,12 @@ object Dedup {
         Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("pid", "offset")
-    val ranked = local.join(broadcast(offsets), "pid")
-      .select(col("doc_id"), (col("offset") + col("local_rn")).as("rnk"))
+    // Pinned (round 17): the neighbor pairing consumes the ranked frame
+    // from both join sides, and each side would re-run the per-bucket
+    // row_number window + offset join; the (doc_id, rnk) pin is two
+    // columns per document.
+    val ranked = Tables.pinFrame(local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("offset") + col("local_rn")).as("rnk")))
     val pairs = ranked
       .select(col("doc_id").as("doc_a"), col("rnk"),
         explode(sequence(lit(1L), lit(SnmWindow))).as("rank_gap"))
@@ -1854,12 +1858,20 @@ object Dedup {
     * representatives only and hot fingerprints are df-capped, so the
     * candidate search is never quadratic in duplicate multiplicity. */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val grp = winnowSets(spark, dir)
-      .groupBy("fps").agg(min("doc_id").as("rep"), count(lit(1)).as("grp"))
+    // Pin the two shared intermediates (round 17): the report's frame
+    // tree consumes `grp` from five branches and `retained` from four
+    // (self-join both sides, n_sel, coverage joins), and a DataFrame
+    // with several consumers re-derives its whole subtree per consumer
+    // in the physical plan — the unpinned form read the winnowSets
+    // cache THIRTEEN times through 25 exchanges / 44 hash aggregates.
+    // Both frames are rep-scale (distinct content only), so the pins
+    // are small; every branch now starts from materialized blocks.
+    val grp = graft.Tables.pinFrame(winnowSets(spark, dir)
+      .groupBy("fps").agg(min("doc_id").as("rep"), count(lit(1)).as("grp")))
     val repFps = grp.select(col("rep"), explode(col("fps")).as("fp"))
-    val retained = repFps
+    val retained = graft.Tables.pinFrame(repFps
       .join(repFps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df") <= WinnowMaxDf).select("fp"), "fp")
+        .where(col("df") <= WinnowMaxDf).select("fp"), "fp"))
     val nSel = retained.groupBy("rep").agg(count(lit(1)).as("n_sel"))
     val sizes = grp.select(col("rep"), col("grp"), size(col("fps")).as("n_fp"))
     val cross = retained.as("a")

@@ -1182,8 +1182,17 @@ object Pipeline {
 
   /** Per-document CCNet tercile (doc_id, score_e4, tercile) — the
     * source×tercile rollup (ccnetBucket) and the cross-gate ablation
-    * (filterAblation) read the SAME per-doc frame. */
-  private[ops] def ccnetDocTercile(spark: SparkSession, dir: String): DataFrame = {
+    * (filterAblation) read the SAME per-doc frame.
+    *
+    * Memoized (round 17): both consumers paid the full df-bucket scoring
+    * + two-phase global rank chain independently; the frame is three
+    * longs per document, so one build serves both. */
+  private[ops] def ccnetDocTercile(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"pipeline.ccnetTercile:$dir") {
+      ccnetDocTercileBuild(spark, dir)
+    }
+
+  private def ccnetDocTercileBuild(spark: SparkSession, dir: String): DataFrame = {
     val tf = Ngrams.tfFrame(spark, dir)
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfT, "tok")
@@ -1276,17 +1285,24 @@ object Pipeline {
     * heaviest — ccnet — is rank-based and already range-partitioned),
     * rolled to ≤ 8 cells map-side. */
   def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    // One documents pass for three of the four gates (round 17): the
+    // Gopher flags frame carries the raw-split token count and the
+    // Flesch score off the same scan, so the former docTokens ⋈ gopher
+    // ⋈ flesch three-way doc_id join collapses into one frame — only
+    // the CCNet tercile (a genuinely different, globally-ranked frame)
+    // still joins. The readability and token-count definitions are the
+    // shared ones (TextStats.fleschE3Col / the docTokens split), so the
+    // gate arithmetic cannot drift; the join domain is unchanged
+    // (docTokens and the flesch projection were full-corpus supersets
+    // of the gopher ⋈ tercile intersection).
     val g = graft.ops.TextStats.gopherFlags(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tokens"),
         (col("f_wc") + col("f_wlen") + col("f_stop") + col("f_dom") === 0)
-          .cast("long").as("g_pass"))
-    val r = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        (graft.ops.TextStats.fleschE3Col >= 50000L).cast("long").as("r_easy"))
+          .cast("long").as("g_pass"),
+        (col("flesch_e3") >= 50000L).cast("long").as("r_easy"))
     val c = ccnetDocTercile(spark, dir)
       .select(col("doc_id"), (col("tercile") === 1).cast("long").as("c_head"))
-    docTokens(spark, dir).select("doc_id", "n_tokens")
-      .join(g, "doc_id").join(r, "doc_id").join(c, "doc_id")
+    g.join(c, "doc_id")
       .groupBy("g_pass", "r_easy", "c_head")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("g_pass", "r_easy", "c_head")

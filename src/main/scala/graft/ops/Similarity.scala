@@ -2777,18 +2777,32 @@ object Similarity {
       .select(col("vec_id").as("qvid"), col("qv").as("qqv"), col("n2").as("qn2"))
     val truth = scoredNeighbors(spark, dir, TopK)
       .select(col("qid").as("tqid"), col("vec_id").as("tcid"))
-    val perNp = (1 to NProbeSweepMax).map { np =>
-      val probes = assign.where(col("avid") < NumQueries && col("rnk") <= np)
-        .select(col("avid").as("qid"), col("seed_id").as("pcell"))
+    // One candidate pass for every sweep point (round 17): a base vector
+    // belongs to exactly ONE cell, so a (qid, cid) candidate is produced
+    // by exactly one probe — the one whose cell holds cid — and the
+    // np-point shortlist is just "candidates whose probe rank ≤ np".
+    // The former per-np loop re-ran the probes→query→cells join chain,
+    // the scoring, and the truth join once per sweep point (4× the
+    // joins for identical candidate work); now the chain runs once at
+    // rnk ≤ NProbeSweepMax carrying the probe rank, each candidate
+    // explodes to the sweep points it participates in (prnk..MAX), and
+    // ONE (nprobe, qid) window + truth join + aggregate serves the whole
+    // curve. Per-point shortlists, ranks, and counts are unchanged.
+    val perNpAll = {
+      val probes = assign.where(col("avid") < NumQueries &&
+          col("rnk") <= NProbeSweepMax)
+        .select(col("avid").as("qid"), col("seed_id").as("pcell"),
+          col("rnk").cast("long").as("prnk"))
       probes.join(q, col("qid") === col("qvid"))
         .join(cells, col("pcell") === col("cell") && col("cid") =!= col("qid"))
         .withColumn("cos", cosine(dot(col("qqv"), col("cv")), col("qn2"), col("cn2")))
+        .select(col("qid"), col("cid"), col("cos"),
+          explode(sequence(col("prnk"), lit(NProbeSweepMax.toLong))).as("nprobe"))
         .withColumn("rrnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+          Window.partitionBy("nprobe", "qid").orderBy(col("cos").desc, col("cid"))))
         .where(col("rrnk") <= TopK)
         .join(truth, col("qid") === col("tqid") && col("cid") === col("tcid"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-        .withColumn("nprobe", lit(np.toLong))
+        .groupBy("nprobe", "qid").agg(count(lit(1)).as("n_hits"))
     }
     // Left-join from the full probes × queries domain: a (nprobe, qid)
     // point whose shortlist hits NOTHING in the truth set must appear as
@@ -2798,7 +2812,7 @@ object Similarity {
     val domain = (1 to NProbeSweepMax).map { np =>
       q.select(col("qvid").as("qid")).withColumn("nprobe", lit(np.toLong))
     }.reduce(_.unionByName(_))
-    domain.join(perNp.reduce(_.unionByName(_)), Seq("nprobe", "qid"), "left")
+    domain.join(perNpAll, Seq("nprobe", "qid"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_e4", expr(s"(10000 * n_hits) div $TopK"))
       .select("nprobe", "qid", "n_hits", "recall_e4")

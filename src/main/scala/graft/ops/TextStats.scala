@@ -307,8 +307,19 @@ object TextStats {
   /** Per-document Gopher rule flags (doc_id, source, f_wc, f_wlen,
     * f_stop, f_dom) — the rollup (gopherQuality) and the cross-gate
     * ablation (Pipeline.filterAblation) read the SAME per-doc frame, so
-    * the rule arithmetic cannot drift between them. */
-  private[ops] def gopherFlags(spark: SparkSession, dir: String): DataFrame = {
+    * the rule arithmetic cannot drift between them.
+    *
+    * Also carries `n_tokens` (the raw-split docTokens definition) and
+    * `flesch_e3` so the ablation's other gates ride the SAME documents
+    * scan instead of three more doc_id joins; consumers that ignore them
+    * (gopherQuality) pay nothing — Catalyst prunes unused projection
+    * columns before the scan. */
+  private[ops] def gopherFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"text.gopherFlags:$dir") {
+      gopherFlagsBuild(spark, dir)
+    }
+
+  private def gopherFlagsBuild(spark: SparkSession, dir: String): DataFrame = {
     val dom = Ngrams.tfFrame(spark, dir)
       .groupBy("doc_id")
       .agg(max("tf").as("top_c"), sum("tf").as("tf_sum"))
@@ -316,7 +327,9 @@ object TextStats {
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tok"),
         length(col("text")).as("n_chars_t"),
-        hits(Stopwords("en")).cast("long").as("n_stop"))
+        hits(Stopwords("en")).cast("long").as("n_stop"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        fleschE3Col.as("flesch_e3"))
       .join(dom, "doc_id")
       .withColumn("wlen_e4",
         ratioE4(col("n_chars_t") - (col("n_tok") - 1), col("n_tok")))
