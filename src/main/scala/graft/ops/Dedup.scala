@@ -1489,16 +1489,20 @@ object Dedup {
       }
     val repAgg = sizes.join(maxJ, Seq("rep"), "left")
       .agg(rdCols.head, rdCols.tail: _*)
-    val taus = SweepTausE4.map { tau =>
-      // both sides are 1-row aggregates; the hint keeps the plan sweep's
-      // zero-CartesianProduct invariant
-      // bounded-cross: 1-row x 1-row
-      crossAgg.crossJoin(broadcast(repAgg))
-        .select(lit(tau).as("tau_e4"),
-          (col("wp") + col(s"cp_$tau")).as("n_pairs"),
-          col(s"td_$tau").as("n_docs_touched"))
-    }
-    taus.reduce(_ unionByName _).orderBy("tau_e4")
+    // ONE 1-row × 1-row crossJoin + an explicit row generator (stack)
+    // instead of |taus| unioned crossJoin branches: each union branch
+    // re-computed BOTH aggregates (4× each at the default sweep) because
+    // Catalyst does not share subtrees across union arms — the
+    // ann_nprobe_sweep single-pass rewrite applied here (round 17).
+    // Per-τ row content is unchanged: (τ, wp + cp_τ, td_τ).
+    // bounded-cross: 1-row x 1-row
+    val stackExpr = SweepTausE4
+      .map(tau => s"${tau}L, wp + cp_$tau, td_$tau")
+      .mkString(s"stack(${SweepTausE4.size}, ", ", ",
+        ") as (tau_e4, n_pairs, n_docs_touched)")
+    crossAgg.crossJoin(broadcast(repAgg))
+      .selectExpr(stackExpr)
+      .orderBy("tau_e4")
   }
 
   /** Sweep oracle: one conditional-aggregation pass per frame instead of

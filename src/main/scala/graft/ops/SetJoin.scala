@@ -168,10 +168,17 @@ object SetJoin {
     }
 
   /** Verified rep-level cross-group pairs (ra < rb), shared by the
-    * default rep contract and the expanded variant. */
+    * default rep contract and the expanded variant — memoized (round 17,
+    * guide §2.4): both registered keys re-ran the whole prefix-filter
+    * chain (df groupBy, prefix window, candidate self-join + distinct,
+    * two verification joins) before; the verified pair set is tiny
+    * (distinct-content near-dup pairs), so it is the natural frame to
+    * build once, exactly the Dedup.repVerifiedPairs precedent. */
   private def repCrossPairs(spark: SparkSession, dir: String): DataFrame =
-    prefixJoin(repSetsFrame(spark, dir))
-      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
+    Tables.memoPersist(spark, s"setjoin.crossPairs:$dir") {
+      prefixJoin(repSetsFrame(spark, dir))
+        .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
+    }
 
   /** Expanded per-copy pair report — the pre-round-10 contract, opt-in:
     * output is quadratic in duplicate multiplicity by construction;
@@ -246,8 +253,14 @@ object SetJoin {
   }
 
   /** Verified rep-level ordered cross pairs (probe rep → index rep),
-    * shared by the default rep contract and the expanded variant. */
-  private def containmentRepCrossPairs(spark: SparkSession, dir: String): DataFrame = {
+    * shared by the default rep contract and the expanded variant —
+    * memoized (round 17): same rationale as [[repCrossPairs]]. */
+  private def containmentRepCrossPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"setjoin.containCross:$dir") {
+      containmentRepCrossPairsBuild(spark, dir)
+    }
+
+  private def containmentRepCrossPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sized = repSetsFrame(spark, dir).select(col("doc_id"), col("sh"),
       size(col("sh")).cast("long").as("sz"))
     val ex = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))

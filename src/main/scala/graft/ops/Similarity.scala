@@ -2090,11 +2090,30 @@ object Similarity {
   def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame =
     listIvfPq(spark, dir).orderBy("qid", "rnk")
 
+  /** The IVFADC shortlist (rnk ≤ PqShortR), memoized: the widest slice of
+    * [[ivfPqRankedAll]] any consumer reads. Before round 17 only the
+    * top-PqTopK search list was memoized, so the exact re-rank
+    * (ann_ivfpq_rerank, + its recall cert) and the shortlist
+    * hard-negative miner (ann_hard_neg_shortlist) each re-derived the
+    * whole ADC ranking chain — codes⋈members⋈broadcast-LUT, partial-sum
+    * aggregate, per-query window — per query (guide §2.4: two operations
+    * keyed the same way share one exchange; here they share the whole
+    * subtree). NumQueries×PqShortR rows; every consumer is a filter of
+    * this frame, so results are unchanged by construction. */
+  private def ivfPqShortlist(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark,
+        s"sim.ivfpqShort:$NumCells:$IvfIters:$PqIters:$PqShortR:$dir") {
+      ivfPqRankedAll(spark, dir)
+        .where(col("rnk") <= PqShortR)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cell"), col("adc_d"))
+    }
+
   /** The IVFADC ranked list, memoized ([[listExact]] note): the search
-    * serves it; ann_agreement re-reads it. NumQueries×PqTopK rows. */
+    * serves it; ann_agreement re-reads it. NumQueries×PqTopK rows — a
+    * prefix filter of the memoized [[ivfPqShortlist]] (PqTopK ≤ PqShortR). */
   private def listIvfPq(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"sim.listIvfPq:$NumCells:$IvfIters:$PqIters:$dir") {
-      ivfPqRankedAll(spark, dir)
+      ivfPqShortlist(spark, dir)
         .where(col("rnk") <= PqTopK)
         .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
           col("cell"), col("adc_d"))
@@ -2155,8 +2174,7 @@ object Similarity {
     * avoided is not reintroduced. The re-rank itself is queries × R
     * arithmetic. */
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = ivfPqRankedAll(spark, dir)
-      .where(col("rnk") <= PqShortR)
+    val shortlist = ivfPqShortlist(spark, dir)
       .select(col("qid"), col("vec_id"))
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), quant.as("qv"))
     val qs = base.where(col("vec_id") < NumQueries)
@@ -2518,6 +2536,29 @@ object Similarity {
     * pairs flat while the cells themselves stay an embarrassingly parallel
     * scan. The keeper window partitions by the dropped id, whose candidate
     * rows are bounded by its own cell population. */
+  /** Directed within-cell group-pair exact cosines (cell, src, dst, cos),
+    * memoized: the cell-cohort pair scan is the shared kernel of the
+    * cell-scoped family — SemDeDup (dedup_semantic), the kNN label vote
+    * (label_noise) and the NN-Descent seed graph (ann_nn_graph's build)
+    * each re-derived the identical cohort join + cosine subtree per query
+    * before round 17 (guide §2.4: share the subtree, §5: recompute vs
+    * reuse). Self-pairs stay per-consumer: they are LINEAR in groups and
+    * each consumer wants a different projection of them. */
+  private def cellPairCos(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"sim.cellPairCos:$NumCells:$IvfIters:$dir") {
+      val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)
+        .select(col("avid").as("gid"), col("seed_id").as("cell"))
+      val cg = vecGroups(spark, dir).join(cellOf, "gid")
+        .select(col("cell"), col("gid"), col("qv"), col("n2"))
+      val a = cg.select(col("cell"), col("gid").as("src"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
+        col("qv").as("qb"), col("n2").as("nb2"))
+      a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+        .select(col("cell"), col("src"), col("dst"),
+          cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
+    }
+
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     // Collapsed SemDeDup (round 11): the naive within-cell member join is
     // quadratic in duplicate multiplicity (identical vectors share a
@@ -2534,13 +2575,8 @@ object Similarity {
       .select(col("avid").as("gid"), col("seed_id").as("cell"))
     val cg = vecGroups(spark, dir).join(cellOf, "gid")
       .select(col("cell"), col("gid"), col("qv"), col("n2"))
-    val a = cg.select(col("cell"), col("gid").as("src"),
-      col("qv").as("qa"), col("n2").as("na2"))
-    val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
-      col("qv").as("qb"), col("n2").as("nb2"))
-    val cross = a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
-      .withColumn("cos_e6", cosE6(cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2"))))
-      .select(col("cell"), col("src"), col("dst"), col("cos_e6"))
+    val cross = cellPairCos(spark, dir)
+      .select(col("cell"), col("src"), col("dst"), cosE6(col("cos")).as("cos_e6"))
     val self = cg.select(col("cell"), col("gid").as("src"), col("gid").as("dst"),
       cosE6(selfCos(col("n2"))).as("cos_e6"))
     val cand = cross.unionByName(self).where(col("cos_e6") >= DupThresholdE6)
@@ -3225,14 +3261,8 @@ object Similarity {
       .select(col("avid").as("gid"), col("seed_id").as("cell"))
     val cg = vecGroups(spark, dir).join(cellOf, "gid")
       .select(col("cell"), col("gid"), col("qv"), col("n2"))
-    val a = cg.select(col("cell"), col("gid").as("src"),
-      col("qv").as("qa"), col("n2").as("na2"))
-    val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
-      col("qv").as("qb"), col("n2").as("nb2"))
-    val directed = a
-      .join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
+    val directed = cellPairCos(spark, dir)
+      .select(col("src"), col("dst"), col("cos"))
       .unionByName(cg.select(col("gid").as("src"), col("gid").as("dst"),
         selfCos(col("n2")).as("cos")))
     val prefix = m
@@ -3341,7 +3371,7 @@ object Similarity {
     val q = v.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("qv").as("qa"), col("n2").as("qn2"))
-    val mined = ivfPqRankedAll(spark, dir).where(col("rnk") <= PqShortR)
+    val mined = ivfPqShortlist(spark, dir)
       .select(col("qid").as("sqid"), col("vec_id"))
       .join(v, "vec_id")
       .join(broadcast(q), col("sqid") === col("qid"))
@@ -3450,13 +3480,7 @@ object Similarity {
         .select(col("avid").as("gid"), col("seed_id").as("cell"))
       val cg = vecGroups(spark, dir).join(cellOf, "gid")
         .select(col("cell"), col("gid"), col("qv"), col("n2"))
-      val a = cg.select(col("cell"), col("gid").as("src"),
-        col("qv").as("qa"), col("n2").as("na2"))
-      val b = cg.select(col("cell").as("cell_b"), col("gid").as("dst"),
-        col("qv").as("qb"), col("n2").as("nb2"))
-      val seed = a
-        .join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
-        .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na2"), col("nb2")))
+      val seed = cellPairCos(spark, dir)
         .withColumn("srnk", row_number().over(
           Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
         .where(col("srnk") <= NndL)
