@@ -169,23 +169,39 @@ object Queries {
     * integer `div` (DuckDB's parquet reader holds TIMESTAMP at µs, so µs is
     * the common precision), making the gap compare pure int64 on both
     * sides. */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
-    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
-      .withColumn("prev_ts", lag("ts", 1).over(byTime))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  /** Typed 30-minute-gap sessionized event frame (user_id, ts µs,
+    * event_id, event_type, session_id), memoized (round 17, guide §2.4):
+    * the lag + running-sum session assignment — an events scan plus two
+    * window passes over one user_id exchange — was re-derived verbatim
+    * by events_sessionize, event_transitions and session_paths. Build it
+    * once; each consumer aggregates/windows on top. Carrying event_type
+    * cannot change the session ids (the windows never read it), so
+    * events_sessionize's output is unchanged. session_native deliberately
+    * does NOT ride this frame — exercising Spark's native session_window
+    * aggregation instead of this formulation is that row's point. */
+  private def sessionedFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"rel.sessioned:$dir") {
+      val gapUs = 30L * 60 * 1000 * 1000
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag("ts", 1).over(byTime))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "ts", "event_id", "event_type", "session_id")
+    }
+
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionedFrame(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("start_us"), max("ts").as("end_us"),
         min("event_id").as("first_event_id"))
       .orderBy("user_id", "session_id")
-  }
 
   // ---- session_native: Spark's built-in session_window ---------------------
 
@@ -743,13 +759,29 @@ object Queries {
     }
   }
 
+  /** All three strict-ordered step frames as ONE memoized
+    * (step, user_id, t) frame (round 17, guide §2.4): the step-k frame
+    * embeds every frame below it, so events_funnel's counts union held
+    * SIX step derivations (1+2+3) and funnel_latency's pair join four
+    * more — each a filtered events aggregate chain. Build the chain once;
+    * every consumer is a `step =` filter of this frame, so results are
+    * unchanged by construction. Bounded by 3 × |users| rows. */
+  private def funnelStepsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoPersist(spark, s"rel.funnelSteps:$dir") {
+      funnelStepFrames(spark, dir).zipWithIndex.map { case (f, i) =>
+        f.select(lit(i + 1L).as("step"), col("user_id"), col("t"))
+      }.reduce(_ unionByName _)
+    }
+
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val stepFrames = funnelStepFrames(spark, dir)
-    val counts = stepFrames.zip(FunnelSteps).zipWithIndex.map {
-      case ((f, typ), i) =>
-        f.agg(count(lit(1)).as("n_users"))
-          .select(lit(i + 1L).as("step"), lit(typ).as("step_name"),
-            col("n_users"))
+    val sf = funnelStepsFrame(spark, dir)
+    // per-step single-row aggregates (not a groupBy over the union): a
+    // step with ZERO converting users must still emit its n_users = 0 row
+    val counts = FunnelSteps.zipWithIndex.map { case (typ, i) =>
+      sf.where(col("step") === (i + 1).toLong)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(typ).as("step_name"),
+          col("n_users"))
     }.reduce(_ unionByName _)
     // 3-row frame: the global window is bounded by |FunnelSteps|
     val byStep = Window.orderBy("step")
@@ -818,10 +850,12 @@ object Queries {
     * the mean is an integer division of exact sums — no window, no
     * per-user history, nothing non-portable. */
   def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
-    val frames = funnelStepFrames(spark, dir)
-    val pairs = frames.sliding(2).toSeq.zip(FunnelSteps.sliding(2).toSeq).map {
-      case (Seq(a, b), Seq(na, nb)) =>
-        b.join(a.select(col("user_id"), col("t").as("t_prev")), "user_id")
+    val sf = funnelStepsFrame(spark, dir)
+    val pairs = FunnelSteps.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(na, nb), i) =>
+        sf.where(col("step") === (i + 2).toLong)
+          .join(sf.where(col("step") === (i + 1).toLong)
+            .select(col("user_id"), col("t").as("t_prev")), "user_id")
           .select(lit(s"${na}_to_$nb").as("step_pair"),
             (col("t") - col("t_prev")).as("d"))
     }
@@ -1116,17 +1150,7 @@ object Queries {
     * is map-side combined onto at most |types|² keys, and the from-type
     * total is a broadcast-sized window over those keys. */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
-    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sessioned = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts"),
-        col("event_id"), col("event_type"))
-      .withColumn("prev_ts", lag("ts", 1).over(byTime))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessioned = sessionedFrame(spark, dir)
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy("ts", "event_id")
     val trans = sessioned
@@ -1191,17 +1215,7 @@ object Queries {
     * strings (cardinality ≤ |types|⁵), then a top-20 TakeOrdered —
     * no global sort materializes. */
   def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
-    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sessioned = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("ts"),
-        col("event_id"), col("event_type"))
-      .withColumn("prev_ts", lag("ts", 1).over(byTime))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessioned = sessionedFrame(spark, dir)
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
       .where(col("rn") <= 5)
