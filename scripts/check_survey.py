@@ -159,3 +159,31 @@ if errors2:
     sys.exit(1)
 print("SURVEY artifact invariants green: collect-count prose == spec constant, "
       "crossJoin prose (if stated) == spec constant, 1000× headline == committed artifact")
+
+# 8. the same artifact-reference gate over OPTIMIZATION_*.md (round-17
+#    verdict ask #2): r17's optimization report promised
+#    BENCH_stress_r17_rangejoin_layout.json — the file was never created
+#    and only SURVEY.md was gated, so the placeholder shipped. Every
+#    uppercase-starting .json/.md filename an OPTIMIZATION report names
+#    must exist in the repo root. Filenames the prose explicitly marks as
+#    hypothetical ("or rNN", "never produced", "absent") still count —
+#    name only artifacts that exist.
+errors3 = []
+for opt in sorted(root.glob("OPTIMIZATION_r*.md")):
+    text = opt.read_text()
+    for tok in set(re.findall(r"\b[A-Z][A-Za-z0-9_]*(?:\{[A-Za-z0-9_,]+\}"
+                              r"[A-Za-z0-9_]*)*\.(?:json|md)\b", text)):
+        parts = re.split(r"(\{[A-Za-z0-9_,]+\})", tok)
+        alts = [p[1:-1].split(",") if p.startswith("{") else [p] for p in parts]
+        for combo in itertools.product(*alts):
+            name = "".join(combo)
+            if not (root / name).exists():
+                errors3.append(f"{opt.name} names artifact {name} (from "
+                               f"'{tok}') but no such file exists in the repo")
+
+if errors3:
+    for e in errors3:
+        print(f"OPTIMIZATION GATE FAIL: {e}", file=sys.stderr)
+    sys.exit(1)
+print("OPTIMIZATION artifact references green: every artifact named in "
+      "OPTIMIZATION_*.md exists in the repo root")

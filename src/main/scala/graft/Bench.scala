@@ -213,8 +213,19 @@ object Bench {
       .map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
     val canaryEnd = canary()
     val canaryShuffleEnd = canaryShuffle()
+    // Machine-readable stall flag (round-17 verdict ask #3): the r17
+    // 32-core artifact carried 8 fake 15-64x "regressions" because the
+    // host stalled MID-run — its own shuffle canary went 3.06->8.53 s —
+    // yet nothing in the artifact said "discard me". If the era moved
+    // by >2x between the start and end shuffle probes (either
+    // direction: a run can also start stalled and settle, as the r17
+    // rj1000_uts run did at 8.93->1.20), per-query walls from this run
+    // must not be read as code changes.
+    val stallSuspected =
+      math.max(canaryShuffleStart, canaryShuffleEnd) >
+        2.0 * math.min(canaryShuffleStart, canaryShuffleEnd)
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"median_inflation":${f(medianInflation)},"regression_rule":"deflate by median inflation vs baseline, then delta>=1s AND ratio>=1.5x","n_runs":$nr,"canary_sec":{"start":${f(canaryStart)},"end":${f(canaryEnd)},"start_shuffle":${f(canaryShuffleStart)},"end_shuffle":${f(canaryShuffleEnd)}},"build_cache":"$cacheState","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"builds":$bs,"errors":$errs,"regressions":$regs,"median_inflation":${f(medianInflation)},"regression_rule":"deflate by median inflation vs baseline, then delta>=1s AND ratio>=1.5x","n_runs":$nr,"canary_sec":{"start":${f(canaryStart)},"end":${f(canaryEnd)},"start_shuffle":${f(canaryShuffleStart)},"end_shuffle":${f(canaryShuffleEnd)}},"stall_suspected":$stallSuspected,"build_cache":"$cacheState","sf":"$sfDir"}"""
     println(line)
     // Persist the full line too: the driver's artifact has repeatedly
     // truncated the stdout tail (BENCH_r7/r8 carried `parsed: null`), so
@@ -236,7 +247,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"build_sec":${f(builds.map(_._2).sum)},"build_cache":"$cacheState","queries":$top,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"build_sec":${f(builds.map(_._2).sum)},"stall_suspected":$stallSuspected,"build_cache":"$cacheState","queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

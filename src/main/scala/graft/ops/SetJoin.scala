@@ -175,7 +175,7 @@ object SetJoin {
     * (distinct-content near-dup pairs), so it is the natural frame to
     * build once, exactly the Dedup.repVerifiedPairs precedent. */
   private def repCrossPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"setjoin.crossPairs:$dir") {
+    Tables.memoPersist(spark, s"setjoin.crossPairs:$TauE4:$dir") {
       prefixJoin(repSetsFrame(spark, dir))
         .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard_e4"))
     }
@@ -256,7 +256,7 @@ object SetJoin {
     * shared by the default rep contract and the expanded variant —
     * memoized (round 17): same rationale as [[repCrossPairs]]. */
   private def containmentRepCrossPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"setjoin.containCross:$dir") {
+    Tables.memoPersist(spark, s"setjoin.containCross:$TauCE4:$dir") {
       containmentRepCrossPairsBuild(spark, dir)
     }
 

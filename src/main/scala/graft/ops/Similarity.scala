@@ -2543,7 +2543,17 @@ object Similarity {
     * each re-derived the identical cohort join + cosine subtree per query
     * before round 17 (guide §2.4: share the subtree, §5: recompute vs
     * reuse). Self-pairs stay per-consumer: they are LINEAR in groups and
-    * each consumer wants a different projection of them. */
+    * each consumer wants a different projection of them.
+    *
+    * Footprint (r17 advice): rows = Σ_c g_c·(g_c−1) over cells (g_c =
+    * DISTINCT-vector groups in cell c, both directions), 4 narrow columns
+    * — quadratic in cell cohort size but group-level, never member-level.
+    * At the SemDeDup operating point NumCells tracks N/k (fixed target
+    * cell size k), so rows/cell stay ~k² and the frame scales LINEARLY
+    * with groups; MEMORY_AND_DISK spills rather than evicting other
+    * memos. If a stress point ever shows this frame dominating the store,
+    * persist only the union of consumer slices (threshold-filtered +
+    * per-src top-max(NndL, LnK+1)) instead of the full directed frame. */
   private def cellPairCos(spark: SparkSession, dir: String): DataFrame =
     Tables.memoPersist(spark, s"sim.cellPairCos:$NumCells:$IvfIters:$dir") {
       val cellOf = cellAssignments(spark, dir).where(col("rnk") === 1)

@@ -178,10 +178,18 @@ object Queries {
     * cannot change the session ids (the windows never read it), so
     * events_sessionize's output is unchanged. session_native deliberately
     * does NOT ride this frame — exercising Spark's native session_window
-    * aggregation instead of this formulation is that row's point. */
-  private def sessionedFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"rel.sessioned:$dir") {
-      val gapUs = 30L * 60 * 1000 * 1000
+    * aggregation instead of this formulation is that row's point.
+    *
+    * Footprint (r17 advice): PER-EVENT — |events| rows × 5 narrow
+    * columns, the largest relational memo; it scales with the fact
+    * table, not with an aggregate. The eager count + cache trade one
+    * extra materialization against three consumers' repeated
+    * scan+2-window chains; a deployment running ONLY events_sessionize
+    * should read the frame as that query's own intermediate (it pays
+    * the same exchange either way, plus the persist write). */
+  private def sessionedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.memoPersist(spark, s"rel.sessioned:$gapUs:$dir") {
       val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(spark, dir)
         .select(col("user_id"), expr("ts div 1000").as("ts"),
@@ -194,6 +202,7 @@ object Queries {
           byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "ts", "event_id", "event_type", "session_id")
     }
+  }
 
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     sessionedFrame(spark, dir)
@@ -767,7 +776,8 @@ object Queries {
     * every consumer is a `step =` filter of this frame, so results are
     * unchanged by construction. Bounded by 3 × |users| rows. */
   private def funnelStepsFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoPersist(spark, s"rel.funnelSteps:$dir") {
+    Tables.memoPersist(spark,
+        s"rel.funnelSteps:${FunnelSteps.mkString("-")}:$dir") {
       funnelStepFrames(spark, dir).zipWithIndex.map { case (f, i) =>
         f.select(lit(i + 1L).as("step"), col("user_id"), col("t"))
       }.reduce(_ unionByName _)
